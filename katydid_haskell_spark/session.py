@@ -1,0 +1,40 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Test/bench runs are ``local[N]`` on one JVM, but every setting here is
+chosen to also hold on a 1000-executor cluster: AQE on (runtime coalescing +
+skew-join splitting), Arrow for every pandas-UDF exchange, sane shuffle
+partition counts, broadcast threshold for dimension tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "katydid-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
+    if shuffle_partitions is None:
+        # ~2x cores locally; on a real cluster this would be sized to
+        # (input bytes / 128MB) and AQE coalesces down from there.
+        shuffle_partitions = 2 * cores
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()
