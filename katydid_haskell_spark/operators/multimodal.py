@@ -1,0 +1,140 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schemas, batch iteration, partition sizing, UDF
+signatures) is real and tested; the codec step is STUBBED — this container
+has no image/audio libraries, so decoding dispatches to a deterministic fake
+(`_fake_decode`) unless a real decoder is registered.  Swap in Pillow/librosa
+by calling :func:`register_decoder`.
+
+Design points for 100 TB of media:
+- `mapInPandas` (Arrow batches) so each Python worker sees columnar chunks,
+  never row-at-a-time;
+- binary payloads stay opaque until the last moment (parquet reads prune to
+  the metadata columns unless features are requested);
+- feature outputs are fixed-width arrays → columnar, joinable with the
+  embedding similarity operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_DIM = 32
+
+_DECODER: Optional[Callable[[bytes, str], np.ndarray]] = None
+
+
+def register_decoder(fn: Callable[[bytes, str], np.ndarray]) -> None:
+    """Install a real decoder: fn(payload, mime) -> float32[FEATURE_DIM]."""
+    global _DECODER
+    _DECODER = fn
+
+
+def _fake_decode(payload: bytes, mime: str) -> np.ndarray:
+    """Deterministic stand-in for decode+feature-extract: hash the payload
+    into a unit-norm pseudo-embedding.  Keeps every downstream op testable."""
+    h = hashlib.sha256(payload or b"").digest()
+    raw = np.frombuffer((h * ((FEATURE_DIM * 4) // len(h) + 1))[: FEATURE_DIM * 4],
+                        dtype=np.uint32).astype(np.float64)
+    v = (raw / np.float64(2**32)) - 0.5
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
+def extract_features(df: DataFrame, payload_col: str = "payload",
+                     mime_col: str = "mime",
+                     id_col: str = "media_id") -> DataFrame:
+    """media → (media_id, feature: array<float>) via Arrow-batched UDF."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("feature", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _DECODER or _fake_decode
+        for b in batches:
+            feats = [
+                decode(p if p is not None else b"", m).tolist()
+                for p, m in zip(b[payload_col], b[mime_col])
+            ]
+            yield pd.DataFrame({"media_id": b[id_col], "feature": feats})
+
+    return df.select(id_col, payload_col, mime_col).mapInPandas(run, out_schema)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms).
+
+    The expansion is pure Catalyst (sequence + explode); actual frame decode
+    is the registered decoder's job."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                           F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Typed-metadata profile per kind — prunes payload at the scan."""
+    return df.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("width").alias("avg_width"),
+        F.avg("height").alias("avg_height"),
+        F.avg("duration_ms").alias("avg_duration_ms"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+    )
+
+
+def synthetic_media_df(spark, n_rows: int, seed: int = 42) -> DataFrame:
+    """Deterministic media table for tests (payload = seeded bytes)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["image", "audio", "video"]
+        mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+        for b in batches:
+            ids = b["id"].to_numpy()
+            rows = []
+            for i in ids:
+                k = kinds[int(i) % 3]
+                payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * 4
+                rows.append(
+                    {
+                        "media_id": int(i),
+                        "kind": k,
+                        "mime": mimes[k],
+                        "payload": payload,
+                        "width": 64 + int(i) % 512 if k == "image" else None,
+                        "height": 64 + int(i * 7) % 512 if k == "image" else None,
+                        "duration_ms": (1000 + int(i) % 9000)
+                        if k != "image" else None,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n_rows).mapInPandas(gen, MEDIA_SCHEMA)

@@ -1,0 +1,148 @@
+"""Per-column statistics constraints (SURVEY.md §2.6).
+
+One single-pass aggregation computes every requested column stat — Catalyst
+gives partial+final hash aggregation for free, so at 10^12 rows this is one
+scan + a tiny all-to-one reduce of pre-aggregated values.  Distinct counts
+use HyperLogLog (``approx_count_distinct``), mergeable across partitions;
+per-bucket HLL sketches (``hll_sketch_agg``) enable incremental rollup.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class StatRule:
+    """A threshold check over a column statistic.
+
+    metric: one of null_rate, min, max, count, approx_distinct, mean
+    op: one of le, ge, lt, gt, eq, between
+    """
+
+    rule_id: str
+    column: str
+    metric: str
+    op: str
+    value: object
+    value_hi: object = None
+
+
+def _metric_col(metric: str, c: str) -> Column:
+    if metric == "null_rate":
+        return (F.count(F.lit(1)) - F.count(c)) / F.count(F.lit(1))
+    if metric == "min":
+        return F.min(c)
+    if metric == "max":
+        return F.max(c)
+    if metric == "count":
+        return F.count(c)
+    if metric == "approx_distinct":
+        return F.approx_count_distinct(c)
+    if metric == "mean":
+        return F.avg(c)
+    raise ValueError(f"unknown stat metric: {metric}")
+
+
+def _check(op: str, m: Column, v, v_hi=None) -> Column:
+    if not isinstance(v, Column):
+        v = F.lit(v)
+    if v_hi is not None and not isinstance(v_hi, Column):
+        v_hi = F.lit(v_hi)
+    if op == "le":
+        return m <= v
+    if op == "ge":
+        return m >= v
+    if op == "lt":
+        return m < v
+    if op == "gt":
+        return m > v
+    if op == "eq":
+        return m == v
+    if op == "between":
+        return (m >= v) & (m <= v_hi)
+    raise ValueError(f"unknown stat op: {op}")
+
+
+def column_profile(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Wide single-pass profile: for each column count/nulls/min/max/distinct.
+
+    Output (long format): column, n_rows, n_nonnull, null_rate, min_str,
+    max_str, approx_distinct.
+    """
+    aggs: List[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs += [
+            F.count(c).alias(f"{c}__nonnull"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            F.approx_count_distinct(c).alias(f"{c}__distinct"),
+        ]
+    wide = df.agg(*aggs)
+    stacks = []
+    for c in columns:
+        stacks.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nonnull").alias("n_nonnull"),
+                ((F.col("n_rows") - F.col(f"{c}__nonnull"))
+                 / F.col("n_rows")).alias("null_rate"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+                F.col(f"{c}__distinct").alias("approx_distinct"),
+            )
+        )
+    return wide.select(F.explode(F.array(*stacks)).alias("s")).select("s.*")
+
+
+def run_stat_rules(df: DataFrame, rules: Sequence[StatRule]) -> DataFrame:
+    """Evaluate all stat rules in ONE aggregation pass.
+
+    Output: rule_id, scope='table', pass, metric (double where castable),
+    detail.
+    """
+    aggs = []
+    for i, r in enumerate(rules):
+        aggs.append(_metric_col(r.metric, r.column).alias(f"m{i}"))
+    wide = df.agg(*aggs)
+    rows = []
+    for i, r in enumerate(rules):
+        m = F.col(f"m{i}")
+        rows.append(
+            F.struct(
+                F.lit(r.rule_id).alias("rule_id"),
+                F.lit("table").alias("scope"),
+                _check(r.op, m, r.value, r.value_hi).alias("pass"),
+                m.cast("double").alias("metric"),
+                F.concat(
+                    F.lit(f"{r.metric}({r.column})="), m.cast("string"),
+                    F.lit(f" {r.op} "),
+                    (r.value if isinstance(r.value, Column)
+                     else F.lit(str(r.value))).cast("string"),
+                ).alias("detail"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
+def hll_bucket_sketches(df: DataFrame, column: str,
+                        bucket_col: str = "bucket") -> DataFrame:
+    """Per-bucket HLL sketches — mergeable distinct-count state for
+    incremental / resumable rollup (Spark >= 3.5 hll_sketch_agg)."""
+    return df.groupBy(bucket_col).agg(
+        F.hll_sketch_agg(column).alias("sketch"),
+        F.count(F.lit(1)).alias("rows"),
+    )
+
+
+def hll_merge_estimate(sketches: DataFrame) -> DataFrame:
+    """Union per-bucket sketches → one global distinct estimate."""
+    return sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_estimate"),
+        F.sum("rows").alias("rows"),
+    )

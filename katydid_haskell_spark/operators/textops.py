@@ -1,0 +1,137 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All hot-path computation is built-in Catalyst expressions (JVM, whole-stage
+codegen) — language-ID, quality scoring, token counting and fingerprinting
+are pure Column recipes over the `documents` / `pages` text column; no
+Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# (Deterministic toy lists; a production system would load real profiles.)
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "von", "mit", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "pour", "que", "une"],
+    "es": ["el", "la", "de", "que", "y", "los", "del", "las", "por", "con"],
+    "it": ["il", "di", "che", "la", "per", "con", "del", "una", "non", "sono"],
+}
+
+_WORD_SPLIT = r"[^a-zA-Z0-9']+"
+# BPE-ish tokenizer regex: words, numbers, punctuation runs — a cheap
+# approximation of byte-pair-style token counts.
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS_EN = LANG_PROFILES["en"] + ["it", "on", "as", "are", "was", "be"]
+
+
+def words(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), _WORD_SPLIT), lambda w: w != "")
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.filter(F.split(col, r"\s+"), lambda w: w != ""))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish regex token count (JVM regexp_count — no UDF)."""
+    return F.regexp_count(col, F.lit(BPE_ISH))
+
+
+def quality_features(col: Column) -> Column:
+    """Struct of quality signals: n_chars, n_words, avg_word_len,
+    punct_ratio, digit_ratio, stopword_ratio, upper_ratio."""
+    ws = words(col)
+    n_chars = F.length(col)
+    n_words = F.size(ws)
+    n_punct = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    n_digit = F.regexp_count(col, F.lit(r"[0-9]"))
+    n_upper = F.regexp_count(col, F.lit(r"[A-Z]"))
+    n_stop = F.size(F.array_intersect(ws, F.array(*[F.lit(w) for w in STOPWORDS_EN])))
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+    return F.struct(
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        safe(n_chars, n_words).alias("avg_word_len"),
+        safe(n_punct, n_chars).alias("punct_ratio"),
+        safe(n_digit, n_chars).alias("digit_ratio"),
+        safe(n_stop, n_words).alias("stopword_ratio"),
+        safe(n_upper, n_chars).alias("upper_ratio"),
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Scalar [0,1] quality score from the features (fixed linear recipe)."""
+    f = quality_features(col)
+    score = (
+        F.lit(0.5)
+        + F.least(f.getField("n_words").cast("double") / 400.0, F.lit(0.25))
+        - f.getField("punct_ratio") * 0.5
+        - f.getField("digit_ratio") * 0.5
+        + F.least(f.getField("stopword_ratio"), F.lit(0.25))
+    )
+    return F.greatest(F.lit(0.0), F.least(F.lit(1.0), score))
+
+
+def lang_scores(col: Column) -> Column:
+    """Map<lang, matches>: distinct stopword hits per language profile."""
+    ws = words(col)
+    entries = []
+    for lang, prof in LANG_PROFILES.items():
+        hits = F.size(
+            F.array_intersect(ws, F.array(*[F.lit(w) for w in prof]))
+        )
+        entries.append(F.struct(F.lit(lang).alias("lang"), hits.alias("hits")))
+    return F.array(*entries)
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language over the stopword profiles; 'und' when no hits.
+
+    Ties break alphabetically (sort by (-hits, lang)) — deterministic and
+    reproducible in ANSI SQL oracles.
+    """
+    scores = lang_scores(col)
+    best = F.array_min(
+        F.transform(
+            scores,
+            lambda s: F.struct(
+                (-s.getField("hits")).alias("neg"), s.getField("lang").alias("lang")
+            ),
+        )
+    )
+    return F.when(-best.getField("neg") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Exact content fingerprint: 64-bit hash of whitespace/case-normalized
+    text (xxhash64, JVM-side)."""
+    normalized = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def shingles(col: Column, k: int = 5) -> Column:
+    """Array of k-word shingles (strings) from normalized text."""
+    ws = words(col)
+    n = F.size(ws)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(
+        idx, lambda i: F.array_join(F.slice(ws, i + 1, k), " ")
+    )).otherwise(F.array(F.array_join(ws, " ")))
+
+
+def rolling_fingerprints(col: Column, k: int = 5) -> Column:
+    """Array of shingle hashes — the winnowing-style document sketch."""
+    return F.transform(shingles(col, k), lambda s: F.xxhash64(s))
+
+
+def doc_sketch_min(col: Column, k: int = 5) -> Column:
+    """Minimum shingle hash — a 1-perm MinHash style document key."""
+    return F.array_min(rolling_fingerprints(col, k))

@@ -1,0 +1,120 @@
+"""End-to-end constraint pipeline over the synthetic pages corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from katydid_haskell_spark.plans.pages_plan import default_pages_plan, pages_baselines
+from katydid_haskell_spark.plans.runner import run_plan, run_resumable, read_verdicts
+from katydid_haskell_spark.sources.pages import (
+    extract_text,
+    lang_dim_df,
+    pages_df,
+    with_bucket,
+)
+
+N = 4000
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return with_bucket(pages_df(spark, N, partitions=8)).cache()
+
+
+@pytest.fixture(scope="module")
+def result(spark, pages):
+    plan = default_pages_plan(expect_rows=N)
+    dims = {"lang_dim": lang_dim_df(spark)}
+    baselines = pages_baselines(spark, pages_df(spark, N, drifted=False))
+    r = run_plan(pages, plan, dims, baselines, snapshot="test1")
+    verdicts = {
+        (row["bucket_id"], row["rule_id"]): row
+        for row in r.verdicts.collect()
+    }
+    violations = r.violations.collect()
+    return verdicts, violations
+
+
+def table_verdict(verdicts, rule_id):
+    return verdicts[(-1, rule_id)]
+
+
+def test_text_invariant(pages):
+    rows = pages.select("html", "text").collect()
+    assert all(r["text"] == extract_text(bytes(r["html"])) for r in rows)
+
+
+def test_uniqueness_fails_by_construction(result):
+    verdicts, violations = result
+    v = table_verdict(verdicts, "unique_url")
+    assert v["pass"] is False
+    dup_urls = [x for x in violations if x["rule_id"] == "unique_url"]
+    assert len(dup_urls) == int(v["metric"])
+    assert all("duplicate count=" in x["detail"] for x in dup_urls)
+
+
+def test_referential_fails_by_construction(result):
+    verdicts, violations = result
+    v = table_verdict(verdicts, "lang_in_iso639")
+    assert v["pass"] is False
+    orphans = [x for x in violations if x["rule_id"] == "lang_in_iso639"]
+    assert len(orphans) == int(v["metric"])
+    assert all("not in dimension" in x["detail"] for x in orphans)
+
+
+def test_row_rules_per_bucket(result):
+    verdicts, violations = result
+    # url rules pass everywhere
+    buckets = {b for (b, r) in verdicts if r == "url_scheme"}
+    assert buckets and all(
+        verdicts[(b, "url_scheme")]["pass"] for b in buckets
+    )
+    total_checked = sum(
+        verdicts[(b, "url_scheme")]["rows_checked"] for b in buckets
+    )
+    assert total_checked == N
+    # lang_shape fails for ""/None rows
+    lang_viols = [x for x in violations if x["rule_id"] == "lang_shape"]
+    assert lang_viols
+    assert any(not verdicts[(b, "lang_shape")]["pass"] for b in buckets)
+
+
+def test_stats_pass(result):
+    verdicts, _ = result
+    for rid in ("text_null_rate", "lang_null_rate", "ts_min_in_window",
+                "ts_max_in_window", "url_distinct"):
+        assert table_verdict(verdicts, rid)["pass"] is True, rid
+
+
+def test_drift_detected(result):
+    verdicts, _ = result
+    psi = table_verdict(verdicts, "text_len_drift")
+    assert psi["pass"] is False  # drifted cohort planted
+    assert psi["metric"] > 0.2
+    kl = table_verdict(verdicts, "warc_ts_drift")
+    assert kl["metric"] > 0.0
+
+
+def test_drift_self_is_zero(spark, pages):
+    from katydid_haskell_spark.operators import drift as d
+
+    hist = d.histogram(pages, d.text_len_bucket(F.col("text"), 50))
+    row = d.divergences(hist, hist).collect()[0]
+    assert abs(row["psi"]) < 1e-9
+    assert abs(row["kl"]) < 1e-9
+
+
+def test_resumable(spark, pages, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    plan = default_pages_plan()
+    dims = {"lang_dim": lang_dim_df(spark)}
+    baselines = pages_baselines(spark, pages_df(spark, N, drifted=False))
+    run_resumable(pages, plan, ckpt, dims, baselines, snapshot="s1")
+    v1 = read_verdicts(spark, ckpt)
+    n_first = v1.count()
+    assert v1.where("bucket_id >= 0").count() > 0
+    # resume: all buckets done → row pass adds nothing for snapshot s1
+    run_resumable(pages, plan, ckpt, dims, baselines, snapshot="s1")
+    v2 = read_verdicts(spark, ckpt)
+    row_v1 = v1.where("bucket_id >= 0").count()
+    row_v2 = v2.where("bucket_id >= 0").count()
+    assert row_v2 == row_v1  # no bucket re-processed
