@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: the full constraint-validation suite (every
+                constraint class) over the documents table at sf0.001,
+                returning the verdicts DataFrame.
+queries()     — one entry per implemented operator family (SURVEY.md §2 +
+                training-data pipeline ops); each (spark, sf_dir) -> DF.
+oracle_sql()  — DuckDB-equivalent SQL for every SQL-expressible query.
+                Hash-based ops (minhash/simhash/LSH buckets) and the
+                generated-pages flagship are intentionally omitted → the
+                driver records the weaker rows-only check for those.
+
+Column-name / rounding discipline: every computed column is aliased
+identically in Spark and SQL; float-valued columns are ROUND()ed on both
+sides so the value-hash comparison is stable.
 """
 
 from __future__ import annotations
@@ -12,27 +20,522 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from katydid_haskell_spark.operators import dedup as dd
+from katydid_haskell_spark.operators import drift as dr
+from katydid_haskell_spark.operators import similarity as sim
+from katydid_haskell_spark.operators import textops as tx
+from katydid_haskell_spark.operators import uniqueness as uq
+from katydid_haskell_spark.operators.referential import orphan_rows
+from katydid_haskell_spark.relapse.automaton import validate_json_column
+from katydid_haskell_spark.relapse.lower import compile_to_column
+from katydid_haskell_spark.relapse.parser import parse_grammar
+from katydid_haskell_spark.relapse.smart import compile_grammar
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _relapse_col(spec: str, schema) -> F.Column:
+    return compile_to_column(compile_grammar(parse_grammar(spec)), schema)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """All constraint classes over documents @ sf0.001 → verdicts frame."""
+    from katydid_haskell_spark.operators.stats import StatRule
+    from katydid_haskell_spark.plans.checkplan import (
+        CheckPlan,
+        RefRule,
+        RowRule,
+        UniqueRule,
+    )
+    from katydid_haskell_spark.plans.runner import run_plan
+    from katydid_haskell_spark.sources.pages import lang_dim_df
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int")
+    )
+    plan = CheckPlan(
+        row_rules=[
+            RowRule("text_nonempty", ".text: -> gt(length($string), 0)"),
+            RowRule("lang_shape", '.lang ~= "^[a-z]{2}$"'),
+            RowRule("n_chars_range", ".n_chars: -> and(ge($int, 0), lt($int, 100000))"),
+            RowRule("source_prefix", '.source ^= "src"'),
+        ],
+        stat_rules=[
+            StatRule("text_null_rate", "text", "null_rate", "le", 0.05),
+            StatRule("docid_distinct", "doc_id", "approx_distinct", "ge", 1),
+        ],
+        unique_rules=[UniqueRule("unique_doc_id", "doc_id")],
+        ref_rules=[RefRule("lang_in_iso639", "lang", "lang_dim", "lang_code")],
+        drift_rules=[],
+    )
+    res = run_plan(
+        docs, plan, dims={"lang_dim": lang_dim_df(spark)}, baselines={},
+        key_col="doc_id", snapshot="sf0.001",
+    )
+    return res.verdicts
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_relapse_filter_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    spec = '(.lang *= []string{"en","de","fr"} & .n_chars: >= 200 & .text *= "data")'
+    ok = _relapse_col(spec, docs.schema)
+    return docs.filter(ok).select("doc_id", "lang", "n_chars")
+
+
+def _q_relapse_validate_rate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ok = _relapse_col('.text *= "spark"', docs.schema)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ok.cast("long")).alias("n_valid"),
+    )
+
+
+def _q_relapse_props_json(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    valid = validate_json_column(F.col("props"), "k: >= 50")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(valid.cast("long")).alias("n_valid"),
+    )
+
+
+def _q_stats_orders_profile(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("price_nonnull"),
+        F.round(F.min("o_totalprice"), 2).alias("price_min"),
+        F.round(F.max("o_totalprice"), 2).alias("price_max"),
+        F.round(F.avg("o_totalprice"), 4).alias("price_avg"),
+        F.countDistinct("o_custkey").alias("cust_distinct"),
+        F.min("o_orderdate").alias("date_min"),
+        F.max("o_orderdate").alias("date_max"),
+    )
+
+
+def _q_unique_dup_custkeys(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return uq.duplicate_keys(o, ["o_custkey"]).select(
+        F.col("o_custkey"), F.col("dup_count")
+    )
+
+
+def _q_referential_orphans(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orphan_rows(ev, "user_id", cust.select(F.col("c_custkey")), "c_custkey")
+        .select("user_id").distinct()
+        .withColumnRenamed("user_id", "orphan_id")
+    )
+
+
+def _q_drift_psi_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 10).cast("long")
+    cur = dr.histogram(ev.filter(F.col("event_id") % 2 == 0), bucket)
+    base = dr.histogram(ev.filter(F.col("event_id") % 2 == 1), bucket)
+    d = dr.divergences(cur, base)
+    return d.select(
+        F.round("psi", 6).alias("psi"),
+        F.round("kl", 6).alias("kl"),
+        F.col("n_current").cast("long").alias("n_current"),
+        F.col("n_baseline").cast("long").alias("n_baseline"),
+    )
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_top_orders_per_cust(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+def _q_revenue_by_nation(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def _q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count_ws(F.col("text")).alias("ws_tokens"),
+        tx.token_count_bpe(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def _q_doc_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    f = tx.quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        f.getField("n_words").alias("n_words"),
+        F.round(f.getField("punct_ratio"), 6).alias("punct_ratio"),
+        F.round(f.getField("digit_ratio"), 6).alias("digit_ratio"),
+        F.round(f.getField("stopword_ratio"), 6).alias("stopword_ratio"),
+    )
+
+
+def _q_doc_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(normalized).alias("fp"))
+
+
+def _q_exact_dup_groups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select(F.md5(normalized).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _q_ann_topk_brute(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = sim.brute_force_topk(emb, queries, k=10)
+    return out.select("q_id", "vec_id", "rank", F.round("cos", 4).alias("cos"))
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32,
+                                bands=8, shingle_k=3, min_jaccard=0.4)
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs, "doc_id", "text", max_hamming=8, shingle_k=2)
+
+
+def _q_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = sim.lsh_topk(emb, queries, dim=64, k=10, n_bits=8, nprobe=3)
+    return out.select("q_id", "vec_id", "rank", F.round("cos", 4).alias("cos"))
+
+
+def _q_embedding_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.embedding_neardup_pairs(emb, dim=64, min_cos=0.9, n_bits=6)
+    return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
+def _q_pages_verdicts(spark, sf_dir):
+    from katydid_haskell_spark.plans.pages_plan import (
+        default_pages_plan,
+        pages_baselines,
+    )
+    from katydid_haskell_spark.plans.runner import run_plan
+    from katydid_haskell_spark.sources.pages import (
+        lang_dim_df,
+        pages_df,
+        with_bucket,
+    )
+
+    n = 2000
+    pages = with_bucket(pages_df(spark, n))
+    plan = default_pages_plan(expect_rows=n)
+    baselines = pages_baselines(spark, pages_df(spark, n, drifted=False))
+    res = run_plan(pages, plan, {"lang_dim": lang_dim_df(spark)}, baselines,
+                   snapshot="bench")
+    return res.verdicts
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "relapse_filter_docs": _q_relapse_filter_docs,
+        "relapse_validate_rate": _q_relapse_validate_rate,
+        "relapse_props_json": _q_relapse_props_json,
+        "stats_orders_profile": _q_stats_orders_profile,
+        "unique_dup_custkeys": _q_unique_dup_custkeys,
+        "referential_orphans": _q_referential_orphans,
+        "drift_psi_events": _q_drift_psi_events,
+        "tpch_q1": _q_tpch_q1,
+        "top_orders_per_cust": _q_top_orders_per_cust,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "events_hourly": _q_events_hourly,
+        "token_counts": _q_token_counts,
+        "doc_quality": _q_doc_quality,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "ann_topk_brute": _q_ann_topk_brute,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "lsh_topk": _q_lsh_topk,
+        "embedding_neardup": _q_embedding_neardup,
+        "pages_verdicts": _q_pages_verdicts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_WORDS_SQL = (
+    "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9'']+'), "
+    "x -> x <> '')"
+)
+
+_STOPWORDS_EN_SQL = (
+    "['the','and','of','to','in','is','that','for','with','a',"
+    "'it','on','as','are','was','be']"
+)
+
+_LANG_PROFILES_SQL = {
+    "en": "['the','and','of','to','in','is','that','for','with','a']",
+    "de": "['der','die','und','das','ist','nicht','von','mit','ein','zu']",
+    "fr": "['le','la','et','les','des','est','pas','pour','que','une']",
+    "es": "['el','la','de','que','y','los','del','las','por','con']",
+    "it": "['il','di','che','la','per','con','del','una','non','sono']",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_hits = ",\n        ".join(
+        f"len(list_distinct(list_intersect(w, {prof}))) AS hits_{lang}"
+        for lang, prof in _LANG_PROFILES_SQL.items()
+    )
+    lang_union = "\n              UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, hits_{lang} AS h FROM hits"
+        for lang in _LANG_PROFILES_SQL
+    )
+    return {
+        "relapse_filter_docs": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE lang IN ('en','de','fr') AND n_chars >= 200
+              AND text LIKE '%data%'
+        """,
+        "relapse_validate_rate": """
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   SUM(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS n_valid
+            FROM documents GROUP BY lang
+        """,
+        "relapse_props_json": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                       THEN 1 ELSE 0 END) AS n_valid
+            FROM events GROUP BY event_type
+        """,
+        "stats_orders_profile": """
+            SELECT COUNT(*) AS n_rows,
+                   COUNT(o_totalprice) AS price_nonnull,
+                   ROUND(MIN(o_totalprice), 2) AS price_min,
+                   ROUND(MAX(o_totalprice), 2) AS price_max,
+                   ROUND(AVG(o_totalprice), 4) AS price_avg,
+                   COUNT(DISTINCT o_custkey) AS cust_distinct,
+                   MIN(o_orderdate) AS date_min,
+                   MAX(o_orderdate) AS date_max
+            FROM orders
+        """,
+        "unique_dup_custkeys": """
+            SELECT o_custkey, COUNT(*) AS dup_count
+            FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+        """,
+        "referential_orphans": """
+            SELECT DISTINCT user_id AS orphan_id FROM events
+            WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+        """,
+        "drift_psi_events": """
+            WITH cur AS (
+              SELECT CAST(FLOOR(value/10) AS BIGINT) AS bucket, COUNT(*) AS cnt_p
+              FROM events WHERE event_id % 2 = 0 GROUP BY 1
+            ), base AS (
+              SELECT CAST(FLOOR(value/10) AS BIGINT) AS bucket, COUNT(*) AS cnt_q
+              FROM events WHERE event_id % 2 = 1 GROUP BY 1
+            ), joined AS (
+              SELECT COALESCE(cur.cnt_p, 0) AS cnt_p,
+                     COALESCE(base.cnt_q, 0) AS cnt_q
+              FROM cur FULL OUTER JOIN base USING (bucket)
+            ), tot AS (
+              SELECT SUM(cnt_p) AS np, SUM(cnt_q) AS nq, COUNT(*) AS k
+              FROM joined
+            ), p AS (
+              SELECT (cnt_p + 1e-6) / (np + k*1e-6) AS p,
+                     (cnt_q + 1e-6) / (nq + k*1e-6) AS q,
+                     np, nq
+              FROM joined, tot
+            )
+            SELECT ROUND(SUM((p - q) * LN(p/q)), 6) AS psi,
+                   ROUND(SUM(p * LN(p/q)), 6) AS kl,
+                   CAST(MIN(np) AS BIGINT) AS n_current,
+                   CAST(MIN(nq) AS BIGINT) AS n_baseline
+            FROM p
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders_per_cust": """
+            SELECT o_custkey, o_orderkey, rk FROM (
+              SELECT o_custkey, o_orderkey,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey)
+                     AS rk
+              FROM orders
+            ) WHERE rk <= 3
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "events_hourly": """
+            SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                       x -> x <> '')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+            FROM documents
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   len(w) AS n_words,
+                   ROUND(CASE WHEN length(text) > 0
+                         THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+                              / length(text) ELSE 0 END, 6) AS punct_ratio,
+                   ROUND(CASE WHEN length(text) > 0
+                         THEN len(regexp_extract_all(text, '[0-9]')) * 1.0
+                              / length(text) ELSE 0 END, 6) AS digit_ratio,
+                   ROUND(CASE WHEN len(w) > 0
+                         THEN len(list_distinct(list_intersect(w, {_STOPWORDS_EN_SQL})))
+                              * 1.0 / len(w) ELSE 0 END, 6) AS stopword_ratio
+            FROM (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents)
+        """,
+        "doc_lang_id": f"""
+            WITH hits AS (
+              SELECT doc_id, {lang_hits}
+              FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+            ), unp AS (
+              {lang_union}
+            ), ranked AS (
+              SELECT doc_id, lang, h,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY h DESC, lang) AS rk
+              FROM unp
+            )
+            SELECT doc_id,
+                   CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_pred
+            FROM ranked WHERE rk = 1
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "exact_dup_groups": """
+            SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "ann_topk_brute": """
+            SELECT q_id, vec_id, rank, ROUND(cos, 4) AS cos FROM (
+              SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                     list_cosine_similarity(c.embedding, q.embedding) AS cos,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(c.embedding, q.embedding)
+                                DESC, c.vec_id) AS rank
+              FROM embeddings c, embeddings q
+              WHERE q.vec_id < 5
+            ) WHERE rank <= 10
+        """,
+    }

@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 
 from .textops import fingerprint, rolling_fingerprints, shingles, words
 
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1: (a*h+b) stays under 2^62, so the permutation
+# arithmetic cannot overflow a long even under ANSI mode (Spark 4 default).
+_MERSENNE = (1 << 31) - 1
 
 
 def _perm_params(num_hashes: int, seed: int = 7):
@@ -80,30 +82,58 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature(text: Column, num_hashes: int = 64,
-                      shingle_k: int = 5) -> Column:
-    """Array<long> of minhash values, entirely in Catalyst.
+def minhash_signature(hashes: Column, num_hashes: int = 64) -> Column:
+    """Array<long> minhash signature from a shingle-hash array column.
 
-    min over shingles of ((a * h + b) mod p) per permutation; h = xxhash64
-    of the shingle, folded to non-negative.
+    ONE traversal of the hash array: the accumulator is the vector of
+    current minima and each step folds all permutations of one hash via
+    ``zip_with(acc, perms(h), least)`` — O(shingles × num_hashes) work in a
+    single Catalyst ``aggregate`` (no recomputation of the shingle
+    pipeline per permutation).
     """
-    hashes = F.transform(
-        rolling_fingerprints(text, shingle_k),
-        lambda h: F.pmod(h, F.lit(_MERSENNE)),
+    perms = _perm_params(num_hashes)
+    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes)
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[
+                F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+                for a, b in perms
+            ]),
+            lambda a, b: F.least(a, b),
+        ),
     )
-    sig = []
-    for a, b in _perm_params(num_hashes):
-        sig.append(
-            F.array_min(
-                F.transform(
-                    hashes,
-                    lambda h: F.pmod(
-                        h * F.lit(a) + F.lit(b), F.lit(_MERSENNE)
-                    ),
-                )
-            )
+
+
+def shingle_hashes(text: Column, shingle_k: int = 5) -> Column:
+    """Shingle hashes folded into [0, 2^31-1) for overflow-free perms.
+
+    Fast path: hash each WORD once (xxhash64 → 31 bits), then each k-shingle
+    hash is a small polynomial combination of word hashes — no k-word string
+    materialization, O(words · k) cheap integer ops.  All intermediates stay
+    < 2^53, safe under ANSI overflow checking.
+    """
+    wh = F.transform(words(text), lambda w: F.pmod(F.xxhash64(w), F.lit(_MERSENNE)))
+    n = F.size(wh)
+    weights = [pow(31, j, _MERSENNE) for j in range(shingle_k)]
+
+    def combo(i):
+        acc = F.lit(0).cast("long")
+        for j, w in enumerate(weights):
+            acc = acc + F.get(wh, i + j) * F.lit(w % (1 << 20))
+        return F.pmod(acc, F.lit(_MERSENNE))
+
+    whole = F.array(
+        F.pmod(
+            F.aggregate(wh, F.lit(0).cast("long"),
+                        lambda acc, h: F.pmod(acc * 31 + h, F.lit(_MERSENNE))),
+            F.lit(_MERSENNE),
         )
-    return F.array(*sig)
+    )
+    idx = F.sequence(F.lit(0), F.greatest(n - shingle_k, F.lit(0)))
+    return F.when(n >= shingle_k, F.transform(idx, combo)).otherwise(whole)
 
 
 def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -142,34 +172,42 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     dedup pairs → exact Jaccard verification on the candidates only.
     """
     rows_per_band = num_hashes // bands
-    sigs = df.select(
-        F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), shingle_k).alias("sh"),
-        lsh_bands(
-            minhash_signature(F.col(text_col), num_hashes, shingle_k),
-            bands, rows_per_band,
-        ).alias("bands"),
-    )
-    exploded = sigs.select(
-        "doc_id", "sh", F.explode("bands").alias("bk")
-    ).select("doc_id", "sh", F.col("bk.band").alias("band"),
-             F.col("bk.key").alias("key"))
-    left = exploded.alias("l")
-    right = exploded.alias("r")
-    cand = (
-        left.join(right, ["band", "key"])
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    # Only (doc_id, band, key) travels through the LSH shuffle — the
+    # signatures and shingle sets stay behind.
+    banded = (
+        base.withColumn("hh", shingle_hashes(F.col("__text"), shingle_k))
+        .withColumn("sig", minhash_signature(F.col("hh"), num_hashes))
         .select(
-            F.col("l.doc_id").alias("id_a"),
-            F.col("r.doc_id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"),
-            F.col("r.sh").alias("sh_b"),
+            "doc_id",
+            F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("bk"),
         )
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    )
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "key"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Verification: join the (small) candidate set back for exact Jaccard
+    # over shingle-hash sets; broadcast the candidates so the shingle side
+    # never shuffles.
+    # persist: hh is needed for both sides of the verification join and
+    # would otherwise recompute the shingle pipeline from the raw text
+    sh = base.select(
+        "doc_id", shingle_hashes(F.col("__text"), shingle_k).alias("hh")
+    ).persist()
+    pairs = (
+        sh.join(F.broadcast(cand), sh.doc_id == cand.id_a)
+        .select("id_a", "id_b", F.col("hh").alias("hh_a"))
+        .join(sh.alias("s2"), F.col("id_b") == F.col("s2.doc_id"))
+        .select("id_a", "id_b", "hh_a", F.col("s2.hh").alias("hh_b"))
+    )
     return (
-        cand.select(
-            "id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard")
+        pairs.select(
+            "id_a", "id_b", jaccard(F.col("hh_a"), F.col("hh_b")).alias("jaccard")
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
@@ -182,7 +220,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def simhash(text: Column, bits: int = 64, shingle_k: int = 2) -> Column:
     """SimHash signature: sign-sum of feature-hash bits, via aggregate over
-    a per-bit counter array (JVM higher-order functions)."""
+    a per-bit counter array (JVM higher-order functions).
+
+    Shift amounts are compile-time constants (unrolled in Python) — Spark's
+    shiftright/shiftleft require literal bit counts."""
     feats = rolling_fingerprints(text, shingle_k)
     zero = F.array_repeat(F.lit(0), bits)
     counts = F.aggregate(
@@ -190,25 +231,23 @@ def simhash(text: Column, bits: int = 64, shingle_k: int = 2) -> Column:
         zero,
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda i: F.when(
-                    F.shiftright(h, i.cast("int")).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1)),
-            ),
+            F.array(*[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for i in range(bits)
+            ]),
             lambda a, b: a + b,
         ),
     )
-    return F.aggregate(
-        F.zip_with(
-            counts,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), i.cast("int"))).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc.bitwiseOR(v),
-    )
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        mask = (1 << i) if i < 63 else -(1 << 63)  # top bit = Long.MIN
+        out = out.bitwiseOR(
+            F.when(F.element_at(counts, i + 1) > 0,
+                   F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return out
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -1,0 +1,102 @@
+"""Streaming validation: the same compiled CheckPlan over a stream.
+
+The row-rule Columns compiled by :mod:`..plans.checkplan` are ordinary
+Catalyst expressions, so they apply unchanged to a streaming DataFrame —
+the compile-once/run-anywhere property of driver-side spec compilation.
+
+- :func:`stream_violations` — per-record violations stream (append mode).
+- :func:`windowed_verdicts` — pass-rate rollups per event-time window with
+  a watermark for late data (update/append mode).
+
+Custom stateful checks beyond windowed aggregation (e.g. per-key monotonic
+sequence validation) use ``applyInPandasWithState`` — see
+:func:`monotonic_check`.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..plans.checkplan import CheckPlan
+
+
+def _rule_cols(df: DataFrame, plan: CheckPlan):
+    cols = plan.compile_row_columns(df.schema)
+    return [(r.rule_id, cols[r.rule_id]) for r in plan.row_rules]
+
+
+def stream_violations(stream: DataFrame, plan: CheckPlan,
+                      key_col: str = "url") -> DataFrame:
+    """Append-mode violations stream: (url, rule_id, detail)."""
+    pairs = _rule_cols(stream, plan)
+    structs = [
+        F.when(~F.coalesce(ok, F.lit(False)),
+               F.struct(F.lit(rid).alias("rule_id"),
+                        F.lit(rid).alias("detail")))
+        for rid, ok in pairs
+    ]
+    return (
+        stream.select(
+            F.col(key_col).cast("string").alias("url"),
+            F.array_compact(F.array(*structs)).alias("fails"),
+        )
+        .filter(F.size("fails") > 0)
+        .select("url", F.explode("fails").alias("f"))
+        .select("url", "f.rule_id", "f.detail")
+    )
+
+
+def windowed_verdicts(stream: DataFrame, plan: CheckPlan, ts_col: str,
+                      window: str = "1 minute",
+                      watermark: str = "2 minutes") -> DataFrame:
+    """Per event-time window: rows_checked + pass count per rule."""
+    pairs = _rule_cols(stream, plan)
+    aggs = [F.count(F.lit(1)).alias("rows_checked")]
+    for rid, ok in pairs:
+        aggs.append(F.sum(ok.cast("long")).alias(f"pass_{rid}"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(*aggs)
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "*")
+        .drop("w")
+    )
+
+
+def monotonic_check(stream: DataFrame, key_col: str, seq_col: str,
+                    ts_col: str, watermark: str = "2 minutes") -> DataFrame:
+    """Custom stateful rule: per key, seq values must be non-decreasing.
+
+    Emits one row per violation (key, prev_seq, seq).  State = last seen
+    seq per key, managed by applyInPandasWithState.
+    """
+    out_schema = f"{key_col} long, prev_seq long, seq long"
+    state_schema = "last long"
+
+    def fn(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        rows = []
+        for pdf in pdfs:
+            for s in pdf[seq_col].tolist():
+                if last is not None and s < last:
+                    rows.append((key[0], last, s))
+                last = max(last, s) if last is not None else s
+        state.update((last,))
+        if rows:
+            yield pd.DataFrame(rows, columns=[key_col, "prev_seq", "seq"])
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

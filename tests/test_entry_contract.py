@@ -1,0 +1,88 @@
+"""Driver-contract conformance: every queries() entry runs; every
+oracle_sql() entry matches the Spark result (row count + order-insensitive
+values) at sf0.01 — a local mirror of the driver's CORRECTNESS gate."""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(rows, columns):
+    """Sort columns by name, normalize values, return sorted tuple set."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "nan"
+                else:
+                    v = round(v, 6)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    return sorted(out)
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+def test_oracles_subset_of_queries():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = QUERIES[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    ddf = duck.sql(ORACLES[name])
+    dcols = [c.lower() for c in ddf.columns]
+    drows = ddf.fetchall()
+    assert sorted(c.lower() for c in scols) == sorted(dcols), (
+        f"schema mismatch: spark={scols} duck={dcols}"
+    )
+    s_norm = normalize(srows, [c.lower() for c in scols])
+    d_norm = normalize(drows, dcols)
+    assert len(s_norm) == len(d_norm), (
+        f"row count: spark={len(s_norm)} duck={len(d_norm)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(s_norm, d_norm) if a != b
+    ]
+    assert not mismatches, f"{len(mismatches)} mismatching rows; first: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_unoracled_queries_run(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert df.columns
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {
+        "bucket_id", "rule_id", "pass", "metric", "rows_checked", "snapshot"
+    }

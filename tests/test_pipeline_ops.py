@@ -1,0 +1,144 @@
+"""Unit tests for the training-data pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from katydid_haskell_spark.operators import dedup as dd
+from katydid_haskell_spark.operators import multimodal as mm
+from katydid_haskell_spark.operators import similarity as sim
+from katydid_haskell_spark.operators import textops as tx
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "en"),
+    (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+    (2, "the quick brown fox jumped over the lazy dogs", "en"),  # near dup
+    (3, "der schnelle braune fuchs springt und das ist nicht alles hier", "de"),
+    (4, "completely different content about spark and data processing", "en"),
+    (5, "le chat est sur la table et les enfants sont pour une fois", "fr"),
+    (6, "THE QUICK  brown fox jumps over the lazy dog ", "en"),  # norm dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    groups = dd.exact_duplicate_groups(docs, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert sorted(groups[0]["doc_ids"]) == [0, 1, 6]  # case/ws-normalized
+    kept = dd.exact_dedup(docs, "doc_id", "text")
+    assert kept.count() == 5
+    assert 0 in {r.doc_id for r in kept.collect()}
+
+
+def test_minhash_lsh(spark, docs):
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32,
+                                 bands=16, shingle_k=2, min_jaccard=0.3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 6) in got and (1, 6) in got
+    assert (0, 2) in got  # near dup at shingle_k=2
+    assert all(a < b for a, b in got)
+    # distinct docs don't pair
+    assert not any({3, 4} == {a, b} or {4, 5} == {a, b} for a, b in got)
+
+
+def test_simhash(spark, docs):
+    pairs = dd.simhash_pairs(docs, "doc_id", "text", max_hamming=10,
+                             shingle_k=2)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got.get((0, 1)) == 0
+    assert got.get((0, 6)) == 0
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", k=2,
+                                   min_jaccard=0.4)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 6)] == 1.0
+    assert (0, 2) in got
+
+
+def test_textops(spark, docs):
+    row = docs.filter("doc_id = 0").select(
+        tx.token_count_ws(F.col("text")).alias("ws"),
+        tx.token_count_bpe(F.col("text")).alias("bpe"),
+        tx.lang_id(F.col("text")).alias("lang"),
+        tx.quality_score(F.col("text")).alias("q"),
+    ).collect()[0]
+    assert row["ws"] == 9
+    assert row["bpe"] == 9
+    assert row["lang"] == "en"
+    assert 0.0 <= row["q"] <= 1.0
+    langs = {r.doc_id: r.l for r in docs.select(
+        "doc_id", tx.lang_id(F.col("text")).alias("l")).collect()}
+    assert langs[3] == "de"
+    assert langs[5] == "fr"
+
+
+def test_fingerprint_normalization(spark, docs):
+    fps = {r.doc_id: r.fp for r in docs.select(
+        "doc_id", tx.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[0] == fps[6]
+    assert fps[0] != fps[2]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16)).astype("float32")
+    base[1] = base[0] + 0.01 * rng.normal(size=16).astype("float32")  # near 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_brute_force_topk(spark, vectors):
+    q = vectors.filter("vec_id = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = sim.brute_force_topk(vectors, q, k=3).collect()
+    assert [r.vec_id for r in out] == [0, 1] + [out[2].vec_id]
+    assert out[0]["cos"] == pytest.approx(1.0, abs=1e-6)
+    assert out[1]["cos"] > 0.99
+
+
+def test_lsh_topk_contains_self(spark, vectors):
+    q = vectors.filter("vec_id = 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = sim.lsh_topk(vectors, q, dim=16, k=5, n_bits=4, nprobe=2).collect()
+    ids = [r.vec_id for r in out]
+    assert 0 in ids  # self always in its own bucket
+    assert 1 in ids  # near-identical vector shares the code
+
+
+def test_embedding_neardup(spark, vectors):
+    pairs = sim.embedding_neardup_pairs(vectors, dim=16, min_cos=0.99,
+                                        n_bits=4).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+def test_multimodal_features(spark):
+    media = mm.synthetic_media_df(spark, 30)
+    feats = mm.extract_features(media).collect()
+    assert len(feats) == 30
+    v = feats[0]["feature"]
+    assert len(v) == mm.FEATURE_DIM
+    assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-3
+    # deterministic: same payload → same feature
+    feats2 = {r.media_id: r.feature for r in mm.extract_features(media).collect()}
+    assert feats2[feats[0]["media_id"]] == pytest.approx(v)
+
+
+def test_multimodal_stats_and_frames(spark):
+    media = mm.synthetic_media_df(spark, 30)
+    stats = {r.kind: r.n for r in mm.media_stats(media).collect()}
+    assert sum(stats.values()) == 30
+    frames = mm.frame_sample_plan(media, every_ms=1000)
+    n_videos = media.filter("kind = 'video'").count()
+    assert frames.count() >= n_videos  # at least one frame per video

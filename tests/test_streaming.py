@@ -1,0 +1,92 @@
+"""Streaming validation tests (file source, availableNow trigger, memory sink)."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from katydid_haskell_spark.plans.checkplan import CheckPlan, RowRule
+from katydid_haskell_spark.streaming.stream_checks import (
+    monotonic_check,
+    stream_violations,
+    windowed_verdicts,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("seq", T.LongType()),
+    T.StructField("user", T.LongType()),
+])
+
+ROWS = [
+    ("https://a/1", "2025-01-01 00:00:01", "en", 1, 1),
+    ("https://a/2", "2025-01-01 00:00:30", "Z9", 2, 1),
+    ("http://b/3", "2025-01-01 00:01:10", "de", 3, 1),
+    ("https://a/4", "2025-01-01 00:01:40", "en", 2, 1),  # seq regression
+    ("https://a/5", "2025-01-01 00:02:30", "", 5, 2),
+]
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream_in")
+    df = spark.createDataFrame(
+        ROWS, "url string, ts string, lang string, seq long, user long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "data"))
+    return str(d / "data")
+
+
+def _run_to_memory(sdf, name, output_mode="append"):
+    q = (
+        sdf.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/ckpt-{name}-{time.time_ns()}")
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+PLAN = CheckPlan(row_rules=[
+    RowRule("url_https", '.url ^= "https://"'),
+    RowRule("lang_shape", '.lang ~= "^[a-z]{2}$"'),
+])
+
+
+def test_stream_violations(spark, stream_dir):
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    out = stream_violations(stream, PLAN, key_col="url")
+    _run_to_memory(out, "viol")
+    rows = {(r["url"], r["rule_id"]) for r in spark.sql("select * from viol").collect()}
+    assert ("http://b/3", "url_https") in rows
+    assert ("https://a/2", "lang_shape") in rows
+    assert ("https://a/5", "lang_shape") in rows
+    assert len(rows) == 3
+
+
+def test_windowed_verdicts(spark, stream_dir):
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    out = windowed_verdicts(stream, PLAN, "ts", "1 minute", "2 minutes")
+    # append mode only emits watermark-finalized windows; with a one-shot
+    # availableNow run nothing finalizes — use complete mode for the test
+    _run_to_memory(out, "wv", output_mode="complete")
+    rows = spark.sql("select * from wv order by window_start").collect()
+    assert len(rows) == 3  # three 1-minute windows
+    first = rows[0]
+    assert first["rows_checked"] == 2
+    assert first["pass_url_https"] == 2
+    assert first["pass_lang_shape"] == 1
+
+
+def test_monotonic_state(spark, stream_dir):
+    stream = spark.readStream.schema(SCHEMA).parquet(stream_dir)
+    out = monotonic_check(stream, "user", "seq", "ts")
+    _run_to_memory(out, "mono")
+    rows = [tuple(r) for r in spark.sql("select * from mono").collect()]
+    assert rows == [(1, 3, 2)]
