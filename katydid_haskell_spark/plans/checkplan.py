@@ -163,18 +163,51 @@ def run_table_rules(df: DataFrame, plan: CheckPlan,
     if plan.stat_rules:
         verdict_frames.append(stats_ops.run_stat_rules(df, plan.stat_rules))
     for r in plan.unique_rules:
-        verdict_frames.append(uniq_ops.uniqueness_verdict(df, r.key, r.rule_id))
+        # persist the (small) duplicate-key aggregate: the verdict rollup
+        # and the violations listing both consume it — one shuffle, not two
+        dups = uniq_ops.duplicate_keys(df, [r.key]).persist()
+        verdict_frames.append(
+            dups.agg(
+                F.count(F.lit(1)).alias("dup_keys"),
+                F.coalesce(F.sum("dup_count"), F.lit(0)).alias("dup_rows"),
+            ).select(
+                F.lit(r.rule_id).alias("rule_id"),
+                F.lit("table").alias("scope"),
+                (F.col("dup_keys") == 0).alias("pass"),
+                F.col("dup_keys").cast("double").alias("metric"),
+                F.concat(F.lit("duplicate keys="), F.col("dup_keys"),
+                         F.lit(" rows in duplicates="), F.col("dup_rows"),
+                         ).alias("detail"),
+            )
+        )
         violation_frames.append(
-            uniq_ops.uniqueness_violations(df, r.key, r.rule_id)
+            dups.select(
+                F.col(r.key).cast("string").alias("url"),
+                F.lit(r.rule_id).alias("rule_id"),
+                F.concat(F.lit("duplicate count="), F.col("dup_count"),
+                         ).alias("detail"),
+            )
         )
     for r in plan.ref_rules:
         dim = dims[r.dim_name]
+        orphans = ref_ops.orphan_rows(df, r.fk, dim, r.dim_key).persist()
         verdict_frames.append(
-            ref_ops.referential_verdict(df, r.fk, dim, r.dim_key, r.rule_id)
+            orphans.agg(F.count(F.lit(1)).alias("orphans")).select(
+                F.lit(r.rule_id).alias("rule_id"),
+                F.lit("table").alias("scope"),
+                (F.col("orphans") == 0).alias("pass"),
+                F.col("orphans").cast("double").alias("metric"),
+                F.concat(F.lit("orphan rows="), F.col("orphans")).alias("detail"),
+            )
         )
         violation_frames.append(
-            ref_ops.referential_violations(df, r.fk, dim, r.dim_key,
-                                           key_col, r.rule_id)
+            orphans.select(
+                F.col(key_col).cast("string").alias("url"),
+                F.lit(r.rule_id).alias("rule_id"),
+                F.concat(F.lit(f"{r.fk}="),
+                         F.coalesce(F.col(r.fk).cast("string"), F.lit("NULL")),
+                         F.lit(" not in dimension")).alias("detail"),
+            )
         )
     for r in plan.drift_rules:
         cur = drift_ops.histogram(df, r.bucketizer())

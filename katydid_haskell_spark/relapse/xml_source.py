@@ -1,0 +1,82 @@
+"""XML → labeled forest, matching the reference's XML encoding.
+
+``/root/reference/src/Data/Katydid/Parser/Xml.hs:23-47``: element tag →
+node labeled ``String localName``; text content parsed as ``Int`` when
+possible else ``String``; attributes unsupported (reference TODO at
+Xml.hs:40 — we mirror the omission for parity and note it).
+
+Whitespace-only text between elements is skipped (the reference's parser
+produces no node for it).
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql.functions import pandas_udf
+
+from .derive import Validator
+from .labels import INT, STRING, Label, node
+from .parser import parse_grammar
+from .smart import compile_grammar
+
+_INT_RE = re.compile(r"^-?\d+$")
+
+
+def _text_forest(text: Optional[str]) -> tuple:
+    if text is None:
+        return ()
+    stripped = text.strip()
+    if stripped == "":
+        return ()
+    if _INT_RE.match(stripped):
+        return (node(Label(INT, int(stripped))),)
+    return (node(Label(STRING, text)),)
+
+
+def _elem_to_node(e) -> tuple:
+    children = []
+    children.extend(_text_forest(e.text))
+    for c in e:
+        children.extend(_elem_to_node(c))
+        children.extend(_text_forest(c.tail))
+    tag = e.tag.split("}")[-1]  # strip namespace → localName
+    return (node(Label(STRING, tag), tuple(children)),)
+
+
+def decode_xml(s: str) -> tuple:
+    """XML document string → forest (single root element node)."""
+    return _elem_to_node(ET.fromstring(s))
+
+
+_VALIDATORS: dict = {}
+
+
+def validate_xml_column(col: Column, spec_source: str) -> Column:
+    """Boolean Column: XML document column matches the Relapse spec
+    (automaton path, Arrow-batched)."""
+    compile_grammar(parse_grammar(spec_source))  # fail fast on driver
+
+    @pandas_udf("boolean")
+    def match(docs: pd.Series) -> pd.Series:
+        v = _VALIDATORS.get(spec_source)
+        if v is None:
+            v = Validator(compile_grammar(parse_grammar(spec_source)))
+            _VALIDATORS[spec_source] = v
+
+        def one(doc):
+            if doc is None:
+                return False
+            try:
+                forest = decode_xml(doc)
+            except Exception:
+                return False
+            return v.validate(forest)
+
+        return docs.map(one)
+
+    return match(col)

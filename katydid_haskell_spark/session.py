@@ -33,6 +33,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local test files are tiny single parquet files; without these a
+        # 10 MB file is one split and 31 of 32 cores idle.  On a real
+        # cluster inputs have many splits and these are harmless.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.minPartitionNum", str(cores))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

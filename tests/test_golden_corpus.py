@@ -1,0 +1,56 @@
+"""File-based golden corpus: each case dir holds spec.relapse + rows.jsonl +
+expected.json — the mechanism of the reference's language-agnostic suite
+(/root/reference/test/Suite.hs:63-77,200-255), with the cross-algorithm
+check (pure derivative vs Catalyst lowering) replacing its 4-algorithm run.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from katydid_haskell_spark.relapse.derive import Validator
+from katydid_haskell_spark.relapse.lower import compile_to_column
+from katydid_haskell_spark.relapse.parser import parse_grammar
+from katydid_haskell_spark.relapse.rows import row_to_forest
+from katydid_haskell_spark.relapse.smart import compile_grammar
+
+CORPUS = os.path.join(os.path.dirname(__file__), "corpus")
+CASES = sorted(
+    d for d in os.listdir(CORPUS) if os.path.isdir(os.path.join(CORPUS, d))
+)
+
+
+def load_case(name):
+    d = os.path.join(CORPUS, name)
+    with open(os.path.join(d, "spec.relapse")) as f:
+        spec = f.read().strip()
+    with open(os.path.join(d, "rows.jsonl")) as f:
+        rows = [json.loads(line) for line in f if line.strip()]
+    with open(os.path.join(d, "expected.json")) as f:
+        expected = json.load(f)
+    schema = T.StructType.fromDDL(expected["schema"])
+    return spec, rows, schema, expected["verdicts"]
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_corpus_python_engine(spark, name):
+    # (spark fixture needed only for StructType.fromDDL's JVM dependency)
+    spec, rows, schema, want = load_case(name)
+    g = compile_grammar(parse_grammar(spec))
+    v = Validator(g)
+    got = [v.validate(row_to_forest(r, schema)) for r in rows]
+    assert got == want, f"{name}: python engine got {got}, want {want}"
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_corpus_catalyst(spark, name):
+    spec, rows, schema, want = load_case(name)
+    g = compile_grammar(parse_grammar(spec))
+    col = compile_to_column(g, schema)
+    df = spark.createDataFrame(
+        [tuple(r.get(f.name) for f in schema.fields) for r in rows], schema
+    )
+    got = [r["m"] for r in df.select(col.alias("m")).collect()]
+    assert got == want, f"{name}: catalyst got {got}, want {want}"

@@ -1,0 +1,68 @@
+"""XML source parity + skew-handling operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from katydid_haskell_spark.operators import skew
+from katydid_haskell_spark.relapse import parse, validate
+from katydid_haskell_spark.relapse.labels import INT, STRING, Label, node
+from katydid_haskell_spark.relapse.xml_source import decode_xml, validate_xml_column
+
+
+def test_decode_xml_shapes():
+    # tag → String localName; int-ish text → Int label (Xml.hs:40,46-47)
+    f = decode_xml("<a><b>5</b><c>hi</c></a>")
+    assert f == (
+        node(Label(STRING, "a"), (
+            node(Label(STRING, "b"), (node(Label(INT, 5)),)),
+            node(Label(STRING, "c"), (node(Label(STRING, "hi")),)),
+        )),
+    )
+    # whitespace between elements produces no node
+    f2 = decode_xml("<a>\n  <b>1</b>\n</a>")
+    assert f2 == (node(Label(STRING, "a"), (node(Label(STRING, "b"), (node(Label(INT, 1)),)),)),)
+
+
+def test_xml_validate_python():
+    g = parse("a: b == 5")
+    assert validate(g, decode_xml("<a><b>5</b></a>"))
+    assert not validate(g, decode_xml("<a><b>6</b></a>"))
+
+
+def test_xml_validate_column(spark):
+    docs = ["<a><b>5</b></a>", "<a><b>6</b></a>", "not xml", None]
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    got = [r["m"] for r in df.select(
+        validate_xml_column(F.col("doc"), "a: b == 5").alias("m")).collect()]
+    assert got == [True, False, False, False]
+
+
+def test_host_and_heavy_hitters(spark):
+    rows = [(f"https://big.example.com/{i}",) for i in range(80)] + [
+        (f"https://tail{i}.example.com/x",) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    hosts = skew.with_host(df)
+    assert hosts.filter("host = 'big.example.com'").count() == 80
+    hh = skew.heavy_hitters(hosts, F.col("host"), min_fraction=0.5).collect()
+    assert [r["key"] for r in hh] == ["big.example.com"]
+
+
+def test_salted_join(spark):
+    fact = spark.createDataFrame(
+        [(i % 3, i) for i in range(300)], "k long, v long"
+    )
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, name string")
+    out = skew.salted_join(fact, dim, "k", n_salts=4)
+    assert out.count() == 300
+    assert out.filter("name = 'a'").count() == 100
+
+
+def test_two_phase_agg(spark):
+    df = spark.createDataFrame(
+        [("g1", i % 17) for i in range(200)] + [("g2", i % 5) for i in range(50)],
+        "g string, x long",
+    )
+    out = {r["g"]: r["distinct_count"] for r in
+           skew.two_phase_agg(df, ["g"], "x", n_salts=4).collect()}
+    assert out == {"g1": 17, "g2": 5}
