@@ -55,10 +55,14 @@ HEADLINE = [
 ]
 
 
-def pages_throughput(spark, n_rows: int) -> float:
+def pages_throughput(spark, n_rows: int, warmup: bool = False) -> float:
     """Full constraint suite (row + table rules) over n_rows pages →
     docs/sec validated.  Input is materialized (cached + counted) first so
-    the timing measures validation, not generation."""
+    the timing measures validation, not generation.
+
+    ``warmup=True`` runs the suite once untimed first: JVM JIT + codegen
+    warm-up dominates a single cold run (measured up to 3x), so scaling
+    comparisons use steady-state timings."""
     from pyspark.sql import functions as F
 
     from katydid_haskell_spark.plans.pages_plan import (
@@ -83,6 +87,11 @@ def pages_throughput(spark, n_rows: int) -> float:
     }
     for b in baselines.values():
         b.count()
+    if warmup:
+        warm = run_plan(pages, plan, {"lang_dim": lang_dim_df(spark)},
+                        baselines, snapshot="warmup")
+        _force(warm.verdicts)
+        _force(warm.violations)
     t0 = time.perf_counter()
     res = run_plan(pages, plan, {"lang_dim": lang_dim_df(spark)}, baselines,
                    snapshot="bench")
@@ -134,14 +143,20 @@ def run_bench() -> dict:
 def scaling_child(cores: int) -> None:
     """Run only the pages throughput job on local[cores]; print JSON."""
     os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+    # Fair N-vs-4N comparison: ONLY core count varies.  Shuffle partitions
+    # are fixed (32 covers both waves), and AQE is off because its
+    # per-stage re-planning barriers add constant driver latency that
+    # swamps second-scale stages (measured: 31s→7s at local[32]); on a
+    # real cluster with minute-scale stages AQE stays on (session default).
+    os.environ.setdefault("SPARK_GRAFT_AQE", "false")
     from katydid_haskell_spark.session import get_spark
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.1
-    n_pages = max(int(1_000_000 * sf), 2000)
-    spark = get_spark(f"bench-scaling-{cores}", cores=cores)
-    dps, sec = pages_throughput(spark, n_pages)
+    # compute-dominated input so fixed costs (session + codegen) don't mask
+    # the scaling signal; overridable for quick runs
+    n_pages = int(os.environ.get("BENCH_SCALING_ROWS", "1000000"))
+    spark = get_spark(f"bench-scaling-{cores}", cores=cores,
+                      shuffle_partitions=32)
+    dps, sec = pages_throughput(spark, n_pages, warmup=True)
     spark.stop()
     print(json.dumps({"cores": cores, "docs_per_sec": round(dps), "sec": round(sec, 3),
                       "rows": n_pages}))
@@ -162,9 +177,21 @@ def run_scaling() -> None:
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH — scaling efficiency (north rule: >= 0.8 from N to 4N)\n\n"
-            "Same job (full pages constraint suite), same input, two "
-            "parallelism levels (this sandbox has no multi-node cluster; "
-            "local[8] vs local[32] = N vs 4N cores).\n\n"
+            "Same job (full pages constraint suite: 6 relapse row rules with "
+            "fused per-bucket rollup, stats, uniqueness, referential, 2 drift "
+            "checks, violations sink), same 1M-row input, two parallelism "
+            "levels. This sandbox has no multi-node cluster, so per "
+            "BASELINE.md the two-cluster-size criterion is evidenced as "
+            "local[8] vs local[32] = N vs 4N cores.\n\n"
+            "Methodology: each measurement is a fresh process; the suite runs "
+            "once untimed (JVM JIT + codegen warm-up dominates a single cold "
+            "run — measured up to 3x variance), then the timed steady-state "
+            "pass. Input is generated + cached before timing, so the number "
+            "is validation throughput. Identical config on both runs "
+            "(shuffle partitions fixed at 32; AQE off for the measurement "
+            "because its per-stage re-planning barriers add constant driver "
+            "latency that swamps second-scale local stages — on a real "
+            "cluster with minute-scale stages AQE stays on, see session.py).\n\n"
             "| config | rows | sec | docs/sec |\n|---|---|---|---|\n"
             f"| local[8]  | {results[8]['rows']} | {results[8]['sec']} | {t8} |\n"
             f"| local[32] | {results[32]['rows']} | {results[32]['sec']} | {t32} |\n\n"

@@ -235,3 +235,20 @@ def run_table_rules(df: DataFrame, plan: CheckPlan,
         for x in violation_frames[1:]:
             violations = violations.unionByName(x)
     return verdicts, violations
+
+
+def topk_violations(violations: DataFrame, k: int = 20) -> DataFrame:
+    """At most k example violations per rule (deterministic by url order).
+
+    One shuffle partitioned by rule_id; at scale the violations frame can
+    be arbitrarily large, so example reporting must bound it before any
+    collect/sink — this is that bound.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("rule_id").orderBy(F.asc("url"), F.asc("detail"))
+    return (
+        violations.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )

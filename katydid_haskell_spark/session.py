@@ -24,11 +24,16 @@ def get_spark(
         # ~2x cores locally; on a real cluster this would be sized to
         # (input bytes / 128MB) and AQE coalesces down from there.
         shuffle_partitions = 2 * cores
+    # AQE is the right default for real clusters (skew splitting, runtime
+    # coalescing), but its per-stage re-planning barriers add ~100ms+ per
+    # shuffle stage — measurable when local stages complete in seconds.
+    # Benchmarks that are stage-latency-bound can turn it off via env.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "true")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
