@@ -108,12 +108,19 @@ def run_bench() -> dict:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
 
+    # latency-bound local benchmark: AQE's per-stage barriers off (see
+    # BENCH/BASELINE.md methodology), shuffle partitions sized to data
+    os.environ.setdefault("SPARK_GRAFT_AQE", "false")
     from katydid_haskell_spark.session import get_spark
 
     import __spark_entry__ as entry_mod
 
-    spark = get_spark("bench", cores=cpus)
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=min(2 * cpus, 32))
     qs = entry_mod.queries()
+
+    # untimed warmup: first job pays session + executor + codegen startup
+    _force(spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
+        "l_returnflag").count())
 
     per_query = {}
     for name in HEADLINE:
@@ -123,7 +130,7 @@ def run_bench() -> dict:
         per_query[name] = round(time.perf_counter() - t0, 3)
 
     n_pages = max(int(1_000_000 * sf), 2000)
-    docs_per_sec, pages_sec = pages_throughput(spark, n_pages)
+    docs_per_sec, pages_sec = pages_throughput(spark, n_pages, warmup=True)
     per_query["pages_validation"] = round(pages_sec, 3)
 
     total = round(sum(per_query.values()), 3)
