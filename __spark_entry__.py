@@ -107,8 +107,19 @@ def _q_relapse_validate_rate(spark, sf_dir):
 
 
 def _q_relapse_props_json(spark, sf_dir):
+    # from_json fast path: field-anchored spec lowered to pure Catalyst
     ev = _t(spark, sf_dir, "events")
-    valid = validate_json_column(F.col("props"), "k: >= 50")
+    valid = validate_json_column(F.col("props"), ".k >= 50", fast=True)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(valid.cast("long")).alias("n_valid"),
+    )
+
+
+def _q_relapse_props_json_automaton(spark, sf_dir):
+    # same semantics through the derivative-automaton pandas UDF
+    ev = _t(spark, sf_dir, "events")
+    valid = validate_json_column(F.col("props"), ".k >= 50", fast=False)
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(valid.cast("long")).alias("n_valid"),
@@ -325,6 +336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relapse_filter_docs": _q_relapse_filter_docs,
         "relapse_validate_rate": _q_relapse_validate_rate,
         "relapse_props_json": _q_relapse_props_json,
+        "relapse_props_json_automaton": _q_relapse_props_json_automaton,
         "stats_orders_profile": _q_stats_orders_profile,
         "unique_dup_custkeys": _q_unique_dup_custkeys,
         "referential_orphans": _q_referential_orphans,
@@ -392,6 +404,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "relapse_props_json": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                       THEN 1 ELSE 0 END) AS n_valid
+            FROM events GROUP BY event_type
+        """,
+        "relapse_props_json_automaton": """
             SELECT event_type,
                    COUNT(*) AS n_events,
                    SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50

@@ -69,6 +69,198 @@ def json_matches_udf(spec_source: str, user_lib=None) -> Callable[[Column], Colu
     return match
 
 
-def validate_json_column(col: Column, spec_source: str, user_lib=None) -> Column:
-    """Boolean Column: JSON document column matches the Relapse spec."""
+def validate_json_column(col: Column, spec_source: str, user_lib=None,
+                         fast: bool = False) -> Column:
+    """Boolean Column: JSON document column matches the Relapse spec.
+
+    ``fast=True`` attempts the **from_json fast path**: when the spec's
+    shape allows it (see :func:`try_lower_json_spec`), the JSON column is
+    parsed by Spark's native JSON reader and the spec evaluated as pure
+    Catalyst expressions — no Python.  Falls back to the automaton UDF when
+    the shape doesn't qualify.
+    """
+    if fast:
+        lowered = try_lower_json_spec(col, spec_source, user_lib)
+        if lowered is not None:
+            return lowered
     return json_matches_udf(spec_source, user_lib)(col)
+
+
+def try_lower_json_spec(col: Column, spec_source: str, user_lib=None):
+    """VariantType fast path for field-anchored specs.
+
+    Qualifying shape: And/Or/Not compositions of
+    ``Contains(Node(<const field name>, <non-nullable leaf predicate>))``
+    — i.e. ``.field <op> value`` forms.  The document is parsed once with
+    ``try_parse_json`` (Spark 4 VariantType); each field predicate is
+    lowered with **runtime type guards** derived from
+    ``schema_of_variant``, reproducing the reference's JSON label rules
+    exactly (``Json.hs:39-52``): integral numbers (including ``87.0`` and
+    ``1e10``) are Int, non-integral are Double, strings never coerce to
+    numbers, absent fields and JSON nulls never satisfy a non-nullable
+    child, malformed documents match nothing.
+
+    Returns None when the spec doesn't qualify (the automaton UDF runs
+    instead).
+    """
+    from pyspark.sql import functions as F
+
+    from .exprs import BOOL, DOUBLE, INT, STRING, UINT, Const, Func, Var
+    from .lower import band, bnot, bor, to_col
+    from .smart import AND, CONTAINS, EMPTY, NODE, NOT, OR, REF
+
+    g = compile_grammar(parse_grammar(spec_source, user_lib))
+
+    def const_name(e):
+        if (isinstance(e, Func) and e.name == "eq" and len(e.args) == 2
+                and isinstance(e.args[0], Var) and e.args[0].ty == STRING
+                and isinstance(e.args[1], Const)):
+            return str(e.args[1].value)
+        return None
+
+    doc = F.try_parse_json(col)
+
+    def field_variant(name: str):
+        # escape not needed for plain identifiers; reject exotic names
+        if not name.replace("_", "a").isalnum():
+            raise _NoFast()
+        return F.try_variant_get(doc, f"$.{name}", "variant")
+
+    class _NoFast(Exception):
+        pass
+
+    def type_guard(fv, ty: str):
+        sv = F.schema_of_variant(fv)
+        if ty in (INT, UINT):
+            dval = F.try_variant_get(fv, "$", "double")
+            return (
+                (sv == "BIGINT")
+                | sv.rlike(r"^DECIMAL\(\d+,0\)$")
+                | ((sv == "DOUBLE") & F.coalesce(dval == F.floor(dval), F.lit(False)))
+            )
+        if ty == DOUBLE:
+            dval = F.try_variant_get(fv, "$", "double")
+            return (
+                sv.rlike(r"^DECIMAL\(\d+,[1-9]\d*\)$")
+                | ((sv == "DOUBLE") & F.coalesce(dval != F.floor(dval), F.lit(False)))
+            )
+        if ty == STRING:
+            return sv == "STRING"
+        if ty == BOOL:
+            return sv == "BOOLEAN"
+        raise _NoFast()
+
+    def typed_value(fv, ty: str):
+        if ty in (INT, UINT):
+            return F.try_variant_get(fv, "$", "bigint")
+        if ty == DOUBLE:
+            return F.try_variant_get(fv, "$", "double")
+        if ty == STRING:
+            return F.try_variant_get(fv, "$", "string")
+        if ty == BOOL:
+            return F.try_variant_get(fv, "$", "boolean")
+        raise _NoFast()
+
+    def lower_leaf(e, fv):
+        """Boolean expr over one variant field — mirrors exprs eval
+        semantics with runtime type dispatch."""
+        if isinstance(e, Const) and e.ty == BOOL:
+            return bool(e.value)
+        if isinstance(e, Var):
+            if e.ty != BOOL:
+                raise _NoFast()
+            return band(
+                F.coalesce(type_guard(fv, BOOL), F.lit(False)),
+                F.coalesce(typed_value(fv, BOOL), F.lit(False)),
+            )
+        if not isinstance(e, Func):
+            raise _NoFast()
+        name = e.name
+        if name == "not":
+            return bnot(lower_leaf(e.args[0], fv))
+        if name == "and":
+            return band(lower_leaf(e.args[0], fv), lower_leaf(e.args[1], fv))
+        if name == "or":
+            return bor(lower_leaf(e.args[0], fv), lower_leaf(e.args[1], fv))
+        if name == "type":
+            ty = e.args[0].ty
+            return F.coalesce(type_guard(fv, ty), F.lit(False))
+
+        def var_const(args):
+            if isinstance(args[0], Var) and isinstance(args[1], Const):
+                return args[0], args[1], False
+            if isinstance(args[1], Var) and isinstance(args[0], Const):
+                return args[1], args[0], True
+            raise _NoFast()
+
+        if name in ("eq", "ne", "ge", "gt", "le", "lt"):
+            var, cst, flipped = var_const(e.args)
+            if var.ty != cst.ty:
+                return False
+            guard = F.coalesce(type_guard(fv, var.ty), F.lit(False))
+            v = typed_value(fv, var.ty)
+            c = F.lit(cst.value)
+            a, b = (c, v) if flipped else (v, c)
+            cmp = {"eq": a == b, "ne": a != b, "ge": a >= b,
+                   "gt": a > b, "le": a <= b, "lt": a < b}[name]
+            return band(guard, F.coalesce(cmp, F.lit(False)))
+        if name in ("hasPrefix", "hasSuffix", "regex", "contains"):
+            guard = F.coalesce(type_guard(fv, STRING), F.lit(False))
+            v = typed_value(fv, STRING)
+            if name == "contains" and e.args[1].ty.startswith("[]"):
+                # membership: list of constants
+                if not isinstance(e.args[1], Const):
+                    raise _NoFast()
+                elem_ty = e.args[1].ty[2:]
+                if not isinstance(e.args[0], Var) or e.args[0].ty != elem_ty:
+                    raise _NoFast()
+                guard = F.coalesce(type_guard(fv, elem_ty), F.lit(False))
+                vv = typed_value(fv, elem_ty)
+                return band(guard,
+                            F.coalesce(vv.isin(*list(e.args[1].value)),
+                                       F.lit(False)))
+            if not (isinstance(e.args[0], Var) and isinstance(e.args[1], Const)):
+                if name == "regex" and isinstance(e.args[0], Const) and \
+                        isinstance(e.args[1], Var):
+                    return band(guard, F.coalesce(
+                        v.rlike(str(e.args[0].value)), F.lit(False)))
+                raise _NoFast()
+            c = F.lit(e.args[1].value)
+            op = {"hasPrefix": lambda: v.startswith(c),
+                  "hasSuffix": lambda: v.endswith(c),
+                  "contains": lambda: v.contains(c)}[name]()
+            return band(guard, F.coalesce(op, F.lit(False)))
+        raise _NoFast()
+
+    def lower_pattern(p):
+        k = p.kind
+        if k in (OR, AND):
+            out = None
+            for c in p.pats:
+                lc = lower_pattern(c)
+                out = lc if out is None else (
+                    bor(out, lc) if k == OR else band(out, lc)
+                )
+            return out
+        if k == NOT:
+            return bnot(lower_pattern(p.pats[0]))
+        if k == CONTAINS:
+            inner = p.pats[0]
+            if inner.kind != NODE:
+                raise _NoFast()
+            name = const_name(inner.expr)
+            child = inner.pats[0]
+            if (name is None or child.kind != NODE or child.nullable
+                    or child.pats[0].kind != EMPTY):
+                raise _NoFast()
+            return lower_leaf(child.expr, field_variant(name))
+        if k == REF:
+            return lower_pattern(g.lookup(p.ref))
+        raise _NoFast()
+
+    try:
+        cond = lower_pattern(g.main)
+    except _NoFast:
+        return None
+    # malformed / NULL documents match nothing (the automaton returns False)
+    return F.when(doc.isNull(), F.lit(False)).otherwise(to_col(cond))
