@@ -310,6 +310,81 @@ def _q_embedding_neardup(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
+def _q_q6_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _q_rollup_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n", "qty",
+        )
+    )
+
+
+def _q_top10_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy(F.desc("total"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+def _q_set_ops_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
+    ev = _t(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
+    both = o.intersect(ev)
+    only_orders = o.distinct().exceptAll(ev.distinct())
+    return both.withColumn("src", F.lit("both")).unionByName(
+        only_orders.withColumn("src", F.lit("orders_only"))
+    )
+
+
+def _q_sessionize_events(spark, sf_dir):
+    # session = new when gap > 30 min; classic lag + running-sum pattern
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    # events ts is TIMESTAMP_NTZ: cast via timestamp for epoch seconds
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = ev.withColumn(
+        "new_session",
+        F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(
+            F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+        ),
+    )
+    with_sid = with_gap.withColumn(
+        "session_n",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_sid.groupBy("user_id", "session_n")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("session_value"))
+    )
+
+
 def _q_pages_verdicts(spark, sf_dir):
     from katydid_haskell_spark.plans.pages_plan import (
         default_pages_plan,
@@ -355,6 +430,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "lsh_topk": _q_lsh_topk,
         "embedding_neardup": _q_embedding_neardup,
+        "q6_revenue": _q_q6_revenue,
+        "rollup_lineitem": _q_rollup_lineitem,
+        "top10_customers": _q_top10_customers,
+        "set_ops_customers": _q_set_ops_customers,
+        "sessionize_events": _q_sessionize_events,
         "pages_verdicts": _q_pages_verdicts,
     }
 
@@ -544,6 +624,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "q6_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24
+        """,
+        "rollup_lineitem": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                   COALESCE(l_linestatus, 'ALL') AS ls,
+                   COUNT(*) AS n,
+                   ROUND(SUM(l_quantity), 2) AS qty
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "top10_customers": """
+            SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders GROUP BY o_custkey
+            ORDER BY total DESC, o_custkey ASC LIMIT 10
+        """,
+        "set_ops_customers": """
+            SELECT id, 'both' AS src FROM (
+              SELECT o_custkey AS id FROM orders
+              INTERSECT
+              SELECT user_id AS id FROM events
+            )
+            UNION ALL
+            SELECT id, 'orders_only' AS src FROM (
+              SELECT DISTINCT o_custkey AS id FROM orders
+              EXCEPT
+              SELECT DISTINCT user_id AS id FROM events
+            )
+        """,
+        "sessionize_events": """
+            WITH g AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                          WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800 THEN 1
+                          ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, value,
+                     SUM(new_session) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS session_n
+              FROM g
+            )
+            SELECT user_id, session_n, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS session_value
+            FROM s GROUP BY user_id, session_n
         """,
         "ann_topk_brute": """
             SELECT q_id, vec_id, rank, ROUND(cos, 4) AS cos FROM (

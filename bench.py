@@ -52,6 +52,11 @@ HEADLINE = [
     "simhash_pairs",
     "lsh_topk",
     "embedding_neardup",
+    "q6_revenue",
+    "rollup_lineitem",
+    "top10_customers",
+    "set_ops_customers",
+    "sessionize_events",
 ]
 
 
