@@ -1,0 +1,74 @@
+"""Automaton-path depth: genuinely dynamic tree shapes (ordered Concat,
+Interleave over unknown children, nested stars) through the pandas UDF,
+cross-checked against the pure engine — the shapes the Catalyst fast path
+correctly refuses (SURVEY.md §7.3 hard part #2)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from katydid_haskell_spark.relapse.automaton import (
+    try_lower_json_spec,
+    validate_json_column,
+)
+from katydid_haskell_spark.relapse.derive import Validator
+from katydid_haskell_spark.relapse.labels import decode_json
+from katydid_haskell_spark.relapse.parser import parse_grammar
+from katydid_haskell_spark.relapse.smart import compile_grammar
+
+SPECS = [
+    # ordered sequence over dynamic object children
+    "p: [a:*, b:*]",
+    # unordered merge with optional + star branches
+    "p: {a:*; (b:*)?; (c:*)*}",
+    # contains within nested arrays (index-labeled children)
+    "items: ._: .x == 1",
+    # nested stars: array of objects, each with all-int values
+    "rows: (_: (_: -> type($int))*)*",
+    # deep ordered path
+    "a: b: c: == 3",
+    # complement over a subtree
+    "!(p: {a:*; b:*})",
+]
+
+DOCS = [
+    '{"p": {"a": 1, "b": 2}}',
+    '{"p": {"b": 2, "a": 1}}',            # order matters for [a,b]
+    '{"p": {"a": 1}}',
+    '{"p": {"a": 1, "c": 3, "c2": 0}}',
+    '{"items": [{"x": 1}, {"y": 2}]}',
+    '{"items": [{"y": 2}]}',
+    '{"rows": [[1, 2], [3]]}',
+    '{"rows": [[1, "x"]]}',
+    '{"a": {"b": {"c": 3}}}',
+    '{"a": {"b": {"c": 4}}}',
+    "{}",
+]
+
+
+@pytest.mark.parametrize("spec", SPECS)
+def test_dynamic_shapes_udf_vs_engine(spark, spec):
+    g = compile_grammar(parse_grammar(spec))
+    v = Validator(g)
+    want = [v.validate(decode_json(d)) for d in DOCS]
+    df = spark.createDataFrame([(d,) for d in DOCS], "doc string")
+    got = [r["m"] for r in df.select(
+        validate_json_column(F.col("doc"), spec).alias("m")).collect()]
+    assert got == want, f"{spec}: udf={got} engine={want}"
+    # these shapes must NOT qualify for the flat fast path
+    assert try_lower_json_spec(F.col("doc"), spec) is None
+
+
+def test_order_sensitivity_concat():
+    g = compile_grammar(parse_grammar("p: [a:*, b:*]"))
+    v = Validator(g)
+    assert v.validate(decode_json('{"p": {"a": 1, "b": 2}}'))
+    assert not v.validate(decode_json('{"p": {"b": 2, "a": 1}}'))
+
+
+def test_interleave_order_insensitivity():
+    g = compile_grammar(parse_grammar("p: {a:*; b:*}"))
+    v = Validator(g)
+    assert v.validate(decode_json('{"p": {"a": 1, "b": 2}}'))
+    assert v.validate(decode_json('{"p": {"b": 2, "a": 1}}'))
+    assert not v.validate(decode_json('{"p": {"a": 1}}'))
+    assert not v.validate(decode_json('{"p": {"a": 1, "b": 2, "c": 3}}'))

@@ -18,7 +18,8 @@ from katydid_haskell_spark.relapse.smart import compile_grammar
 
 CORPUS = os.path.join(os.path.dirname(__file__), "corpus")
 CASES = sorted(
-    d for d in os.listdir(CORPUS) if os.path.isdir(os.path.join(CORPUS, d))
+    d for d in os.listdir(CORPUS)
+    if os.path.exists(os.path.join(CORPUS, d, "spec.relapse"))
 )
 
 
