@@ -304,6 +304,15 @@ def _q_lsh_topk(spark, sf_dir):
     return out.select("q_id", "vec_id", "rank", F.round("cos", 4).alias("cos"))
 
 
+def _q_ann_topk_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = sim.ivf_topk(emb, queries, dim=64, k=10, n_cells=16, nprobe=4)
+    return out.select("q_id", "vec_id", "rank", F.round("cos", 4).alias("cos"))
+
+
 def _q_embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out = sim.embedding_neardup_pairs(emb, dim=64, min_cos=0.9, n_bits=6)
@@ -429,6 +438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_topk": _q_lsh_topk,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "embedding_neardup": _q_embedding_neardup,
         "q6_revenue": _q_q6_revenue,
         "rollup_lineitem": _q_rollup_lineitem,

@@ -51,6 +51,7 @@ HEADLINE = [
     "minhash_pairs",
     "simhash_pairs",
     "lsh_topk",
+    "ann_topk_ivf",
     "embedding_neardup",
     "q6_revenue",
     "rollup_lineitem",

@@ -118,6 +118,93 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     )
 
 
+def train_ivf_centroids(corpus: DataFrame, dim: int, n_cells: int = 16,
+                        sample: int = 4096, iters: int = 8,
+                        vec_col: str = "embedding", seed: int = 5) -> List[List[float]]:
+    """Driver-side IVF coarse quantizer: k-means (Lloyd) on a bounded
+    sample.  Sampling is the standard IVF training regime — the collect is
+    O(sample·dim), independent of corpus size."""
+    import numpy as np
+
+    rows = (
+        corpus.select(vec_col).limit(sample).collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return [c.tolist() for c in cents]
+
+
+def _cell_sims(vec: Column, centroids: List[List[float]]) -> Column:
+    """Array of cosine sims to each centroid (centroids are unit-norm)."""
+    n = norm(vec)
+    return F.array(*[
+        F.when(n > 0, dot(vec, F.array(*[F.lit(w) for w in c])) / n)
+        .otherwise(F.lit(0.0))
+        for c in centroids
+    ])
+
+
+def ivf_cell(vec: Column, centroids: List[List[float]]) -> Column:
+    """Nearest-centroid cell id (0-based)."""
+    sims = _cell_sims(vec, centroids)
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+             n_cells: int = 16, nprobe: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             centroids: List[List[float]] | None = None) -> DataFrame:
+    """IVF ANN: corpus partitioned into coarse cells; each query probes its
+    ``nprobe`` nearest cells only.  The inverted-file scan shape: the join
+    key is the cell id, so a probe touches 1/n_cells of the corpus per
+    probed cell instead of everything (at 10^12 vectors the cells would be
+    the physical partitioning / clustering keys)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, dim, n_cells,
+                                        vec_col=vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        ivf_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    qsims = _cell_sims(F.col(q_vec_col), centroids)
+    ranked_cells = F.slice(
+        F.reverse(F.array_sort(F.zip_with(
+            qsims,
+            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+            lambda s, i: F.struct(s.alias("sim"), i.cast("int").alias("cell")),
+        ))),
+        1, nprobe,
+    )
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_vec_col).alias("qv"),
+        F.explode(F.transform(ranked_cells, lambda s: s.getField("cell")))
+        .alias("cell"),
+    )
+    joined = c.join(F.broadcast(q), "cell").select(
+        "q_id", "vec_id", cosine(F.col("v"), F.col("qv")).alias("cos")
+    ).dropDuplicates(["q_id", "vec_id"])
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_neardup_pairs(df: DataFrame, dim: int, min_cos: float = 0.95,
                             id_col: str = "vec_id", vec_col: str = "embedding",
                             n_bits: int = 10, seed: int = 99) -> DataFrame:

@@ -142,3 +142,26 @@ def test_multimodal_stats_and_frames(spark):
     frames = mm.frame_sample_plan(media, every_ms=1000)
     n_videos = media.filter("kind = 'video'").count()
     assert frames.count() >= n_videos  # at least one frame per video
+
+
+def test_ivf_topk(spark, vectors):
+    q = vectors.filter("vec_id < 3").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = sim.brute_force_topk(vectors, q, k=5)
+    approx = sim.ivf_topk(vectors, q, dim=16, k=5, n_cells=4, nprobe=2)
+    ex = {(r.q_id, r.rank): r.vec_id for r in exact.collect()}
+    ap = {(r.q_id, r.rank): r.vec_id for r in approx.collect()}
+    # self must always be rank 1 (its own cell is probed first)
+    for qid in (0, 1, 2):
+        assert ap[(qid, 1)] == ex[(qid, 1)]
+    # overlap@5 must be high on this small corpus with nprobe=2 of 4 cells
+    for qid in (0, 1, 2):
+        exact_ids = {ex[(qid, r)] for r in range(1, 6)}
+        approx_ids = {v for (q2, _), v in ap.items() if q2 == qid}
+        assert len(exact_ids & approx_ids) >= 3
+
+
+def test_ivf_centroids_deterministic(spark, vectors):
+    c1 = sim.train_ivf_centroids(vectors, 16, n_cells=4)
+    c2 = sim.train_ivf_centroids(vectors, 16, n_cells=4)
+    assert c1 == c2
