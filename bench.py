@@ -134,6 +134,10 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))
         per_query[name] = round(time.perf_counter() - t0, 3)
+        # operators that persist() intermediates (minhash features, dup
+        # keys) would otherwise accumulate heap across queries and skew
+        # later timings via GC pressure
+        spark.catalog.clearCache()
 
     n_pages = max(int(1_000_000 * sf), 2000)
     docs_per_sec, pages_sec = pages_throughput(spark, n_pages, warmup=True)
