@@ -490,21 +490,21 @@ def oracle_sql() -> dict[str, str]:
         "relapse_validate_rate": """
             SELECT lang,
                    COUNT(*) AS n_docs,
-                   SUM(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS n_valid
+                   CAST(SUM(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
             FROM documents GROUP BY lang
         """,
         "relapse_props_json": """
             SELECT event_type,
                    COUNT(*) AS n_events,
-                   SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
-                       THEN 1 ELSE 0 END) AS n_valid
+                   CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
             FROM events GROUP BY event_type
         """,
         "relapse_props_json_automaton": """
             SELECT event_type,
                    COUNT(*) AS n_events,
-                   SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
-                       THEN 1 ELSE 0 END) AS n_valid
+                   CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
             FROM events GROUP BY event_type
         """,
         "stats_orders_profile": """
@@ -523,8 +523,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
         """,
         "referential_orphans": """
-            SELECT DISTINCT user_id AS orphan_id FROM events
-            WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+            -- NOT EXISTS, not NOT IN: null-safe, matching left_anti semantics
+            -- (a NULL fk counts as an orphan; a NULL dimension key never
+            -- suppresses the whole result).  See operators/referential.py.
+            SELECT DISTINCT user_id AS orphan_id FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = e.user_id)
         """,
         "drift_psi_events": """
             WITH cur AS (
@@ -686,7 +690,7 @@ def oracle_sql() -> dict[str, str]:
                      AS session_n
               FROM g
             )
-            SELECT user_id, session_n, COUNT(*) AS n_events,
+            SELECT user_id, CAST(session_n AS BIGINT) AS session_n, COUNT(*) AS n_events,
                    ROUND(SUM(value), 2) AS session_value
             FROM s GROUP BY user_id, session_n
         """,

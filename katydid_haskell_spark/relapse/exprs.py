@@ -178,11 +178,24 @@ def _eval_not(e: Func, label: Label) -> bool:
 
 
 def _eval_and(e: Func, label: Label) -> bool:
-    return eval_expr(e.args[0], label) and eval_expr(e.args[1], label)
+    # Logic.hs defaultAnd: `(&&) <$> eval a v <*> eval b v` — applicative over
+    # Either, so an EvalError on EITHER side propagates to the node root (which
+    # converts it to False) even when the other side alone would decide the
+    # result.  No Python short-circuit: that would let `and(False, <error>)`
+    # return False where the reference (and the Catalyst lowering, which
+    # propagates StaticEvalError through and/or) yields error->False... which
+    # happens to agree for `and`, but `or(True, <error>)` must be error->False,
+    # not True.  Evaluate both sides unconditionally.
+    a = bool(eval_expr(e.args[0], label))
+    b = bool(eval_expr(e.args[1], label))
+    return a and b
 
 
 def _eval_or(e: Func, label: Label) -> bool:
-    return eval_expr(e.args[0], label) or eval_expr(e.args[1], label)
+    # Logic.hs orExpr': `(||) <$> eval a v <*> eval b v` — see _eval_and.
+    a = bool(eval_expr(e.args[0], label))
+    b = bool(eval_expr(e.args[1], label))
+    return a or b
 
 
 def _eval_contains(e: Func, label: Label) -> bool:

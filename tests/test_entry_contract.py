@@ -57,7 +57,11 @@ def test_query_matches_oracle(spark, duck, name):
     srows = [tuple(r) for r in sdf.collect()]
     ddf = duck.sql(ORACLES[name])
     dcols = [c.lower() for c in ddf.columns]
-    drows = ddf.fetchall()
+    # Go through pandas, as the driver does: DuckDB HUGEINT (e.g. SUM(CASE..))
+    # lands as float64 there, so an un-CAST oracle produces "53.0" vs Spark's
+    # "53" — the exact round-1 gate-red failure mode.  fetchall() would hide it.
+    dpdf = ddf.df()
+    drows = [tuple(r) for r in dpdf.itertuples(index=False, name=None)]
     assert sorted(c.lower() for c in scols) == sorted(dcols), (
         f"schema mismatch: spark={scols} duck={dcols}"
     )

@@ -42,8 +42,36 @@ def rand_row():
     }
 
 
+def mixed_pred():
+    # Sub-predicates of deliberately mixed variable types: on any given field
+    # at most one of these evaluates without a type error, so composing them
+    # under or/and/not exercises the applicative error-propagation semantics
+    # (Logic.hs: error on either side -> error -> node root False).
+    return rng.choice([
+        "eq($int, 5)",
+        "ge($int, 0)",
+        'hasPrefix($string, "h")',
+        'contains($string, "a")',
+        "gt($double, double(0.0))",
+        "eq($bool, true)",
+        'eq(toLower($string), "en")',
+    ])
+
+
+def pred_comp(depth=2):
+    if depth == 0 or rng.random() < 0.35:
+        return mixed_pred()
+    op = rng.choice(["or", "and", "or", "not"])
+    if op == "not":
+        return f"not({pred_comp(depth - 1)})"
+    return f"{op}({pred_comp(depth - 1)}, {pred_comp(depth - 1)})"
+
+
 def leaf_spec():
-    kind = rng.randrange(8)
+    kind = rng.randrange(9)
+    if kind == 8:
+        field = rng.choice(["url", "lang", "n", "score", "flag"])
+        return f".{field}: -> {pred_comp()}"
     if kind == 0:
         return f'.lang == "{rng.choice(STRINGS[:4])}"'
     if kind == 1:

@@ -150,3 +150,32 @@ def test_automaton_udf_matches_derivative(spark, spec):
         for r in sdf.select(validate_json_column(F.col("doc"), spec).alias("m")).collect()
     ]
     assert got == want, f"spec={spec}\nwant={want}\ngot={got}"
+
+
+def test_applicative_or_error_propagation(spark):
+    """ADVICE r1 (high): or/and are applicative over eval errors
+    (Logic.hs orExpr'/defaultAnd: `(||) <$> eval a v <*> eval b v`) —
+    `or(True, <type error>)` must be error -> node root False, never True.
+    All three paths must agree on a predicate mixing variable types."""
+    spec = 'n: -> or(eq($int, 5), hasPrefix($string, "x"))'
+    g = compile_grammar(parse_grammar(spec))
+    rows = [{"url": None, "lang": None, "n": 5, "score": None, "flag": None,
+             "tags": None, "meta": None},
+            {"url": None, "lang": None, "n": 7, "score": None, "flag": None,
+             "tags": None, "meta": None}]
+    v = Validator(g)
+    pure = [v.validate(row_to_forest(r, SCHEMA)) for r in rows]
+    # $string on a long field is an eval error; applicative or propagates it
+    # even though eq($int, 5) is True on the first row.
+    assert pure == [False, False]
+    sdf = spark.createDataFrame(
+        [tuple(r[f.name] for f in SCHEMA.fields) for r in rows], SCHEMA)
+    lowered = [r["m"] for r in
+               sdf.select(compile_to_column(g, SCHEMA).alias("m")).collect()]
+    assert lowered == pure
+    docs = ['{"n": 5}', '{"n": 7}']
+    want_json = [v.validate(decode_json(d)) for d in docs]
+    jdf = spark.createDataFrame([(d,) for d in docs], "doc string")
+    auto = [r["m"] for r in
+            jdf.select(validate_json_column(F.col("doc"), spec).alias("m")).collect()]
+    assert auto == want_json == [False, False]
