@@ -5,10 +5,12 @@ entry(spark)  — flagship: the full constraint-validation suite (every
                 returning the verdicts DataFrame.
 queries()     — one entry per implemented operator family (SURVEY.md §2 +
                 training-data pipeline ops); each (spark, sf_dir) -> DF.
-oracle_sql()  — DuckDB-equivalent SQL for every SQL-expressible query.
-                Hash-based ops (minhash/simhash/LSH buckets) and the
-                generated-pages flagship are intentionally omitted → the
-                driver records the weaker rows-only check for those.
+oracle_sql()  — DuckDB-equivalent SQL for every SQL-expressible query,
+                INCLUDING the seeded-hash pipelines (minhash / simhash /
+                hyperplane-LSH / IVF): their full signature math is
+                re-derived in SQL by katydid_haskell_spark/oracles.py
+                (word hash = md5_number_lower, hyperplanes/centroids
+                inlined as deterministic literals).
 
 Column-name / rounding discipline: every computed column is aliased
 identically in Spark and SQL; float-valued columns are ROUND()ed on both
@@ -315,7 +317,14 @@ def _q_ann_topk_ivf(spark, sf_dir):
 
 def _q_embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    out = sim.embedding_neardup_pairs(emb, dim=64, min_cos=0.9, n_bits=6)
+    # 8-bit buckets × 3 OR-ed bands: bounded in-bucket join cost with the
+    # recall recovered by banding (n_bits=6 single-band = 64 buckets total,
+    # quadratic in-bucket at scale — the round-1 perf-weak finding).
+    # τ=0.4 because the synthetic embeddings have no true near-dups (max
+    # pairwise cos ≈ 0.51) — a 0.9 threshold would make the gate trivially
+    # empty on both sides.
+    out = sim.embedding_neardup_pairs(emb, dim=64, min_cos=0.4, n_bits=8,
+                                      bands=3)
     return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
@@ -408,11 +417,20 @@ def _q_pages_verdicts(spark, sf_dir):
 
     n = 2000
     pages = with_bucket(pages_df(spark, n))
-    plan = default_pages_plan(expect_rows=n)
+    # exact_distinct: HLL estimates are engine-specific; the DuckDB oracle
+    # needs the reproducible exact count.  metric ROUND(6) on both sides
+    # (drift sums are accumulation-order-dependent in the last bits).
+    plan = default_pages_plan(expect_rows=n, exact_distinct=True)
     baselines = pages_baselines(spark, pages_df(spark, n, drifted=False))
     res = run_plan(pages, plan, {"lang_dim": lang_dim_df(spark)}, baselines,
                    snapshot="bench")
-    return res.verdicts
+    # rows_checked is NULL for table-scope rules; coalesce to 0 for the gate
+    # (pandas turns a nullable BIGINT into float64 NaN, which hash-compares
+    # unreliably against Spark's None).
+    return (res.verdicts
+            .withColumn("metric", F.round("metric", 6))
+            .withColumn("rows_checked",
+                        F.coalesce("rows_checked", F.lit(0).cast("long"))))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -473,6 +491,12 @@ _LANG_PROFILES_SQL = {
 
 
 def oracle_sql() -> dict[str, str]:
+    import os
+
+    from katydid_haskell_spark import oracles as orc
+
+    oracle_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                               "/root/testdata/sf0.01")
     lang_hits = ",\n        ".join(
         f"len(list_distinct(list_intersect(w, {prof}))) AS hits_{lang}"
         for lang, prof in _LANG_PROFILES_SQL.items()
@@ -706,4 +730,16 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 5
             ) WHERE rank <= 10
         """,
+        # Seeded-hash pipelines: full math re-derived in SQL (oracles.py).
+        "minhash_pairs": orc.minhash_pairs_sql(
+            num_hashes=32, bands=8, shingle_k=3, min_jaccard=0.4),
+        "simhash_pairs": orc.simhash_pairs_sql(max_hamming=8, shingle_k=2),
+        "lsh_topk": orc.lsh_topk_sql(dim=64, k=10, n_bits=8, nprobe=3),
+        "embedding_neardup": orc.embedding_neardup_sql(
+            dim=64, min_cos=0.4, n_bits=8, bands=3),
+        "ann_topk_ivf": orc.ivf_topk_sql(oracle_sf, dim=64, k=10,
+                                         n_cells=16, nprobe=4),
+        "pages_verdicts": orc.pages_verdicts_sql(n_rows=2000, seed=42,
+                                                 buckets=16,
+                                                 snapshot="bench"),
     }

@@ -20,7 +20,8 @@ functions (``transform``/``aggregate``), no Python in the row path.
 from __future__ import annotations
 
 import re
-import zlib
+from functools import lru_cache
+from hashlib import md5
 from typing import Iterator, List, Sequence
 
 import numpy as np
@@ -156,13 +157,23 @@ def shingle_hashes(text: Column, shingle_k: int = 5) -> Column:
 _WORD_RE = re.compile(r"[^a-zA-Z0-9']+")
 
 
+@lru_cache(maxsize=1 << 20)
+def _md5_word_hash(w: str) -> int:
+    """Word hash = lower 8 md5 digest bytes (little-endian) mod 2^31-1.
+
+    Chosen because it is exactly reproducible in the DuckDB oracle as
+    ``md5_number_lower(w) % 2147483647`` — the oracle for the MinHash /
+    SimHash pipelines re-derives the full signature math in SQL.  The md5
+    C implementation + per-word cache keeps this off the per-token path.
+    """
+    return int.from_bytes(md5(w.encode("utf-8")).digest()[8:16], "little") % _MERSENNE
+
+
 def _word_hashes(text: str) -> np.ndarray:
     ws = [w for w in _WORD_RE.split(text.lower()) if w]
     if not ws:
         return np.zeros(1, dtype=np.int64)
-    return np.array(
-        [zlib.crc32(w.encode("utf-8")) for w in ws], dtype=np.int64
-    )
+    return np.array([_md5_word_hash(w) for w in ws], dtype=np.int64)
 
 
 def _shingle_hash_arr(text: str, k: int) -> np.ndarray:
@@ -250,26 +261,45 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
+def minhash_features(df: DataFrame, id_col: str, text_col: str,
+                     num_hashes: int = 64, shingle_k: int = 5) -> DataFrame:
+    """(doc_id, hh, sig) — the staged feature table for MinHash LSH.
+
+    ONE Arrow-vectorized pass computes shingle hashes + signature.  At scale
+    this is the stage boundary: write it to a table (it is consumed by both
+    the banding explode and the verification join), then call
+    :func:`minhash_lsh_pairs` with ``features=`` pointing at the saved table.
+    """
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_features_udf(num_hashes, shingle_k)(F.col(text_col)).alias("f"),
+    ).select("doc_id", F.col("f.hh").alias("hh"), F.col("f.sig").alias("sig"))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_k: int = 5,
-                      min_jaccard: float = 0.5) -> DataFrame:
+                      min_jaccard: float = 0.5,
+                      features: DataFrame | None = None) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via banded LSH.
 
     Plan shape: one scan computing signatures + shingles → explode bands
-    (×bands rows of small (band,key,id,shingles)) → self-join on (band,key)
+    (×bands rows of small (band,key,id)) → self-join on (band,key)
     (shuffle keyed by bucket; only colliding candidates meet) →
     dedup pairs → exact Jaccard verification on the candidates only.
+
+    The candidate-pair set is data-dependent and unbounded (a near-dup-heavy
+    corpus yields millions of pairs), so the verification join is a plain
+    shuffle join on doc_id — never a broadcast.  The feature projection is
+    persisted for the duration of the job when computed inline; at 10^12
+    docs pass ``features=`` from a materialized table instead (one text
+    scan total, no executor cache footprint).
     """
     rows_per_band = num_hashes // bands
-    # ONE Arrow-vectorized pass computes shingle hashes + signature;
-    # persisted because both the banding explode and the verification join
-    # consume it.
-    feats = df.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_features_udf(num_hashes, shingle_k)(F.col(text_col)).alias("f"),
-    ).select("doc_id", F.col("f.hh").alias("hh"), F.col("f.sig").alias("sig")
-             ).persist()
+    feats = features
+    if feats is None:
+        feats = minhash_features(df, id_col, text_col, num_hashes, shingle_k
+                                 ).persist()
     # Only (doc_id, band, key) travels through the LSH shuffle — the
     # signatures and shingle sets stay behind.
     banded = feats.select(
@@ -283,12 +313,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Verification: join the (small) candidate set back for exact Jaccard
-    # over shingle-hash sets; broadcast the candidates so the shingle side
-    # never shuffles.
+    # Verification: shuffle-join the candidates back for exact Jaccard over
+    # shingle-hash sets.  Both joins key on a doc id, so the shingle side
+    # shuffles once per side regardless of how many pairs the corpus yields.
     sh = feats.select("doc_id", "hh")
     pairs = (
-        sh.join(F.broadcast(cand), sh.doc_id == cand.id_a)
+        sh.join(cand, sh.doc_id == cand.id_a)
         .select("id_a", "id_b", F.col("hh").alias("hh_a"))
         .join(sh.alias("s2"), F.col("id_b") == F.col("s2.doc_id"))
         .select("id_a", "id_b", "hh_a", F.col("s2.hh").alias("hh_b"))
@@ -343,9 +373,25 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
-                  max_hamming: int = 6, shingle_k: int = 2) -> DataFrame:
+                  max_hamming: int = 6, shingle_k: int = 2,
+                  max_bucket: int = 512) -> DataFrame:
     """Near-dup pairs by SimHash banding (4×16-bit bands → candidates →
-    Hamming verification)."""
+    Hamming verification).
+
+    Scale bound: a 16-bit band key yields at most 65,536 buckets per band,
+    so at 10^9+ docs an uncapped in-bucket self-join is O(bucket²) —
+    quadratic in corpus size.  ``max_bucket`` caps each (band, key) bucket
+    to its first ``max_bucket`` members in doc-id order (deterministic), so
+    join cost per bucket is bounded at max_bucket² candidates regardless of
+    corpus size.  The cap trades recall for a hard cost ceiling: members
+    beyond the cap can still pair via one of the other 3 bands (they only
+    lose THIS band's bucket).  At web scale prefer recall via wider keys:
+    SimHash banding is inherently 4×16 here, so the honest lever is the cap
+    plus downstream exact verification — the candidates that survive are
+    always Hamming-verified, so precision is unaffected.
+    """
+    from pyspark.sql.window import Window
+
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         simhash_udf(64, shingle_k)(F.col(text_col)).alias("sh"),
@@ -363,7 +409,13 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
             ])
         ).alias("bk"),
     ).select("doc_id", "sh", "bk.band", "bk.key")
-    l, r = banded.alias("l"), banded.alias("r")
+    w = Window.partitionBy("band", "key").orderBy("doc_id")
+    capped = (
+        banded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket)
+        .drop("__rn")
+    )
+    l, r = capped.alias("l"), capped.alias("r")
     return (
         l.join(r, ["band", "key"])
         .where(F.col("l.doc_id") < F.col("r.doc_id"))

@@ -23,10 +23,13 @@ from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
+    # Widen to double BEFORE the multiply: float32 products lose ~7 digits,
+    # which is enough to flip LSH sign bits / argmax cell choices near the
+    # boundary and diverge from any double-precision oracle.
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
-        lambda acc, v: acc + v.cast("double"),
+        lambda acc, v: acc + v,
     )
 
 
@@ -120,17 +123,31 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
 
 def train_ivf_centroids(corpus: DataFrame, dim: int, n_cells: int = 16,
                         sample: int = 4096, iters: int = 8,
-                        vec_col: str = "embedding", seed: int = 5) -> List[List[float]]:
+                        vec_col: str = "embedding", seed: int = 5,
+                        id_col: str = "vec_id") -> List[List[float]]:
     """Driver-side IVF coarse quantizer: k-means (Lloyd) on a bounded
     sample.  Sampling is the standard IVF training regime — the collect is
     O(sample·dim), independent of corpus size."""
     import numpy as np
 
+    # Ordered limit: the training sample must be a deterministic function of
+    # the table (an unordered limit depends on partition scan order), both
+    # for reproducible builds and so an oracle can re-derive the centroids.
     rows = (
-        corpus.select(vec_col).limit(sample).collect()
+        corpus.orderBy(id_col).select(vec_col).limit(sample).collect()
     )
     x = np.array([r[0] for r in rows], dtype=np.float64)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return kmeans_unit(x, n_cells, iters, seed)
+
+
+def kmeans_unit(x: "np.ndarray", n_cells: int, iters: int = 8,
+                seed: int = 5) -> List[List[float]]:
+    """Spherical Lloyd k-means on float64 rows (shared by the Spark trainer
+    and the DuckDB oracle builder — both must produce bit-identical
+    centroids from the same sample)."""
+    import numpy as np
+
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
     for _ in range(iters):
@@ -174,7 +191,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     the physical partitioning / clustering keys)."""
     if centroids is None:
         centroids = train_ivf_centroids(corpus, dim, n_cells,
-                                        vec_col=vec_col)
+                                        vec_col=vec_col, id_col=id_col)
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
@@ -207,17 +224,32 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
 
 def embedding_neardup_pairs(df: DataFrame, dim: int, min_cos: float = 0.95,
                             id_col: str = "vec_id", vec_col: str = "embedding",
-                            n_bits: int = 10, seed: int = 99) -> DataFrame:
+                            n_bits: int = 10, seed: int = 99,
+                            bands: int = 1) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ τ, blocked by LSH bucket (pairs are
-    only compared within a bucket — the embedding analogue of banded LSH)."""
+    only compared within a bucket — the embedding analogue of banded LSH).
+
+    ``bands`` > 1 computes ``bands`` independent n_bits-codes (seeded
+    seed+band) and takes candidates agreeing on ANY band — the OR-of-bands
+    recall construction from MinHash LSH.  Size ``n_bits`` ≈ log2(corpus /
+    target_bucket_size): the in-bucket self-join is quadratic in bucket
+    size, so at 10^9 vectors you want ≥20 bits per band, with bands
+    recovering the recall the extra bits cost.  Precision is exact either
+    way (candidates are cosine-verified)."""
     coded = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("v"),
-        lsh_code(F.col(vec_col), dim, n_bits, seed).alias("code"),
-    )
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_code(F.col(vec_col), dim, n_bits, seed + b).alias("code"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("doc_id", "v", "bk.band", "bk.code")
     l, r = coded.alias("l"), coded.alias("r")
     return (
-        l.join(r, "code")
+        l.join(r, ["band", "code"])
         .where(F.col("l.doc_id") < F.col("r.doc_id"))
         .select(
             F.col("l.doc_id").alias("id_a"),

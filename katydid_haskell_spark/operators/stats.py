@@ -43,6 +43,11 @@ def _metric_col(metric: str, c: str) -> Column:
         return F.count(c)
     if metric == "approx_distinct":
         return F.approx_count_distinct(c)
+    if metric == "distinct":
+        # exact distinct — a full shuffle at scale; prefer approx_distinct
+        # (HLL, mergeable) unless exact parity with an external oracle is
+        # required.
+        return F.count_distinct(F.col(c))
     if metric == "mean":
         return F.avg(c)
     raise ValueError(f"unknown stat metric: {metric}")

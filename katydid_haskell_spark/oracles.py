@@ -1,0 +1,412 @@
+"""DuckDB oracle SQL builders for the approximate-dedup / ANN queries.
+
+These re-derive the FULL seeded pipeline math in ANSI-ish SQL (DuckDB
+dialect) so the driver's side-by-side gate can hash-compare Spark output
+against an independent execution:
+
+- word hash = ``md5_number_lower(w) % (2^31-1)`` — chosen in
+  :mod:`operators.dedup` precisely because both numpy (hashlib.md5) and
+  DuckDB compute it identically;
+- shingle hashes, minhash permutations, simhash bit-spread, LSH hyperplane
+  signs and IVF centroids are all deterministic seeded constants, inlined
+  as literals by the builders below (the hyperplanes via
+  ``similarity._hyperplane``, the centroids via ``similarity.kmeans_unit``
+  on the same ordered sample the Spark trainer uses);
+- float discipline: values that must hash-match are either bit-identical
+  by construction (integer ratios, ordered double folds) or ROUNDed on
+  both sides (cosines).
+
+Candidate generation equivalence note: Spark's banded-LSH joins key on
+``xxhash64(band slice)``; the oracle compares the slices directly, so the
+two differ only if xxhash64 collides (P < 1e-12 at test scale).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from .operators.dedup import _perm_params
+from .operators.similarity import _hyperplane
+
+_M = 2147483647  # 2^31 - 1
+_K64 = 11400714819323198485  # 0x9E3779B97F4A7C15
+_TWO63 = 9223372036854775808
+_TWO64 = 18446744073709551616
+
+
+def _shingle_ctes(shingle_k: int, table: str = "documents",
+                  id_col: str = "doc_id", text_col: str = "text") -> str:
+    """CTEs wh (word hashes) + hh (shingle hashes), mirroring
+    dedup._word_hashes / dedup._shingle_hash_arr exactly."""
+    weights = [pow(31, j, _M) % (1 << 20) for j in range(shingle_k)]
+    poly = " + ".join(
+        f"wh[i+{j}]*{w}" if j else f"wh[i]*{w}"
+        for j, w in enumerate(weights)
+    )
+    return f"""
+    wh AS (
+      SELECT {id_col} AS doc_id,
+             list_transform(
+               list_filter(
+                 regexp_split_to_array(lower(COALESCE({text_col}, '')),
+                                       '[^a-zA-Z0-9'']+'),
+                 w -> w != ''),
+               w -> CAST(md5_number_lower(w) % {_M} AS BIGINT)) AS wh
+      FROM {table}
+    ),
+    hh AS (
+      SELECT doc_id,
+        CASE
+          WHEN len(wh) >= {shingle_k} THEN
+            list_transform(range(1, len(wh) - {shingle_k} + 2),
+                           i -> ({poly}) % {_M})
+          WHEN len(wh) = 0 THEN [CAST(0 AS BIGINT)]
+          ELSE [list_reduce(wh, (a, b) -> (a*31 + b) % {_M})]
+        END AS hh
+      FROM wh
+    )"""
+
+
+def minhash_pairs_sql(num_hashes: int = 32, bands: int = 8,
+                      shingle_k: int = 3, min_jaccard: float = 0.4) -> str:
+    perms = _perm_params(num_hashes)
+    rpb = num_hashes // bands
+    sig_exprs = ",\n             ".join(
+        f"list_min(list_transform(hh, h -> (h*{a} + {b}) % {_M})) AS s{p}"
+        for p, (a, b) in enumerate(perms)
+    )
+    band_conds = " OR ".join(
+        "(" + " AND ".join(
+            f"l.s{i} = r.s{i}" for i in range(b * rpb, (b + 1) * rpb)
+        ) + ")"
+        for b in range(bands)
+    )
+    # jaccard is an exact integer ratio evaluated as one double division on
+    # both sides — bit-identical, deliberately NOT rounded (ROUND itself can
+    # differ between engines at half-ulp boundaries).
+    return f"""
+    WITH {_shingle_ctes(shingle_k)},
+    sig AS (SELECT doc_id, hh,
+             {sig_exprs}
+            FROM hh),
+    cand AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, l.hh AS hh_a, r.hh AS hh_b
+      FROM sig l JOIN sig r
+        ON l.doc_id < r.doc_id AND ({band_conds})
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(hh_a, hh_b)) AS DOUBLE)
+               / NULLIF(len(list_distinct(hh_a)) + len(list_distinct(hh_b))
+                        - len(list_intersect(hh_a, hh_b)), 0) AS jaccard
+      FROM cand)
+    WHERE jaccard >= {min_jaccard}
+    """
+
+
+def simhash_pairs_sql(max_hamming: int = 8, shingle_k: int = 2) -> str:
+    """Full simhash pipeline in SQL.  The Spark operator's ``max_bucket``
+    cap (512) cannot bind at oracle scale (sf0.01 = 500 docs), so it is
+    intentionally not replicated."""
+    cnt_exprs = ",\n             ".join(
+        f"SUM(CASE WHEN (h64 // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS c{i}"
+        for i in range(64)
+    )
+    pack_expr = "\n             + ".join(
+        f"CASE WHEN c{i} > 0 THEN CAST({1 << i} AS HUGEINT) ELSE 0 END"
+        for i in range(64)
+    )
+    band_keys = ",\n             ".join(
+        f"CAST((up // {1 << (16 * b)}) % 65536 AS BIGINT) AS k{b}"
+        for b in range(4)
+    )
+    return f"""
+    WITH {_shingle_ctes(shingle_k)},
+    shr AS (
+      SELECT doc_id,
+             CAST((UNNEST(hh)::HUGEINT * {_K64}) % {_TWO64} AS HUGEINT) AS h64
+      FROM hh
+    ),
+    cnt AS (SELECT doc_id,
+             {cnt_exprs}
+            FROM shr GROUP BY doc_id),
+    packed AS (SELECT doc_id,
+             ({pack_expr}) AS up
+            FROM cnt),
+    sh AS (SELECT doc_id,
+             CAST(CASE WHEN up >= {_TWO63} THEN up - {_TWO64} ELSE up END
+                  AS BIGINT) AS sh,
+             {band_keys}
+           FROM packed)
+    SELECT id_a, id_b, hamming FROM (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+             CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
+      FROM sh l JOIN sh r
+        ON l.doc_id < r.doc_id
+       AND (l.k0 = r.k0 OR l.k1 = r.k1 OR l.k2 = r.k2 OR l.k3 = r.k3))
+    WHERE hamming <= {max_hamming}
+    """
+
+
+def _plane_lit(dim: int, bit: int, seed: int) -> str:
+    return "[" + ", ".join(repr(w) for w in _hyperplane(dim, bit, seed)) + "]"
+
+
+def _code_expr(vec: str, dim: int, n_bits: int, seed: int) -> str:
+    """Packed sign-bit code — list_inner_product over DOUBLE[] matches the
+    Spark dot() (double-widened elements, ordered fold) bit-for-bit."""
+    terms = " + ".join(
+        f"CASE WHEN list_inner_product(CAST({vec} AS DOUBLE[]), "
+        f"{_plane_lit(dim, b, seed)}) >= 0 THEN {1 << b} ELSE 0 END"
+        for b in range(n_bits)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def lsh_topk_sql(dim: int = 64, k: int = 10, n_bits: int = 8,
+                 nprobe: int = 3, seed: int = 1234) -> str:
+    probes = ["qcode"] + [
+        f"xor(qcode, {1 << b})" for b in range(min(nprobe - 1, n_bits))
+    ]
+    return f"""
+    WITH c AS (
+      SELECT vec_id, embedding,
+             {_code_expr("embedding", dim, n_bits, seed)} AS code
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, code AS qcode
+          FROM c WHERE vec_id < 5),
+    probes AS (SELECT q_id, qv, UNNEST([{", ".join(probes)}]) AS code FROM q),
+    cand AS (
+      SELECT DISTINCT q_id, c.vec_id,
+             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(p.qv AS DOUBLE[])) AS cos0
+      FROM c JOIN probes p USING (code)
+    )
+    SELECT q_id, vec_id, rank, ROUND(cos0, 4) AS cos FROM (
+      SELECT q_id, vec_id, cos0,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos0 DESC, vec_id) AS rank
+      FROM cand)
+    WHERE rank <= {k}
+    """
+
+
+def embedding_neardup_sql(dim: int = 64, min_cos: float = 0.9,
+                          n_bits: int = 8, seed: int = 99,
+                          bands: int = 3) -> str:
+    band_conds = " OR ".join(f"l.c{b} = r.c{b}" for b in range(bands))
+    code_cols = ",\n             ".join(
+        f"{_code_expr('embedding', dim, n_bits, seed + b)} AS c{b}"
+        for b in range(bands)
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id, embedding,
+             {code_cols}
+      FROM embeddings
+    )
+    SELECT id_a, id_b, ROUND(cos0, 4) AS cos FROM (
+      SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+             list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                    CAST(r.embedding AS DOUBLE[])) AS cos0
+      FROM c l JOIN c r
+        ON l.vec_id < r.vec_id AND ({band_conds}))
+    WHERE cos0 >= {min_cos}
+    """
+
+
+def ivf_topk_sql(sf_dir: str, dim: int = 64, k: int = 10, n_cells: int = 16,
+                 nprobe: int = 4, sample: int = 4096, iters: int = 8,
+                 seed: int = 5) -> str:
+    """IVF oracle: centroids re-derived from the SAME ordered training
+    sample the Spark trainer reads (``ORDER BY vec_id LIMIT sample``) via
+    the shared ``kmeans_unit`` — bit-identical float64 constants — then
+    cell assignment / probing / ranking expressed in SQL."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT {sample}"
+    ).fetchall()
+    con.close()
+    from .operators.similarity import kmeans_unit
+
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    cents: List[List[float]] = kmeans_unit(x, n_cells, iters, seed)
+
+    def cent_lit(c):
+        return "[" + ", ".join(repr(w) for w in c) + "]"
+
+    sim_cols = ",\n             ".join(
+        f"CASE WHEN nrm > 0 THEN list_inner_product(vd, {cent_lit(c)}) / nrm "
+        f"ELSE 0.0 END AS sim{i}"
+        for i, c in enumerate(cents)
+    )
+    cells_values = ", ".join(f"({i})" for i in range(len(cents)))
+    sim_case = "CASE cell " + " ".join(
+        f"WHEN {i} THEN sim{i}" for i in range(len(cents))
+    ) + " END"
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS vd,
+             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT vec_id, embedding,
+             {sim_cols}
+      FROM base
+    ),
+    cellsims AS (
+      SELECT s.*, c.cell, {sim_case} AS sim
+      FROM sims s CROSS JOIN (VALUES {cells_values}) AS c(cell)
+    ),
+    ccell AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT vec_id, embedding, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell ASC) AS rn
+        FROM cellsims) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS q_id, embedding AS qv, cell FROM (
+        SELECT vec_id, embedding, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell DESC) AS rn
+        FROM cellsims WHERE vec_id < 5) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+      SELECT DISTINCT q_id, c.vec_id,
+             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                    CAST(q.qv AS DOUBLE[])) AS cos0
+      FROM ccell c JOIN qprobe q USING (cell)
+    )
+    SELECT q_id, vec_id, rank, ROUND(cos0, 4) AS cos FROM (
+      SELECT q_id, vec_id, cos0,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY cos0 DESC, vec_id) AS rank
+      FROM cand)
+    WHERE rank <= {k}
+    """
+
+
+def pages_verdicts_sql(n_rows: int = 2000, seed: int = 42,
+                       buckets: int = 16, snapshot: str = "bench") -> str:
+    """The pages constraint-suite verdicts, re-derived end-to-end in SQL.
+
+    The pages corpus is regenerated Spark-free (sources/pages_fixture —
+    byte-identical by the partition-invariance contract, bucket via the
+    verified pure-Python xxh64) and every rule class is re-expressed:
+    row-rule rollup per bucket, stat / uniqueness / referential checks, and
+    the PSI/KL drift math of operators/drift.py (eps smoothing included).
+    Float discipline: `metric` is ROUND(…, 6) on both sides (drift sums are
+    order-dependent in the last bits); pass/fail uses the unrounded value
+    on both sides, as the Spark plan does.
+    """
+    from .plans.pages_plan import TS_MAX, TS_MIN
+    from .sources.pages import ISO_639_1
+    from .sources.pages_fixture import ensure_pages_fixture
+
+    pd_path = ensure_pages_fixture(n_rows, seed, buckets, drifted=True)
+    pb_path = ensure_pages_fixture(n_rows, seed, buckets, drifted=False)
+    iso = ", ".join(f"'{c}'" for c in ISO_639_1)
+    expect = int(n_rows * 0.9)
+
+    row_rules = [
+        ("url_scheme", "regexp_matches(url, '^https?://')"),
+        ("url_host_dot", r"regexp_matches(url, '^https?://[^/]+\.')"),
+        ("text_nonempty", "length(text) > 0"),
+        ("lang_shape",
+         "lang IS NOT NULL AND regexp_matches(lang, '^[a-z]{2}$')"),
+        ("warc_ts_range",
+         f"epoch(warc_ts) >= {TS_MIN} AND epoch(warc_ts) < {TS_MAX}"),
+        ("html_title", "starts_with(text, 'Page ')"),
+    ]
+    np_cols = ",\n        ".join(
+        f"SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS np{i}"
+        for i, (_, cond) in enumerate(row_rules)
+    )
+    rowv = "\n      UNION ALL ".join(
+        f"SELECT CAST(bucket AS INT) AS bucket_id, '{rid}' AS rule_id, "
+        f"np{i} = rc AS pass, ROUND(CAST(np{i} AS DOUBLE) / rc, 6) AS metric, "
+        f"CAST(rc AS BIGINT) AS rows_checked FROM rowagg"
+        for i, (rid, _) in enumerate(row_rules)
+    )
+
+    def drift_cte(tag, bucket_expr, metric_expr):
+        return f"""
+    cur_{tag} AS (SELECT {bucket_expr} AS bucket, COUNT(*) AS cnt_p
+                  FROM pages GROUP BY 1),
+    base_{tag} AS (SELECT {bucket_expr} AS bucket, COUNT(*) AS cnt_q
+                   FROM basepages GROUP BY 1),
+    j_{tag} AS (SELECT COALESCE(cnt_p, 0) AS cnt_p, COALESCE(cnt_q, 0) AS cnt_q
+                FROM cur_{tag} FULL OUTER JOIN base_{tag} USING (bucket)),
+    t_{tag} AS (SELECT SUM(cnt_p) AS np, SUM(cnt_q) AS nq, COUNT(*) AS k
+                FROM j_{tag}),
+    p_{tag} AS (SELECT (cnt_p + 1e-6) / (np + k * 1e-6) AS p,
+                       (cnt_q + 1e-6) / (nq + k * 1e-6) AS q
+                FROM j_{tag}, t_{tag}),
+    d_{tag} AS (SELECT {metric_expr} AS m FROM p_{tag})"""
+
+    len_bucket = "CAST(FLOOR(COALESCE(length(text), -1) / 50.0) AS BIGINT)"
+    day_bucket = "CAST(FLOOR(epoch(warc_ts) / 86400.0) AS BIGINT)"
+
+    return f"""
+    WITH pages AS (SELECT * FROM read_parquet('{pd_path}')),
+    basepages AS (SELECT * FROM read_parquet('{pb_path}')),
+    rowagg AS (
+      SELECT bucket, COUNT(*) AS rc,
+        {np_cols}
+      FROM pages GROUP BY bucket),
+    rowv AS (
+      {rowv}
+    ),
+    stat AS (SELECT COUNT(*) AS n, COUNT(text) AS nt, COUNT(lang) AS nl,
+                    MIN(warc_ts) AS tmin, MAX(warc_ts) AS tmax,
+                    COUNT(DISTINCT url) AS du
+             FROM pages),
+    uq AS (SELECT COUNT(*) AS dup_keys FROM
+             (SELECT url FROM pages GROUP BY url HAVING COUNT(*) > 1)),
+    ref AS (SELECT COUNT(*) AS orphans FROM pages
+            WHERE lang IS NULL OR lang NOT IN ({iso})),
+    {drift_cte("len", len_bucket, "SUM((p - q) * ln(p / q))")},
+    {drift_cte("day", day_bucket, "SUM(p * ln(p / q))")},
+    tablev AS (
+      SELECT 'text_null_rate' AS rule_id,
+             CAST(n - nt AS DOUBLE) / n <= 0.01 AS pass,
+             ROUND(CAST(n - nt AS DOUBLE) / n, 6) AS metric FROM stat
+      UNION ALL
+      SELECT 'lang_null_rate', CAST(n - nl AS DOUBLE) / n <= 0.02,
+             ROUND(CAST(n - nl AS DOUBLE) / n, 6) FROM stat
+      UNION ALL
+      SELECT 'ts_min_in_window', epoch(tmin) >= {TS_MIN},
+             ROUND(CAST(epoch(tmin) AS DOUBLE), 6) FROM stat
+      UNION ALL
+      SELECT 'ts_max_in_window', epoch(tmax) < {TS_MAX},
+             ROUND(CAST(epoch(tmax) AS DOUBLE), 6) FROM stat
+      UNION ALL
+      SELECT 'url_distinct', du >= {expect},
+             ROUND(CAST(du AS DOUBLE), 6) FROM stat
+      UNION ALL
+      SELECT 'unique_url', dup_keys = 0,
+             ROUND(CAST(dup_keys AS DOUBLE), 6) FROM uq
+      UNION ALL
+      SELECT 'lang_in_iso639', orphans = 0,
+             ROUND(CAST(orphans AS DOUBLE), 6) FROM ref
+      UNION ALL
+      SELECT 'text_len_drift', m <= 0.2, ROUND(m, 6) FROM d_len
+      UNION ALL
+      SELECT 'warc_ts_drift', m <= 0.25, ROUND(m, 6) FROM d_day
+    )
+    SELECT bucket_id, rule_id, pass, metric, rows_checked,
+           '{snapshot}' AS snapshot
+    FROM rowv
+    UNION ALL
+    SELECT -1 AS bucket_id, rule_id, pass, metric,
+           CAST(0 AS BIGINT) AS rows_checked, '{snapshot}' AS snapshot
+    FROM tablev
+    """

@@ -19,7 +19,12 @@ TS_MIN = BASE_TS
 TS_MAX = BASE_TS + WINDOW_S + DRIFT_OFFSET_S + 86400
 
 
-def default_pages_plan(expect_rows: int | None = None) -> CheckPlan:
+def default_pages_plan(expect_rows: int | None = None,
+                       exact_distinct: bool = False) -> CheckPlan:
+    """``exact_distinct=True`` swaps the HLL url-distinct check for an
+    exact COUNT(DISTINCT) — used by the oracle-gated entry query, where the
+    metric must be reproducible in DuckDB (HLL estimates are
+    implementation-specific).  The scale default stays approximate."""
     plan = CheckPlan(
         row_rules=[
             RowRule("url_scheme", '.url ~= "^https?://"',
@@ -47,8 +52,9 @@ def default_pages_plan(expect_rows: int | None = None) -> CheckPlan:
                      F.lit(TS_MAX).cast("timestamp")),
         ]
         + (
-            [StatRule("url_distinct", "url", "approx_distinct", "ge",
-                      int(expect_rows * 0.9))]
+            [StatRule("url_distinct", "url",
+                      "distinct" if exact_distinct else "approx_distinct",
+                      "ge", int(expect_rows * 0.9))]
             if expect_rows
             else []
         ),
