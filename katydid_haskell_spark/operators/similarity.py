@@ -17,8 +17,11 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 
@@ -86,6 +89,80 @@ def lsh_code(vec: Column, dim: int, n_bits: int = 12, seed: int = 1234) -> Colum
     return code
 
 
+def _stack(vecs: pd.Series, dim: int) -> "np.ndarray":
+    if len(vecs) == 0:
+        return np.zeros((0, dim), dtype=np.float64)
+    return np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+
+
+def lsh_codes_udf(dim: int, n_bits: int, seeds: Sequence[int]):
+    """Arrow-vectorized hyperplane codes, one per seed → array<long>.
+
+    Same math as :func:`lsh_code` (double-precision dots against the
+    deterministic hyperplanes) but evaluated as one numpy matmul per batch
+    instead of per-row interpreted higher-order functions — Spark runs
+    array HOFs without codegen, measured 14-19× slower (docs/PLANS.md).
+    """
+    planes = [
+        np.array([_hyperplane(dim, b, s) for b in range(n_bits)]).T  # dim×bits
+        for s in seeds
+    ]
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def codes(vecs: pd.Series) -> pd.Series:
+        x = _stack(vecs, dim)
+        out = [((x @ p) >= 0) @ weights for p in planes]
+        return pd.Series(np.stack(out, axis=1).tolist() if len(x) else [])
+
+    return codes
+
+
+def cell_assign_udf(centroids: List[List[float]], dim: int):
+    """Arrow-vectorized nearest-centroid assignment (first-max ties, same
+    as :func:`ivf_cell`)."""
+    c = np.array(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        x = _stack(vecs, dim)
+        if not len(x):
+            return pd.Series([], dtype="int32")
+        nrm = np.linalg.norm(x, axis=1, keepdims=True)
+        sims = np.where(nrm > 0, (x @ c.T) / np.where(nrm > 0, nrm, 1.0), 0.0)
+        return pd.Series(sims.argmax(axis=1).astype("int32"))
+
+    return assign
+
+
+def probe_cells_udf(centroids: List[List[float]], dim: int, nprobe: int):
+    """Arrow-vectorized top-nprobe probe cells per query, ordered by
+    (sim DESC, cell DESC) — the exact order of
+    ``reverse(array_sort(zip_with(sims, cells, struct)))`` in the Catalyst
+    formulation (which is kept for cross-checks but not used in the hot
+    path: a 16×64-literal Catalyst expression costs seconds of Janino
+    compilation per fresh plan)."""
+    c = np.array(centroids, dtype=np.float64)
+    n_cells = len(centroids)
+    take = min(nprobe, n_cells)
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        x = _stack(vecs, dim)
+        if not len(x):
+            return pd.Series([], dtype="object")
+        nrm = np.linalg.norm(x, axis=1, keepdims=True)
+        sims = np.where(nrm > 0, (x @ c.T) / np.where(nrm > 0, nrm, 1.0), 0.0)
+        # stable argsort over reversed columns → ties break to the HIGHER
+        # cell id, matching the struct-sort-descending semantics
+        rev = sims[:, ::-1]
+        idx = np.argsort(-rev, axis=1, kind="stable")[:, :take]
+        cells = (n_cells - 1) - idx
+        return pd.Series(cells.astype("int32").tolist())
+
+    return probes
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
              n_bits: int = 10, nprobe: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -96,12 +173,13 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     ``nprobe`` > 1 additionally probes buckets at Hamming distance 1 from
     the query code (multiprobe), trading recall for fan-out.
     """
+    codes = lsh_codes_udf(dim, n_bits, [seed])
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
-        lsh_code(F.col(vec_col), dim, n_bits, seed).alias("code"),
+        codes(F.col(vec_col)).getItem(0).alias("code"),
     )
-    qcode = lsh_code(F.col(q_vec_col), dim, n_bits, seed)
+    qcode = F.col("__qcode")
     probes = [qcode]
     if nprobe > 1:
         for b in range(min(nprobe - 1, n_bits)):
@@ -109,7 +187,9 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     q = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.col(q_vec_col).alias("qv"),
-        F.explode(F.array(*probes)).alias("code"),
+        codes(F.col(q_vec_col)).getItem(0).alias("__qcode"),
+    ).select(
+        "q_id", "qv", F.explode(F.array(*probes)).alias("code")
     )
     joined = c.join(F.broadcast(q), "code").select(
         "q_id", "vec_id", cosine(F.col("v"), F.col("qv")).alias("cos")
@@ -195,22 +275,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
-        ivf_cell(F.col(vec_col), centroids).alias("cell"),
-    )
-    qsims = _cell_sims(F.col(q_vec_col), centroids)
-    ranked_cells = F.slice(
-        F.reverse(F.array_sort(F.zip_with(
-            qsims,
-            F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-            lambda s, i: F.struct(s.alias("sim"), i.cast("int").alias("cell")),
-        ))),
-        1, nprobe,
+        # Arrow batch matmul, not interpreted HOFs: the corpus-side cell
+        # assignment is the dominant cost of this operator
+        cell_assign_udf(centroids, dim)(F.col(vec_col)).alias("cell"),
     )
     q = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.col(q_vec_col).alias("qv"),
-        F.explode(F.transform(ranked_cells, lambda s: s.getField("cell")))
-        .alias("cell"),
+        F.explode(
+            probe_cells_udf(centroids, dim, nprobe)(F.col(q_vec_col))
+        ).alias("cell"),
     )
     joined = c.join(F.broadcast(q), "cell").select(
         "q_id", "vec_id", cosine(F.col("v"), F.col("qv")).alias("cos")
@@ -239,14 +313,11 @@ def embedding_neardup_pairs(df: DataFrame, dim: int, min_cos: float = 0.95,
     coded = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(vec_col).alias("v"),
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                lsh_code(F.col(vec_col), dim, n_bits, seed + b).alias("code"),
-            )
-            for b in range(bands)
-        ])).alias("bk"),
-    ).select("doc_id", "v", "bk.band", "bk.code")
+        F.posexplode(
+            lsh_codes_udf(dim, n_bits, [seed + b for b in range(bands)])(
+                F.col(vec_col))
+        ).alias("band", "code"),
+    )
     l, r = coded.alias("l"), coded.alias("r")
     return (
         l.join(r, ["band", "code"])

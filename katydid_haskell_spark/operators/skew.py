@@ -39,13 +39,64 @@ def heavy_hitters(df: DataFrame, key: Column, min_fraction: float = 0.01,
                   approx: bool = True) -> DataFrame:
     """Keys holding more than min_fraction of all rows → (key, cnt).
 
-    One partial+final count aggregate; with ``approx`` the candidate set is
-    pre-filtered per partition so the shuffle only carries keys that are
-    locally heavy (at 10^12 rows the full key histogram never shuffles).
+    ONE scan either way; the total row count comes out of the same pass
+    (never a second ``df.count()`` job).
+
+    ``approx=False`` — exact: full ``groupBy(key).count()`` histogram, then
+    the (tiny, pre-aggregated) histogram is re-aggregated for the total and
+    filtered.  The shuffle carries the full key histogram: exact, but at
+    10^12 rows with ~10^9 hosts that is a large shuffle.
+
+    ``approx=True`` — candidate pre-filter: an Arrow batch-level
+    ``value_counts`` keeps only keys that are *locally* heavy
+    (local share ≥ min_fraction/2) plus one null-key total row per batch,
+    so the shuffle carries candidates only.  A key with global share ≥ f
+    must have local share ≥ f in some batch (weighted-average argument), so
+    every true heavy hitter is emitted somewhere; reported counts are lower
+    bounds (contributions from batches where the key fell under the local
+    threshold are lost), so keys within that slack of the threshold may be
+    missed.  That is the standard sketch trade-off — use it to drive
+    salting decisions, not for exact frequency reporting.
     """
-    counted = df.groupBy(key.alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
-    total = df.count()
-    return counted.filter(F.col("cnt") >= F.lit(int(total * min_fraction)))
+    if not approx:
+        counted = df.groupBy(key.alias("key")).agg(
+            F.count(F.lit(1)).alias("cnt"))
+        tot = counted.agg(F.sum("cnt").alias("__total"))
+        return (counted.crossJoin(F.broadcast(tot))
+                .filter(F.col("cnt") >= F.col("__total") * min_fraction)
+                .drop("__total"))
+
+    import pandas as pd
+
+    local_frac = min_fraction / 2.0
+
+    def batch_counts(batches):
+        for b in batches:
+            s = b["key"]
+            n = len(s)
+            if n == 0:
+                continue
+            vc = s.value_counts(dropna=True)
+            cand = vc[vc >= max(1.0, n * local_frac)]
+            out = pd.DataFrame({
+                "key": cand.index.astype(str),
+                "cnt": cand.to_numpy(dtype="int64"),
+            })
+            # one sentinel row per batch carries the batch size, so the
+            # global total falls out of the same aggregation
+            out = pd.concat([out, pd.DataFrame(
+                {"key": [None], "cnt": [n]})], ignore_index=True)
+            yield out
+
+    keyed = df.select(key.cast("string").alias("key"))
+    partial = keyed.mapInPandas(batch_counts, "key string, cnt long")
+    agg = partial.groupBy("key").agg(F.sum("cnt").alias("cnt"))
+    tot = (agg.filter(F.col("key").isNull())
+           .agg(F.sum("cnt").alias("__total")))
+    return (agg.filter(F.col("key").isNotNull())
+            .crossJoin(F.broadcast(tot))
+            .filter(F.col("cnt") >= F.col("__total") * min_fraction)
+            .drop("__total"))
 
 
 def with_salt(df: DataFrame, n_salts: int, salt_col: str = "__salt") -> DataFrame:

@@ -93,6 +93,27 @@ def _record_buckets(checkpoint_dir: str, snapshot: str,
         json.dump(m, f, indent=1, sort_keys=True)
 
 
+def table_rules_completed(checkpoint_dir: str, snapshot: str) -> bool:
+    path = _manifest_path(checkpoint_dir)
+    if not os.path.exists(path):
+        return False
+    with open(path) as f:
+        m = json.load(f)
+    return snapshot in m.get("table_rules", {})
+
+
+def _record_table_rules(checkpoint_dir: str, snapshot: str) -> None:
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = _manifest_path(checkpoint_dir)
+    m = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            m = json.load(f)
+    m.setdefault("table_rules", {})[snapshot] = {"completed_at": time.time()}
+    with open(path, "w") as f:
+        json.dump(m, f, indent=1, sort_keys=True)
+
+
 def run_resumable(df: DataFrame, plan: CheckPlan, checkpoint_dir: str,
                   dims: Optional[Dict[str, DataFrame]] = None,
                   baselines: Optional[Dict[str, DataFrame]] = None,
@@ -125,6 +146,11 @@ def run_resumable(df: DataFrame, plan: CheckPlan, checkpoint_dir: str,
         metrics = {r["bucket_id"]: {"rows": r["rows"]} for r in stats}
         _record_buckets(checkpoint_dir, snapshot, finished, metrics)
 
+    # Table-scope rules run once per snapshot: a resumed run must not append
+    # a second (possibly conflicting) bucket_id=-1 verdict set, so their
+    # completion is recorded in the manifest like buckets are.
+    if table_rules_completed(checkpoint_dir, snapshot):
+        return
     tv, tviol = run_table_rules(df, plan, dims or {}, baselines or {},
                                 key_col, snapshot)
     if tv is not None:
@@ -133,6 +159,8 @@ def run_resumable(df: DataFrame, plan: CheckPlan, checkpoint_dir: str,
     if tviol is not None:
         (tviol.write.mode("append")
          .parquet(os.path.join(checkpoint_dir, "violations")))
+    if tv is not None or tviol is not None:
+        _record_table_rules(checkpoint_dir, snapshot)
 
 
 def read_verdicts(spark: SparkSession, checkpoint_dir: str) -> DataFrame:

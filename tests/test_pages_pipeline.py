@@ -118,3 +118,9 @@ def test_resumable(spark, pages, tmp_path):
     row_v1 = v1.where("bucket_id >= 0").count()
     row_v2 = v2.where("bucket_id >= 0").count()
     assert row_v2 == row_v1  # no bucket re-processed
+    # table-scope rules are once-per-snapshot too: a resume must not append
+    # duplicate bucket_id=-1 verdicts (ADVICE r1)
+    assert v2.count() == n_first
+    t2 = (v2.where("bucket_id = -1")
+          .groupBy("rule_id").count().where("count > 1").count())
+    assert t2 == 0

@@ -46,6 +46,15 @@ def test_host_and_heavy_hitters(spark):
     assert hosts.filter("host = 'big.example.com'").count() == 80
     hh = skew.heavy_hitters(hosts, F.col("host"), min_fraction=0.5).collect()
     assert [r["key"] for r in hh] == ["big.example.com"]
+    # exact path: same verdict, exact count, total derived from the
+    # histogram (no second scan)
+    hx = skew.heavy_hitters(hosts, F.col("host"), min_fraction=0.5,
+                            approx=False).collect()
+    assert [(r["key"], r["cnt"]) for r in hx] == [("big.example.com", 80)]
+    # approx path on a single batch is exact too
+    hh1 = skew.heavy_hitters(hosts.coalesce(1), F.col("host"),
+                             min_fraction=0.5).collect()
+    assert [(r["key"], r["cnt"]) for r in hh1] == [("big.example.com", 80)]
 
 
 def test_salted_join(spark):
