@@ -11,8 +11,11 @@ Behavioral parity with the reference's decoder
 - unknown fields are skipped, not errors (Protobuf.hs:203-207);
 - scalar mapping: int32/64 → Int, uint/fixed → Uint, sint → zigzag Int,
   bool → Bool, enum → Uint, float/double → Double, string → String
-  (strict utf-8), bytes → Bytes; packed repeated scalars are unsupported
-  (the reference's TODO at Protobuf.hs:280 — mirrored);
+  (strict utf-8), bytes → Bytes;
+- packed repeated scalars ARE decoded (proto3 packs by default) — this
+  deliberately surpasses the reference, which TODOs them at
+  Protobuf.hs:280; the resulting tree shape is identical to the unpacked
+  encoding of the same values;
 - ``group`` wire type unsupported.
 
 No protobuf library needed: the wire format (varint / fixed32 / fixed64 /
@@ -35,6 +38,8 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
+
+import pandas as pd
 
 from .labels import BOOL, BYTES, DOUBLE, INT, STRING, UINT, Label, TreeNode, node
 
@@ -83,6 +88,61 @@ def _zigzag(v: int, bits: int) -> int:
 def _signed(v: int, bits: int) -> int:
     v &= (1 << bits) - 1
     return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+
+
+_VARINT_TYPES = ("int32", "int64", "uint32", "uint64", "sint32", "sint64",
+                 "bool", "enum")
+_FIXED32_TYPES = ("float", "fixed32", "sfixed32")
+_FIXED64_TYPES = ("double", "fixed64", "sfixed64")
+
+
+def _fixed32_label(ftype: str, raw: bytes) -> Label:
+    if ftype == "float":
+        return Label(DOUBLE, struct.unpack("<f", raw)[0])
+    if ftype == "fixed32":
+        return Label(UINT, struct.unpack("<I", raw)[0])
+    if ftype == "sfixed32":
+        return Label(INT, struct.unpack("<i", raw)[0])
+    raise ProtoError(f"{ftype} cannot use fixed32 wire")
+
+
+def _fixed64_label(ftype: str, raw: bytes) -> Label:
+    if ftype == "double":
+        return Label(DOUBLE, struct.unpack("<d", raw)[0])
+    if ftype == "fixed64":
+        return Label(UINT, struct.unpack("<Q", raw)[0])
+    if ftype == "sfixed64":
+        return Label(INT, struct.unpack("<q", raw)[0])
+    raise ProtoError(f"{ftype} cannot use fixed64 wire")
+
+
+def _decode_packed(field: Field, raw: bytes) -> list:
+    """Packed repeated scalars (proto3 packs by default).
+
+    The reference punts on these (Protobuf.hs:280 TODO); we decode them —
+    any real proto3 corpus hits packed encoding immediately.  Each value
+    becomes one occurrence, so adjacent-run grouping in decode_message
+    produces the same index-labeled tree shape as the unpacked encoding.
+    """
+    vals = []
+    if field.type in _VARINT_TYPES:
+        pos = 0
+        while pos < len(raw):
+            v, pos = _read_varint(raw, pos)
+            vals.append((node(_varint_label(field.type, v)),))
+    elif field.type in _FIXED32_TYPES:
+        if len(raw) % 4:
+            raise ProtoError("packed fixed32 run not a multiple of 4 bytes")
+        for i in range(0, len(raw), 4):
+            vals.append((node(_fixed32_label(field.type, raw[i:i + 4])),))
+    elif field.type in _FIXED64_TYPES:
+        if len(raw) % 8:
+            raise ProtoError("packed fixed64 run not a multiple of 8 bytes")
+        for i in range(0, len(raw), 8):
+            vals.append((node(_fixed64_label(field.type, raw[i:i + 8])),))
+    else:
+        raise ProtoError(f"{field.type} is not packable")
+    return vals
 
 
 def _varint_label(ftype: str, v: int) -> Label:
@@ -134,27 +194,13 @@ def _decode_fields(desc: DescMap, msg: MessageDesc, data: bytes) -> list:
                 raise ProtoError("truncated fixed32")
             raw = data[pos : pos + 4]
             pos += 4
-            if field.type == "float":
-                children = (node(Label(DOUBLE, struct.unpack("<f", raw)[0])),)
-            elif field.type == "fixed32":
-                children = (node(Label(UINT, struct.unpack("<I", raw)[0])),)
-            elif field.type == "sfixed32":
-                children = (node(Label(INT, struct.unpack("<i", raw)[0])),)
-            else:
-                raise ProtoError(f"{field.type} cannot use fixed32 wire")
+            children = (node(_fixed32_label(field.type, raw)),)
         elif wire == _FIXED64:
             if pos + 8 > n:
                 raise ProtoError("truncated fixed64")
             raw = data[pos : pos + 8]
             pos += 8
-            if field.type == "double":
-                children = (node(Label(DOUBLE, struct.unpack("<d", raw)[0])),)
-            elif field.type == "fixed64":
-                children = (node(Label(UINT, struct.unpack("<Q", raw)[0])),)
-            elif field.type == "sfixed64":
-                children = (node(Label(INT, struct.unpack("<q", raw)[0])),)
-            else:
-                raise ProtoError(f"{field.type} cannot use fixed64 wire")
+            children = (node(_fixed64_label(field.type, raw)),)
         elif wire == _LENGTHY:
             ln, pos = _read_varint(data, pos)
             if pos + ln > n:
@@ -173,10 +219,17 @@ def _decode_fields(desc: DescMap, msg: MessageDesc, data: bytes) -> list:
                 if sub is None:
                     raise ProtoError(f"unknown message type: {field.message}")
                 children = decode_message(desc, field.message, raw)
+            elif field.repeated and field.type in (
+                _VARINT_TYPES + _FIXED32_TYPES + _FIXED64_TYPES
+            ):
+                # packed repeated scalars: one occurrence per packed value
+                # (beyond the reference, which TODOs this — Protobuf.hs:280)
+                for ch in _decode_packed(field, raw):
+                    out.append((number, field, ch))
+                continue
             else:
                 raise ProtoError(
-                    f"{field.type} cannot use length-delimited wire "
-                    "(packed repeated scalars unsupported, as in the reference)"
+                    f"{field.type} cannot use length-delimited wire"
                 )
         else:
             raise ProtoError(f"unsupported wire type {wire}")
@@ -217,6 +270,41 @@ def decode_protobuf(desc: DescMap, msg_name: str, data: bytes) -> tuple:
     return decode_message(desc, msg_name, data)
 
 
+# -- Spark column path -------------------------------------------------------
+
+
+def validate_protobuf_column(col, spec_source: str, desc: DescMap,
+                             msg_name: str):
+    """Boolean Column: protobuf-encoded binary column matches the Relapse
+    spec (decode → forest → memoized derivative validator, Arrow-batched;
+    same contract as xml_source.validate_xml_column — undecodable or null
+    payloads are False, never errors)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .derive import Validator
+    from .parser import parse_grammar
+    from .smart import compile_grammar
+
+    compile_grammar(parse_grammar(spec_source))  # fail fast on driver
+
+    @pandas_udf("boolean")
+    def match(payloads: pd.Series) -> pd.Series:
+        v = Validator(compile_grammar(parse_grammar(spec_source)))
+
+        def one(raw):
+            if raw is None:
+                return False
+            try:
+                forest = decode_protobuf(desc, msg_name, bytes(raw))
+            except ProtoError:
+                return False
+            return v.validate(forest)
+
+        return payloads.map(one)
+
+    return match(col)
+
+
 # -- tiny encoder (tests / fixtures only) -----------------------------------
 
 
@@ -252,3 +340,13 @@ def encode_message_field(number: int, payload: bytes) -> bytes:
 
 def encode_double(number: int, v: float) -> bytes:
     return encode_field(number, _FIXED64, struct.pack("<d", v))
+
+
+def encode_packed_varints(number: int, vals) -> bytes:
+    payload = b"".join(encode_varint(v) for v in vals)
+    return encode_field(number, _LENGTHY, encode_varint(len(payload)) + payload)
+
+
+def encode_packed_fixed64(number: int, vals, fmt: str = "<d") -> bytes:
+    payload = b"".join(struct.pack(fmt, v) for v in vals)
+    return encode_field(number, _LENGTHY, encode_varint(len(payload)) + payload)

@@ -104,3 +104,95 @@ def test_truncated_errors():
         decode_protobuf(DESC, "Person", person_bytes()[:-3])
     with pytest.raises(ProtoError):
         decode_protobuf(DESC, "Nope", b"")
+
+
+def test_packed_repeated_scalars_match_unpacked():
+    """Packed encoding (proto3 default) must produce the same tree as the
+    unpacked encoding of the same values — beyond the reference, which
+    TODOs packed decoding at Protobuf.hs:280."""
+    from katydid_haskell_spark.relapse.protobuf_source import (
+        encode_packed_fixed64,
+        encode_packed_varints,
+    )
+
+    desc: DescMap = {
+        "M": {
+            1: Field("xs", "int64", repeated=True),
+            2: Field("ds", "double", repeated=True),
+            3: Field("ss", "sint32", repeated=True),
+        }
+    }
+    packed = (
+        encode_packed_varints(1, [3, 270, 86942])
+        + encode_packed_fixed64(2, [0.5, -1.25])
+        + encode_packed_varints(3, [1, 2])  # zigzag-encoded -1, 1
+    )
+    unpacked = (
+        encode_field(1, 0, encode_varint(3))
+        + encode_field(1, 0, encode_varint(270))
+        + encode_field(1, 0, encode_varint(86942))
+        + encode_double(2, 0.5)
+        + encode_double(2, -1.25)
+        + encode_field(3, 0, encode_varint(1))
+        + encode_field(3, 0, encode_varint(2))
+    )
+    fp = decode_protobuf(desc, "M", packed)
+    fu = decode_protobuf(desc, "M", unpacked)
+    assert fp == fu
+    assert fp == (
+        node(Label(STRING, "xs"), (
+            node(Label(INT, 0), (node(Label(INT, 3)),)),
+            node(Label(INT, 1), (node(Label(INT, 270)),)),
+            node(Label(INT, 2), (node(Label(INT, 86942)),)),
+        )),
+        node(Label(STRING, "ds"), (
+            node(Label(INT, 0), (node(Label(DOUBLE, 0.5)),)),
+            node(Label(INT, 1), (node(Label(DOUBLE, -1.25)),)),
+        )),
+        node(Label(STRING, "ss"), (
+            node(Label(INT, 0), (node(Label(INT, -1)),)),
+            node(Label(INT, 1), (node(Label(INT, 1)),)),
+        )),
+    )
+    # and the forest validates through the Relapse engine
+    g = parse('.xs: .1 == 270')
+    assert validate(g, fp)
+
+
+def test_packed_mixed_with_unpacked_runs():
+    """Proto3 parsers must accept packed and unpacked occurrences mixed on
+    the same field; adjacent-run grouping (reference semantics) applies."""
+    from katydid_haskell_spark.relapse.protobuf_source import (
+        encode_packed_varints,
+    )
+
+    desc: DescMap = {"M": {1: Field("xs", "int64", repeated=True)}}
+    data = (
+        encode_field(1, 0, encode_varint(7))
+        + encode_packed_varints(1, [8, 9])
+    )
+    f = decode_protobuf(desc, "M", data)
+    # one adjacent run of three values → one group, indexes 0..2
+    assert f == (
+        node(Label(STRING, "xs"), (
+            node(Label(INT, 0), (node(Label(INT, 7)),)),
+            node(Label(INT, 1), (node(Label(INT, 8)),)),
+            node(Label(INT, 2), (node(Label(INT, 9)),)),
+        )),
+    )
+
+
+def test_packed_truncated_fixed_run_is_error():
+    desc: DescMap = {"M": {2: Field("ds", "double", repeated=True)}}
+    bad = encode_field(2, 2, encode_varint(7) + b"\x00" * 7)
+    with pytest.raises(ProtoError):
+        decode_protobuf(desc, "M", bad)
+
+
+def test_packed_on_nonrepeated_scalar_is_error():
+    desc: DescMap = {"M": {1: Field("x", "int64")}}
+    from katydid_haskell_spark.relapse.protobuf_source import (
+        encode_packed_varints,
+    )
+    with pytest.raises(ProtoError):
+        decode_protobuf(desc, "M", encode_packed_varints(1, [1, 2]))
