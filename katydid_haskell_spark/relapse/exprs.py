@@ -447,6 +447,22 @@ def _mk_string2(name: str) -> Callable[[list], Expr]:
     return mk
 
 
+def _mk_regex(args: list) -> Expr:
+    """regex(pattern, subject) with the dialect-portability gate: a
+    CONSTANT pattern outside the portable Python/Java/RE2 common subset is
+    a compile error (translate-or-reject, SURVEY §7.3.5) — never a
+    silently path-divergent match.  Dynamic (variable) patterns can't be
+    vetted statically; they stay confined to the interpreted paths (the
+    lowering already rejects non-constant patterns)."""
+    e = _mk_string2("regex")(args)
+    pat = args[0]
+    if isinstance(pat, Const) and pat.ty == STRING:
+        from .regex_dialect import check_portable
+
+        check_portable(str(pat.value))
+    return e
+
+
 def _mk_string1(name: str) -> Callable[[list], Expr]:
     def mk(args: list) -> Expr:
         _assert_args(name, args, 1)
@@ -478,7 +494,7 @@ STDLIB: dict[str, Callable[[list], Expr]] = {
     "or": mk_or,
     "hasPrefix": _mk_string2("hasPrefix"),
     "hasSuffix": _mk_string2("hasSuffix"),
-    "regex": _mk_string2("regex"),
+    "regex": lambda args: _mk_regex(args),
     "toLower": _mk_string1("toLower"),
     "toUpper": _mk_string1("toUpper"),
     "type": mk_type,

@@ -303,8 +303,13 @@ def lower_pred(e: Expr, col: Column, ty: str) -> BExpr:
         bc = b if b_col else F.lit(b)
         return F.coalesce(ac.endswith(bc), F.lit(False))
     if name == "regex":
-        # regex(pattern, subject); Java regex dialect (documented delta vs
-        # the reference's POSIX TDFA — both are unanchored searches).
+        # regex(pattern, subject); evaluated as Java rlike here but as
+        # Python re in the derivative/automaton paths — safe because
+        # constant patterns passed expression construction only if they are
+        # in the portable Python/Java/RE2 common subset (regex_dialect.py
+        # gate; divergent constructs are compile errors, never silent
+        # path disagreement).  Both dialects are unanchored searches, like
+        # the reference's POSIX TDFA.
         pat, pat_col = _lower_val(e.args[0], col, ty)
         subj, subj_col = _lower_val(e.args[1], col, ty)
         if pat_col:

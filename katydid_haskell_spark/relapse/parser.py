@@ -62,10 +62,16 @@ class _P:
         self.n = len(s)
         self.pos = 0
         self.user_lib = user_lib
+        self._furthest: tuple = (-1, "")
 
     # -- machinery ----------------------------------------------------------
 
     def fail(self, msg: str):
+        # track the furthest failure: backtracking alternatives otherwise
+        # replace a precise semantic error (type mismatch, regex dialect)
+        # with a generic shallow one from an earlier branch point
+        if self.pos >= self._furthest[0]:
+            self._furthest = (self.pos, msg)
         raise ParseFailure(self.pos, msg)
 
     def peek(self) -> str:
@@ -647,7 +653,10 @@ def parse_grammar(s: str, user_lib: UserLib = None) -> ast.Grammar:
         if p.pos != p.n:
             p.fail("unexpected trailing input")
     except ParseFailure as f:
-        line = s.count("\n", 0, f.pos) + 1
-        col = f.pos - (s.rfind("\n", 0, f.pos) + 1) + 1
-        raise RelapseError(f"parse error at line {line} col {col}: {f.msg}") from None
+        pos, msg = f.pos, f.msg
+        if p._furthest[0] > pos:
+            pos, msg = p._furthest
+        line = s.count("\n", 0, pos) + 1
+        col = pos - (s.rfind("\n", 0, pos) + 1) + 1
+        raise RelapseError(f"parse error at line {line} col {col}: {msg}") from None
     return g
