@@ -287,13 +287,18 @@ def _q_ann_topk_brute(spark, sf_dir):
 
 
 def _q_minhash_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # testdata parquet is one 128MB-bound scan partition; spread the Arrow
+    # signature UDF across cores (production tables arrive pre-partitioned,
+    # so the operator itself never forces a shuffle)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     return dd.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32,
                                 bands=8, shingle_k=3, min_jaccard=0.4)
 
 
 def _q_simhash_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     return dd.simhash_pairs(docs, "doc_id", "text", max_hamming=8, shingle_k=2)
 
 

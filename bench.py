@@ -124,9 +124,19 @@ def run_bench() -> dict:
     spark = get_spark("bench", cores=cpus, shuffle_partitions=min(2 * cpus, 32))
     qs = entry_mod.queries()
 
-    # untimed warmup: first job pays session + executor + codegen startup
+    # untimed warmup: first job pays session + executor + codegen startup,
+    # and the first pandas UDF pays the Python worker-pool spin-up — both
+    # are session costs, not query costs
     _force(spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
         "l_returnflag").count())
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(x):
+        return x
+
+    _force(spark.range(0, 10_000, numPartitions=cpus).select(_warm("id")))
 
     per_query = {}
     for name in HEADLINE:

@@ -165,3 +165,40 @@ def test_ivf_centroids_deterministic(spark, vectors):
     c1 = sim.train_ivf_centroids(vectors, 16, n_cells=4)
     c2 = sim.train_ivf_centroids(vectors, 16, n_cells=4)
     assert c1 == c2
+
+
+def test_arrow_paths_match_catalyst_reference(spark):
+    """The Arrow-vectorized hot paths (codes / cell assignment / pair
+    cosine) must agree with the kept Catalyst reference formulations."""
+    import random
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<float>").cache()
+
+    # lsh codes
+    arrow = df.select(
+        "vec_id",
+        sim.lsh_codes_udf(16, 6, [42])(F.col("v")).getItem(0).alias("c"))
+    cata = df.select("vec_id", sim.lsh_code(F.col("v"), 16, 6, 42).alias("c"))
+    a = {r.vec_id: r.c for r in arrow.collect()}
+    b = {r.vec_id: r.c for r in cata.collect()}
+    assert a == b
+
+    # cell assignment + probe order
+    cents = sim.kmeans_unit(
+        __import__("numpy").array([r[1] for r in rows], dtype="float64"),
+        n_cells=8)
+    aa = {r.vec_id: r.c for r in df.select(
+        "vec_id", sim.cell_assign_udf(cents, 16)(F.col("v")).alias("c")).collect()}
+    cc = {r.vec_id: r.c for r in df.select(
+        "vec_id", sim.ivf_cell(F.col("v"), cents).alias("c")).collect()}
+    assert aa == cc
+
+    # pair cosine (within float tolerance of the Catalyst fold)
+    pairs = df.alias("l").join(df.alias("r"),
+                               F.col("l.vec_id") + 1 == F.col("r.vec_id"))
+    got = pairs.select(
+        sim.cosine_pairs_udf(16)(F.col("l.v"), F.col("r.v")).alias("a"),
+        sim.cosine(F.col("l.v"), F.col("r.v")).alias("b")).collect()
+    assert all(abs(r.a - r.b) < 1e-12 for r in got)
