@@ -244,8 +244,9 @@ def _q_token_counts(spark, sf_dir):
 
 
 def _q_doc_quality(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    f = tx.quality_features(F.col("text"))
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    f = tx.quality_features_udf()(F.col("text"))
     return docs.select(
         "doc_id",
         f.getField("n_words").alias("n_words"),
@@ -256,8 +257,10 @@ def _q_doc_quality(spark, sf_dir):
 
 
 def _q_doc_lang_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", tx.lang_id(F.col("text")).alias("lang_pred"))
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    return docs.select("doc_id",
+                       tx.lang_id_udf()(F.col("text")).alias("lang_pred"))
 
 
 def _q_doc_fingerprint(spark, sf_dir):

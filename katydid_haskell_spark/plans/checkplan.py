@@ -237,6 +237,263 @@ def run_table_rules(df: DataFrame, plan: CheckPlan,
     return verdicts, violations
 
 
+def run_plan_fused(df: DataFrame, plan: CheckPlan,
+                   dims: Dict[str, DataFrame],
+                   baselines: Dict[str, DataFrame],
+                   key_col: str = "url", bucket_col: str = "bucket",
+                   snapshot: str = "na") -> tuple:
+    """The whole plan in FOUR full-table passes (vs seven un-fused):
+
+      1. bucket rollup — row-rule pass counts, per-bucket stat partials
+         (count/min/max/HLL sketch, all algebraic/mergeable) and
+         referential orphan counts (broadcast left-join marker) in ONE
+         groupBy(bucket); table-scope stat/ref verdicts re-aggregate the
+         tiny per-bucket frame;
+      2. violations — row-level failures (row rules + referential) from
+         the same projection;
+      3. drift — every drift histogram from one scan via GROUPING SETS;
+      4. uniqueness — the key shuffle (inherently its own pass).
+
+    At 10^12 rows passes are the budget; this is the shape you'd run.
+    Verdict rows (schema, rule ids, pass, metric semantics) are identical
+    to the un-fused path, with one documented exception: metric
+    ``approx_distinct`` is estimated from merged per-bucket HLL sketches
+    (DataSketches hll_sketch_agg — the mergeable rollup contract) instead
+    of a global approx_count_distinct, so the estimate may differ
+    slightly.  Exact ``distinct`` rules can't ride a per-bucket rollup
+    and get one extra global pass.
+    """
+    spark = df.sparkSession
+    rules = plan.row_rules
+    cols = plan.compile_row_columns(df.schema) if rules else {}
+
+    # referential markers: broadcast left join, orphan iff no dim match
+    # (NULL fk never matches → counted as orphan, same as left_anti)
+    work = df
+    for i, r in enumerate(plan.ref_rules):
+        dimk = (dims[r.dim_name]
+                .select(F.col(r.dim_key).alias(f"__dimk_{i}"),
+                        F.lit(True).alias(f"__ref_ok_{i}"))
+                .dropDuplicates([f"__dimk_{i}"]))
+        work = work.join(F.broadcast(dimk),
+                         work[r.fk] == F.col(f"__dimk_{i}"), "left"
+                         ).drop(f"__dimk_{i}")
+
+    stat_cols = {r.column for r in plan.stat_rules}
+    ref_fk_cols = {r.fk for r in plan.ref_rules}
+    checked = work.select(
+        F.col(key_col).alias("__key"),
+        F.col(bucket_col).alias("__bucket"),
+        *[F.col(c) for c in sorted(stat_cols | ref_fk_cols)],
+        *[F.col(f"__ref_ok_{i}") for i in range(len(plan.ref_rules))],
+        *[cols[r.rule_id].alias(f"ok_{i}") for i, r in enumerate(rules)],
+    )
+
+    # ---- pass 1: one groupBy(bucket) carrying everything mergeable ----
+    aggs = [F.count(F.lit(1)).alias("rows_checked")]
+    for i, _ in enumerate(rules):
+        aggs.append(F.sum(F.col(f"ok_{i}").cast("long")).alias(f"npass_{i}"))
+    for i, _ in enumerate(plan.ref_rules):
+        aggs.append(F.sum(F.when(F.col(f"__ref_ok_{i}").isNull(), 1)
+                          .otherwise(0)).alias(f"orphans_{i}"))
+    exact_rules = []
+    for i, r in enumerate(plan.stat_rules):
+        c = r.column
+        if r.metric == "null_rate":
+            aggs.append(F.count(c).alias(f"st_nn_{i}"))
+        elif r.metric == "min":
+            aggs.append(F.min(c).alias(f"st_min_{i}"))
+        elif r.metric == "max":
+            aggs.append(F.max(c).alias(f"st_max_{i}"))
+        elif r.metric == "count":
+            aggs.append(F.count(c).alias(f"st_cnt_{i}"))
+        elif r.metric == "mean":
+            aggs.append(F.sum(c).alias(f"st_sum_{i}"))
+            aggs.append(F.count(c).alias(f"st_n_{i}"))
+        elif r.metric == "approx_distinct":
+            aggs.append(F.hll_sketch_agg(c).alias(f"st_hll_{i}"))
+        elif r.metric == "distinct":
+            exact_rules.append((i, r))  # one extra global pass below
+        else:
+            raise ValueError(f"unknown stat metric: {r.metric}")
+    rolled = checked.groupBy("__bucket").agg(*aggs).persist()
+
+    verdict_structs = [
+        F.struct(
+            F.col("__bucket").cast("int").alias("bucket_id"),
+            F.lit(r.rule_id).alias("rule_id"),
+            (F.col(f"npass_{i}") == F.col("rows_checked")).alias("pass"),
+            (F.col(f"npass_{i}") / F.col("rows_checked"))
+            .cast("double").alias("metric"),
+            F.col("rows_checked").cast("long").alias("rows_checked"),
+            F.lit(snapshot).alias("snapshot"),
+        )
+        for i, r in enumerate(rules)
+    ]
+    verdict_frames: List[DataFrame] = []
+    if verdict_structs:
+        verdict_frames.append(
+            rolled.select(F.explode(F.array(*verdict_structs)).alias("v"))
+            .select("v.*")
+        )
+
+    # table-scope finalizers over the tiny rolled frame
+    fin = [F.sum("rows_checked").alias("n")]
+    for i, r in enumerate(plan.stat_rules):
+        if r.metric == "null_rate":
+            fin.append(F.sum(f"st_nn_{i}").alias(f"f_{i}"))
+        elif r.metric == "min":
+            fin.append(F.min(f"st_min_{i}").alias(f"f_{i}"))
+        elif r.metric == "max":
+            fin.append(F.max(f"st_max_{i}").alias(f"f_{i}"))
+        elif r.metric == "count":
+            fin.append(F.sum(f"st_cnt_{i}").alias(f"f_{i}"))
+        elif r.metric == "mean":
+            fin.append((F.sum(f"st_sum_{i}") / F.sum(f"st_n_{i}"))
+                       .alias(f"f_{i}"))
+        elif r.metric == "approx_distinct":
+            fin.append(F.hll_sketch_estimate(
+                F.hll_union_agg(f"st_hll_{i}")).alias(f"f_{i}"))
+    for i, _ in enumerate(plan.ref_rules):
+        fin.append(F.sum(f"orphans_{i}").alias(f"ref_{i}"))
+    table_wide = rolled.agg(*fin)
+    for i, r in exact_rules:
+        exact = df.agg(
+            F.count_distinct(F.col(r.column)).alias(f"f_{i}"))
+        table_wide = table_wide.crossJoin(F.broadcast(exact))
+
+    table_structs = []
+    for i, r in enumerate(plan.stat_rules):
+        m = F.col(f"f_{i}")
+        if r.metric == "null_rate":
+            m = (F.col("n") - F.col(f"f_{i}")) / F.col("n")
+        table_structs.append(F.struct(
+            F.lit(r.rule_id).alias("rule_id"),
+            stats_ops._check(r.op, m, r.value, r.value_hi).alias("pass"),
+            m.cast("double").alias("metric"),
+        ))
+    for i, r in enumerate(plan.ref_rules):
+        m = F.col(f"ref_{i}")
+        table_structs.append(F.struct(
+            F.lit(r.rule_id).alias("rule_id"),
+            (m == 0).alias("pass"),
+            m.cast("double").alias("metric"),
+        ))
+    if table_structs:
+        verdict_frames.append(
+            table_wide.select(
+                F.explode(F.array(*table_structs)).alias("s"))
+            .select(
+                F.lit(TABLE_SCOPE_BUCKET).alias("bucket_id"),
+                F.col("s.rule_id").alias("rule_id"),
+                F.col("s.pass").alias("pass"),
+                F.col("s.metric").alias("metric"),
+                F.lit(None).cast("long").alias("rows_checked"),
+                F.lit(snapshot).alias("snapshot"),
+            )
+        )
+
+    # ---- pass 2: violations (row rules + referential) ----
+    viol_structs = [
+        F.when(
+            ~F.coalesce(F.col(f"ok_{i}"), F.lit(False)),
+            F.struct(
+                F.lit(r.rule_id).alias("rule_id"),
+                F.lit(r.detail or r.spec).alias("detail"),
+            ),
+        )
+        for i, r in enumerate(rules)
+    ]
+    for i, r in enumerate(plan.ref_rules):
+        viol_structs.append(
+            F.when(
+                F.col(f"__ref_ok_{i}").isNull(),
+                F.struct(
+                    F.lit(r.rule_id).alias("rule_id"),
+                    F.concat(F.lit(f"{r.fk}="),
+                             F.coalesce(F.col(r.fk).cast("string"),
+                                        F.lit("NULL")),
+                             F.lit(" not in dimension")).alias("detail"),
+                ),
+            )
+        )
+    violations = None
+    if viol_structs:
+        violations = (
+            checked.select(
+                F.col("__key"),
+                F.array_compact(F.array(*viol_structs)).alias("fails"),
+            )
+            .filter(F.size("fails") > 0)
+            .select(F.col("__key"), F.explode("fails").alias("f"))
+            .select(
+                F.col("__key").cast("string").alias("url"),
+                F.col("f.rule_id").alias("rule_id"),
+                F.col("f.detail").alias("detail"),
+            )
+        )
+
+    # ---- pass 3: all drift histograms in ONE grouping-sets scan ----
+    if plan.drift_rules:
+        gcols = [r.bucketizer().alias(f"__g_{i}")
+                 for i, r in enumerate(plan.drift_rules)]
+        names = [f"__g_{i}" for i in range(len(plan.drift_rules))]
+        hists = (
+            df.select(*gcols)
+            .groupingSets([[n] for n in names], *[F.col(n) for n in names])
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.grouping_id().alias("__gid"))
+            .persist()
+        )
+        n_drift = len(plan.drift_rules)
+        for i, r in enumerate(plan.drift_rules):
+            # grouping_id bit = 0 for the retained column
+            gid = (2 ** n_drift - 1) ^ (2 ** (n_drift - 1 - i))
+            cur = (hists.filter(F.col("__gid") == gid)
+                   .select(F.col(f"__g_{i}").alias("bucket"), "cnt"))
+            verdict_frames.append(
+                drift_ops.drift_verdict(cur, baselines[r.baseline_name],
+                                        r.rule_id, r.max_value, r.metric)
+                .select(
+                    F.lit(TABLE_SCOPE_BUCKET).alias("bucket_id"),
+                    "rule_id", "pass",
+                    F.col("metric"),
+                    F.lit(None).cast("long").alias("rows_checked"),
+                    F.lit(snapshot).alias("snapshot"),
+                )
+            )
+
+    # ---- pass 4: uniqueness (inherent key shuffle) ----
+    violation_frames: List[DataFrame] = []
+    for r in plan.unique_rules:
+        dups = uniq_ops.duplicate_keys(df, [r.key]).persist()
+        verdict_frames.append(
+            dups.agg(F.count(F.lit(1)).alias("dup_keys")).select(
+                F.lit(TABLE_SCOPE_BUCKET).alias("bucket_id"),
+                F.lit(r.rule_id).alias("rule_id"),
+                (F.col("dup_keys") == 0).alias("pass"),
+                F.col("dup_keys").cast("double").alias("metric"),
+                F.lit(None).cast("long").alias("rows_checked"),
+                F.lit(snapshot).alias("snapshot"),
+            )
+        )
+        violation_frames.append(
+            dups.select(
+                F.col(r.key).cast("string").alias("url"),
+                F.lit(r.rule_id).alias("rule_id"),
+                F.concat(F.lit("duplicate count="), F.col("dup_count"),
+                         ).alias("detail"),
+            )
+        )
+
+    verdicts = None
+    for f in verdict_frames:
+        verdicts = f if verdicts is None else verdicts.unionByName(f)
+    for f in violation_frames:
+        violations = f if violations is None else violations.unionByName(f)
+    return verdicts, violations
+
+
 def topk_violations(violations: DataFrame, k: int = 20) -> DataFrame:
     """At most k example violations per rule (deterministic by url order).
 

@@ -39,12 +39,27 @@ def run_plan(df: DataFrame, plan: CheckPlan,
              dims: Optional[Dict[str, DataFrame]] = None,
              baselines: Optional[Dict[str, DataFrame]] = None,
              key_col: str = "url", bucket_col: str = "bucket",
-             snapshot: str = "na") -> RunResult:
-    """Execute every rule class; returns lazily-evaluated sink frames."""
+             snapshot: str = "na", fused: bool = True) -> RunResult:
+    """Execute every rule class; returns lazily-evaluated sink frames.
+
+    ``fused=True`` (default) runs the four-pass fused plan
+    (checkplan.run_plan_fused — stats and referential ride the bucket
+    rollup, all drift histograms share one GROUPING SETS scan); the
+    un-fused rule-class-per-pass path is kept for cross-checking
+    (``tests/test_pages_pipeline.py`` asserts both produce the same
+    verdicts).
+    """
+    from .checkplan import run_plan_fused
+
     spark = df.sparkSession
-    rv, rviol = run_row_rules(df, plan, key_col, bucket_col, snapshot)
-    tv, tviol = run_table_rules(df, plan, dims or {}, baselines or {},
-                                key_col, snapshot)
+    if fused:
+        rv, rviol = run_plan_fused(df, plan, dims or {}, baselines or {},
+                                   key_col, bucket_col, snapshot)
+        tv = tviol = None
+    else:
+        rv, rviol = run_row_rules(df, plan, key_col, bucket_col, snapshot)
+        tv, tviol = run_table_rules(df, plan, dims or {}, baselines or {},
+                                    key_col, snapshot)
     empty_v = spark.createDataFrame([], VERDICT_SCHEMA)
     empty_viol = spark.createDataFrame([], VIOLATION_SCHEMA)
     verdicts = empty_v

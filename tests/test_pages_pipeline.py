@@ -124,3 +124,34 @@ def test_resumable(spark, pages, tmp_path):
     t2 = (v2.where("bucket_id = -1")
           .groupBy("rule_id").count().where("count > 1").count())
     assert t2 == 0
+
+
+def test_fused_plan_matches_unfused(spark, pages):
+    """run_plan(fused=True) — 4 full-table passes — must produce the same
+    verdicts and violations as the rule-class-per-pass path (the only
+    allowed delta: approx_distinct estimates, HLL++ vs merged
+    DataSketches)."""
+    plan = default_pages_plan(expect_rows=N)
+    dims = {"lang_dim": lang_dim_df(spark)}
+    baselines = pages_baselines(spark, pages_df(spark, N, drifted=False))
+    a = run_plan(pages, plan, dims, baselines, snapshot="s", fused=True)
+    b = run_plan(pages, plan, dims, baselines, snapshot="s", fused=False)
+
+    def vkey(rows):
+        out = {}
+        for r in rows:
+            out[(r.bucket_id, r.rule_id)] = (
+                r["pass"], round(r.metric, 9) if r.metric is not None else None,
+                r.rows_checked)
+        return out
+
+    va, vb = vkey(a.verdicts.collect()), vkey(b.verdicts.collect())
+    assert set(va) == set(vb)
+    for k in va:
+        if k[1] == "url_distinct":  # approx estimator may differ slightly
+            assert abs(va[k][1] - vb[k][1]) / max(vb[k][1], 1) < 0.05
+            continue
+        assert va[k] == vb[k], f"{k}: fused={va[k]} unfused={vb[k]}"
+    sa = sorted((r.url, r.rule_id, r.detail) for r in a.violations.collect())
+    sb = sorted((r.url, r.rule_id, r.detail) for r in b.violations.collect())
+    assert sa == sb

@@ -202,3 +202,19 @@ def test_arrow_paths_match_catalyst_reference(spark):
         sim.cosine_pairs_udf(16)(F.col("l.v"), F.col("r.v")).alias("a"),
         sim.cosine(F.col("l.v"), F.col("r.v")).alias("b")).collect()
     assert all(abs(r.a - r.b) < 1e-12 for r in got)
+
+
+def test_textops_arrow_matches_catalyst(spark, docs):
+    got_c = docs.select(
+        "doc_id",
+        tx.lang_id(F.col("text")).alias("lang"),
+        tx.quality_features(F.col("text")).alias("f"),
+    ).collect()
+    got_a = docs.select(
+        "doc_id",
+        tx.lang_id_udf()(F.col("text")).alias("lang"),
+        tx.quality_features_udf()(F.col("text")).alias("f"),
+    ).collect()
+    ca = {r.doc_id: (r.lang, tuple(r.f)) for r in got_c}
+    aa = {r.doc_id: (r.lang, tuple(r.f)) for r in got_a}
+    assert ca == aa
