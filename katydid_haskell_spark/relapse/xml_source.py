@@ -2,8 +2,14 @@
 
 ``/root/reference/src/Data/Katydid/Parser/Xml.hs:23-47``: element tag →
 node labeled ``String localName``; text content parsed as ``Int`` when
-possible else ``String``; attributes unsupported (reference TODO at
-Xml.hs:40 — we mirror the omission for parity and note it).
+possible else ``String``.
+
+Attributes: the reference TODOs them (Xml.hs:40, silently dropped).  We
+decode them — silently dropping data a validator should see is worse than
+a representational choice — as leading child nodes labeled by attribute
+local name, value parsed like text (``<a href="x">`` →
+``node("a", [node("href", [node("x")]), …])``).  ``attrs=False`` restores
+the reference's drop-them behavior for byte parity.
 
 Whitespace-only text between elements is skipped (the reference's parser
 produces no node for it).
@@ -38,19 +44,26 @@ def _text_forest(text: Optional[str]) -> tuple:
     return (node(Label(STRING, text)),)
 
 
-def _elem_to_node(e) -> tuple:
+def _elem_to_node(e, attrs: bool = True) -> tuple:
     children = []
+    if attrs:
+        for k, v in e.attrib.items():
+            children.append(
+                node(Label(STRING, k.split("}")[-1]), _text_forest(v)))
     children.extend(_text_forest(e.text))
     for c in e:
-        children.extend(_elem_to_node(c))
+        children.extend(_elem_to_node(c, attrs))
         children.extend(_text_forest(c.tail))
     tag = e.tag.split("}")[-1]  # strip namespace → localName
     return (node(Label(STRING, tag), tuple(children)),)
 
 
-def decode_xml(s: str) -> tuple:
-    """XML document string → forest (single root element node)."""
-    return _elem_to_node(ET.fromstring(s))
+def decode_xml(s: str, attrs: bool = True) -> tuple:
+    """XML document string → forest (single root element node).
+
+    ``attrs=True`` (default) decodes attributes as leading child nodes —
+    beyond the reference, which drops them (Xml.hs:40 TODO)."""
+    return _elem_to_node(ET.fromstring(s), attrs)
 
 
 _VALIDATORS: dict = {}

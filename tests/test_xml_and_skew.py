@@ -75,3 +75,39 @@ def test_two_phase_agg(spark):
     out = {r["g"]: r["distinct_count"] for r in
            skew.two_phase_agg(df, ["g"], "x", n_salts=4).collect()}
     assert out == {"g1": 17, "g2": 5}
+
+
+def test_xml_attributes_decoded():
+    """Attributes become leading child nodes (beyond the reference's
+    Xml.hs:40 TODO); attrs=False restores reference drop-them parity."""
+    from katydid_haskell_spark.relapse import parse, validate
+    from katydid_haskell_spark.relapse.labels import INT, STRING, Label, node
+    from katydid_haskell_spark.relapse.xml_source import decode_xml
+
+    doc = '<a href="https://x.com" n="5"><b>hi</b></a>'
+    f = decode_xml(doc)
+    assert f == (
+        node(Label(STRING, "a"), (
+            node(Label(STRING, "href"), (node(Label(STRING, "https://x.com")),)),
+            node(Label(STRING, "n"), (node(Label(INT, 5)),)),
+            node(Label(STRING, "b"), (node(Label(STRING, "hi")),)),
+        )),
+    )
+    assert validate(parse('a: .href ^= "https://"'), f)
+    assert validate(parse("a: .n == 5"), f)
+    assert not validate(parse("a: .n == 6"), f)
+    # reference-parity mode: attributes dropped
+    f0 = decode_xml(doc, attrs=False)
+    assert f0 == (
+        node(Label(STRING, "a"), (
+            node(Label(STRING, "b"), (node(Label(STRING, "hi")),)),
+        )),
+    )
+
+
+def test_xml_column_sees_attributes(spark):
+    docs = ['<p id="7"><v>1</v></p>', '<p id="8"><v>1</v></p>', '<p><v>1</v></p>']
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    got = [r["m"] for r in df.select(
+        validate_xml_column(F.col("doc"), "p: .id == 7").alias("m")).collect()]
+    assert got == [True, False, False]
