@@ -155,3 +155,20 @@ def test_fused_plan_matches_unfused(spark, pages):
     sa = sorted((r.url, r.rule_id, r.detail) for r in a.violations.collect())
     sb = sorted((r.url, r.rule_id, r.detail) for r in b.violations.collect())
     assert sa == sb
+
+
+def test_fused_plan_prunes_unused_columns(spark, tmp_path):
+    """Column pruning must reach the scan: the fused plan reads
+    url/warc_ts/text/lang/bucket — never the html payload (which is most
+    of the bytes at web scale)."""
+    path = str(tmp_path / "pages_pq")
+    with_bucket(pages_df(spark, 500)).write.parquet(path)
+    pages = spark.read.parquet(path)
+    plan = default_pages_plan(expect_rows=500)
+    dims = {"lang_dim": lang_dim_df(spark)}
+    baselines = pages_baselines(spark, pages_df(spark, 500, drifted=False))
+    r = run_plan(pages, plan, dims, baselines, snapshot="s")
+    for df in (r.verdicts, r.violations):
+        explained = df._jdf.queryExecution().executedPlan().toString()
+        for rs in [l for l in explained.splitlines() if "ReadSchema" in l]:
+            assert "html" not in rs, rs
