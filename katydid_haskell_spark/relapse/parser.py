@@ -455,6 +455,14 @@ class _P:
                     self.fail(str(err))
             return ast.ZAny()
         if c == "(":
+            # name-choice treenode `(a|b):pat` — in the reference grammar
+            # this production is unreachable (the un-try'd '(' commits to a
+            # paren pattern, ParserSpec has no case for it) but the language
+            # clearly intends it (nameChoice exists in the AST); we support
+            # it, falling back to the paren pattern on backtrack.
+            r = self.attempt(self._name_choice_treenode)
+            if r is not _NOPE:
+                return r
             return self._paren_pattern()
         if c == "@":
             self.pos += 1
@@ -523,6 +531,23 @@ class _P:
                 out = ast.And(out, p)
             return out
         self.fail("expected ')', '|' or '&'")
+
+    def _name_choice_treenode(self) -> ast.Pattern:
+        """`(n1|n2|…): pat` — a treenode whose name is a choice.  Only
+        entered on '('; name_expr requires ≥2 alternatives inside parens,
+        so `(pat)` / `(p | q)` pattern groups backtrack to _paren_pattern."""
+        if self.peek() != "(":
+            self.fail("not a name choice")
+        name = self.name_expr()
+        self.ws()
+        save = self.pos
+        if self.try_eat(":"):
+            self.ws()
+            r = self.attempt(self.pattern)
+            if r is not _NOPE:
+                return ast.Node(name, r)
+            self.pos = save
+        return ast.Node(name, self._depth_only())
 
     def _treenode_pattern(self) -> ast.Pattern:
         name = self.name_expr()

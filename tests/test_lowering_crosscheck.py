@@ -117,6 +117,7 @@ def test_catalyst_matches_derivative(spark, df, spec):
 
 
 JSON_SPECS = [
+    '(a|b): == 1',  # name-choice treenode (beyond the reference grammar)
     'a == 1',
     '(a == 1 | b == "x")',
     '.c == 2',

@@ -282,3 +282,23 @@ def test_comments():
 def test_udf_unknown_fails():
     with pytest.raises(RelapseError):
         parse_grammar("->isPrime($int)")
+
+
+def test_name_choice_treenode():
+    """`(a|b):pat` at pattern level — beyond the reference, whose Parsec
+    grammar can never reach nameChoice from a pattern (un-try'd '(');
+    the AST production exists there, so the language intends it."""
+    got = parse_grammar("(a|b): == 5")
+    want = {
+        "main": ast.Node(
+            Func("or", BOOL, (eq_name("a"), eq_name("b"))),
+            ast.Node(Func("eq", BOOL, (Var(INT), Const(INT, 5))), E),
+        )
+    }
+    assert got == want
+    # not-name inside a choice
+    g2 = parse_grammar("(a|b|c): *")
+    assert isinstance(g2["main"], ast.Node)
+    # plain paren groups still parse as pattern alternation / conjunction
+    assert parse_grammar("(* | *)") == {"main": ast.Or(Z, Z)}
+    assert parse_grammar("(* & *)") == {"main": ast.And(Z, Z)}
