@@ -100,3 +100,39 @@ def monotonic_check(stream: DataFrame, key_col: str, seq_col: str,
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_dedup(stream: DataFrame, key_cols: List[str], ts_col: str,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: keep the first record per key within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` — state is
+    bounded by the watermark, unlike plain dropDuplicates whose state
+    grows forever on an unbounded key space)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols)
+    )
+
+
+def foreach_batch_plan(plan: CheckPlan, dims, baselines, out_dir: str,
+                       key_col: str = "url", bucket_col: str = "bucket"):
+    """foreachBatch bridge: run the FUSED CheckPlan on every micro-batch
+    and append verdicts/violations parquet keyed by (snapshot=batch id).
+
+    This is the streaming shape of the batch runner: the same compiled
+    plan, per-micro-batch lineage via the snapshot column, idempotent on
+    retries because the batch id is stable."""
+    from ..plans.runner import run_plan
+
+    def run(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = run_plan(batch_df, plan, dims, baselines,
+                       key_col=key_col, bucket_col=bucket_col,
+                       snapshot=f"batch-{batch_id}")
+        (res.verdicts.write.mode("append")
+         .parquet(f"{out_dir}/verdicts"))
+        (res.violations.write.mode("append")
+         .parquet(f"{out_dir}/violations"))
+
+    return run

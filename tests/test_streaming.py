@@ -90,3 +90,54 @@ def test_monotonic_state(spark, stream_dir):
     _run_to_memory(out, "mono")
     rows = [tuple(r) for r in spark.sql("select * from mono").collect()]
     assert rows == [(1, 3, 2)]
+
+
+def test_stream_dedup(spark, stream_dir, tmp_path):
+    from katydid_haskell_spark.streaming.stream_checks import stream_dedup
+
+    # duplicate one url within the watermark horizon
+    dup = spark.createDataFrame(
+        [("https://a/1", "2025-01-01 00:00:05", "en", 9, 3)],
+        "url string, ts string, lang string, seq long, user long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    d2 = str(tmp_path / "dedup_in")
+    spark.read.parquet(stream_dir).unionByName(dup).coalesce(1) \
+        .write.parquet(d2)
+    stream = spark.readStream.schema(SCHEMA).parquet(d2)
+    out = stream_dedup(stream, ["url"], "ts", watermark="10 minutes")
+    _run_to_memory(out, "dedup_t")
+    rows = spark.sql("SELECT url FROM dedup_t").collect()
+    urls = [r.url for r in rows]
+    assert len(urls) == len(set(urls)) == 5  # 6 inputs, 1 dup dropped
+
+
+def test_foreach_batch_plan(spark, stream_dir, tmp_path):
+    from katydid_haskell_spark.plans.checkplan import UniqueRule
+    from katydid_haskell_spark.streaming.stream_checks import (
+        foreach_batch_plan,
+    )
+
+    plan = CheckPlan(
+        row_rules=PLAN.row_rules,
+        unique_rules=[UniqueRule("unique_url", "url")],
+    )
+    out_dir = str(tmp_path / "plan_out")
+    stream = (
+        spark.readStream.schema(SCHEMA).parquet(stream_dir)
+        .withColumn("bucket",
+                    F.pmod(F.xxhash64("url"), F.lit(4)).cast("int"))
+    )
+    q = (
+        stream.writeStream
+        .foreachBatch(foreach_batch_plan(plan, {}, {}, out_dir))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    v = spark.read.parquet(f"{out_dir}/verdicts")
+    assert v.where("rule_id = 'url_https'").count() > 0
+    assert v.where("bucket_id = -1 AND rule_id = 'unique_url'").count() == 1
+    assert v.select("snapshot").distinct().collect()[0][0].startswith("batch-")
+    viol = spark.read.parquet(f"{out_dir}/violations")
+    assert viol.where("rule_id = 'url_https'").count() == 1  # http://b/3
