@@ -72,14 +72,16 @@ HEADLINE = [
 ]
 
 
-def pages_throughput(spark, n_rows: int, warmup: bool = False) -> float:
+def pages_throughput(spark, n_rows: int, warmup: bool = False,
+                     warm_passes: int | None = None, reps: int = 1) -> float:
     """Full constraint suite (row + table rules) over n_rows pages →
-    docs/sec validated.  Input is materialized (cached + counted) first so
+    docs/sec validated.  Input is materialized (cached + counted) once so
     the timing measures validation, not generation.
 
-    ``warmup=True`` runs the suite once untimed first: JVM JIT + codegen
-    warm-up dominates a single cold run (measured up to 3x), so scaling
-    comparisons use steady-state timings."""
+    JIT/codegen warm-up accumulates over SEVERAL suite iterations
+    (measured: 8.7s, 7.7s, 8.7s, 3.8s for identical passes), so
+    steady-state numbers need ``warm_passes>=2`` untimed iterations and a
+    median over ``reps`` timed ones."""
     from pyspark.sql import functions as F
 
     from katydid_haskell_spark.plans.pages_plan import (
@@ -93,7 +95,10 @@ def pages_throughput(spark, n_rows: int, warmup: bool = False) -> float:
         with_bucket,
     )
 
-    pages = with_bucket(pages_df(spark, n_rows)).persist()
+    # html is dropped before caching: the constraint suite reads
+    # url/warc_ts/text/lang/bucket only, and caching the payload doubles
+    # the timed pass's memory traffic (measured 6.2s vs 3.4s at 1M rows)
+    pages = with_bucket(pages_df(spark, n_rows)).drop("html").persist()
     pages.count()  # materialize outside the timed window
     plan = default_pages_plan(expect_rows=n_rows)
     baselines = {
@@ -104,16 +109,20 @@ def pages_throughput(spark, n_rows: int, warmup: bool = False) -> float:
     }
     for b in baselines.values():
         b.count()
-    if warmup:
+    if warm_passes is None:
+        warm_passes = 1 if warmup else 0
+    for w in range(warm_passes):
         warm = run_plan(pages, plan, {"lang_dim": lang_dim_df(spark)},
-                        baselines, snapshot="warmup")
-        _force(warm.verdicts)
-        _force(warm.violations)
-    t0 = time.perf_counter()
-    res = run_plan(pages, plan, {"lang_dim": lang_dim_df(spark)}, baselines,
-                   snapshot="bench")
-    _force_all(res.verdicts, res.violations)
-    dt = time.perf_counter() - t0
+                        baselines, snapshot=f"warmup{w}")
+        _force_all(warm.verdicts, warm.violations)
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        res = run_plan(pages, plan, {"lang_dim": lang_dim_df(spark)},
+                       baselines, snapshot=f"bench{i}")
+        _force_all(res.verdicts, res.violations)
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
     pages.unpersist()
     return n_rows / dt, dt
 
@@ -159,8 +168,20 @@ def run_bench() -> dict:
         # later timings via GC pressure
         spark.catalog.clearCache()
 
-    n_pages = max(int(1_000_000 * sf), 2000)
-    docs_per_sec, pages_sec = pages_throughput(spark, n_pages, warmup=True)
+    # pages throughput in a FRESH subprocess: a session that has churned
+    # through 26 queries of cache/uncache degrades heap locality ~3x, and
+    # running the 1M-row suite first degrades the query timings instead —
+    # isolate both.  10x the sf-scaled row count because at 100k rows
+    # constant stage latency under-reports steady state ~40x; median of 3
+    # timed passes (see BENCH/BASELINE.md methodology).
+    n_pages = max(int(10_000_000 * sf), 2000)
+    child = subprocess.run(
+        [sys.executable, __file__, "--pages-child", str(n_pages)],
+        capture_output=True, text=True, cwd=os.path.dirname(__file__) or ".",
+    )
+    lines = [l for l in child.stdout.splitlines() if l.startswith("{")]
+    pc = json.loads(lines[-1]) if lines else {"docs_per_sec": 0, "sec": -1.0}
+    docs_per_sec, pages_sec = pc["docs_per_sec"], pc["sec"]
     per_query["pages_validation"] = round(pages_sec, 3)
 
     total = round(sum(per_query.values()), 3)
@@ -175,6 +196,19 @@ def run_bench() -> dict:
     }
     spark.stop()
     return out
+
+
+def pages_child(n_rows: int) -> None:
+    """Fresh-process pages-throughput measurement (median of 3)."""
+    os.environ.setdefault("SPARK_GRAFT_AQE", "false")
+    from katydid_haskell_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench-pages", cores=cpus, shuffle_partitions=32)
+    _, sec = pages_throughput(spark, n_rows, warm_passes=3, reps=3)
+    spark.stop()
+    print(json.dumps({"docs_per_sec": round(n_rows / sec), "sec": round(sec, 3),
+                      "rows": n_rows}))
 
 
 def scaling_gen(n_rows: int, path: str) -> None:
@@ -328,7 +362,9 @@ pairs.
 
 
 if __name__ == "__main__":
-    if "--scaling-gen" in sys.argv:
+    if "--pages-child" in sys.argv:
+        pages_child(int(sys.argv[sys.argv.index("--pages-child") + 1]))
+    elif "--scaling-gen" in sys.argv:
         i = sys.argv.index("--scaling-gen")
         scaling_gen(int(sys.argv[i + 1]), sys.argv[i + 2])
     elif "--scaling-child" in sys.argv:
