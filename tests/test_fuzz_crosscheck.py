@@ -20,6 +20,11 @@ SCHEMA = T.StructType([
     T.StructField("n", T.LongType()),
     T.StructField("score", T.DoubleType()),
     T.StructField("flag", T.BooleanType()),
+    T.StructField("tags", T.ArrayType(T.StringType())),
+    T.StructField("meta", T.StructType([
+        T.StructField("author", T.StringType()),
+        T.StructField("year", T.LongType()),
+    ])),
 ])
 
 rng = random.Random(7)
@@ -39,6 +44,10 @@ def rand_row():
         "n": maybe(rng.choice(INTS)),
         "score": maybe(rng.choice(DOUBLES)),
         "flag": maybe(rng.choice([True, False])),
+        "tags": maybe([rng.choice(["t1", "t2", "x", ""])
+                       for _ in range(rng.randrange(0, 4))]),
+        "meta": maybe({"author": maybe(rng.choice(STRINGS)),
+                       "year": maybe(rng.choice(INTS))}),
     }
 
 
@@ -68,7 +77,16 @@ def pred_comp(depth=2):
 
 
 def leaf_spec():
-    kind = rng.randrange(9)
+    kind = rng.randrange(12)
+    if kind == 9:
+        return f'.tags: (_: ^= "{rng.choice(["t", "x"])}")*'
+    if kind == 10:
+        return f'.tags: ._ == "{rng.choice(["t1", "x", ""])}"'
+    if kind == 11:
+        sub = rng.choice([
+            'author ^= "d"', "year: >= 0", 'author == "en"', "year == 42",
+        ])
+        return f".meta: .{sub}"
     if kind == 8:
         field = rng.choice(["url", "lang", "n", "score", "flag"])
         return f".{field}: -> {pred_comp()}"
@@ -100,7 +118,7 @@ def rand_spec(depth=2):
     return s
 
 
-N_SPECS = 60
+N_SPECS = 80
 N_ROWS = 25
 
 
@@ -110,9 +128,16 @@ def test_fuzz_catalyst_vs_derivative(spark):
     grammars = [compile_grammar(parse_grammar(s)) for s in specs]
     cols = [compile_to_column(g, SCHEMA).alias(f"c{i}")
             for i, g in enumerate(grammars)]
-    df = spark.createDataFrame(
-        [tuple(r[f.name] for f in SCHEMA.fields) for r in rows], SCHEMA
-    )
+    def spark_row(r):
+        vals = []
+        for f in SCHEMA.fields:
+            v = r[f.name]
+            if f.name == "meta" and v is not None:
+                v = (v["author"], v["year"])
+            vals.append(v)
+        return tuple(vals)
+
+    df = spark.createDataFrame([spark_row(r) for r in rows], SCHEMA)
     got = df.select(*cols).collect()
     for i, g in enumerate(grammars):
         v = Validator(g)
