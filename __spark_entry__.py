@@ -299,6 +299,14 @@ def _q_minhash_pairs(spark, sf_dir):
                                 bands=8, shingle_k=3, min_jaccard=0.4)
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32,
+                                 bands=8, shingle_k=3, min_jaccard=0.4)
+    return dd.connected_components(pairs)
+
+
 def _q_simhash_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
@@ -462,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": _q_exact_dup_groups,
         "ann_topk_brute": _q_ann_topk_brute,
         "minhash_pairs": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_topk": _q_lsh_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
@@ -742,6 +751,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": orc.minhash_pairs_sql(
             num_hashes=32, bands=8, shingle_k=3, min_jaccard=0.4),
         "simhash_pairs": orc.simhash_pairs_sql(max_hamming=8, shingle_k=2),
+        "dedup_clusters": orc.dedup_clusters_sql(
+            num_hashes=32, bands=8, shingle_k=3, min_jaccard=0.4),
         "lsh_topk": orc.lsh_topk_sql(dim=64, k=10, n_bits=8, nprobe=3),
         "embedding_neardup": orc.embedding_neardup_sql(
             dim=64, min_cos=0.4, n_bits=8, bands=3),

@@ -60,6 +60,7 @@ HEADLINE = [
     "doc_fingerprint",
     "ann_topk_brute",
     "minhash_pairs",
+    "dedup_clusters",
     "simhash_pairs",
     "lsh_topk",
     "ann_topk_ivf",

@@ -11,10 +11,13 @@ Five families, each designed around Spark's shuffle model:
   pairs agreeing on ≥1 band with Hamming distance ≤ k (bit ops, JVM-side).
 - **n-gram Jaccard**: exact verification on candidate pairs only.
 - **embedding cosine**: see :mod:`.similarity` (near-dup = cosine ≥ τ).
+- **clustering**: :func:`connected_components` turns verified pairs into
+  dedup groups (min-label propagation; canonical = min doc id).
 
 MinHash signatures use the classic ``(a*x + b) mod p`` permutations over
-xxhash64 shingle hashes — all computed with built-in higher-order array
-functions (``transform``/``aggregate``), no Python in the row path.
+md5-derived word/shingle hashes (md5 so the DuckDB oracle can re-derive
+the identical signatures), computed as Arrow-batched numpy on the hot
+path with pure-Catalyst formulations kept for cross-checks.
 """
 
 from __future__ import annotations
@@ -459,3 +462,60 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: pairs → connected components → dedup groups
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iter: int = 25) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in the pair graph; cluster_id =
+    min doc id reachable (the canonical representative).
+
+    Min-label propagation: each iteration joins labels to the symmetrized
+    edge list and takes the per-node min of self + neighbor labels,
+    converging in O(component diameter) iterations (near-dup components
+    are shallow in practice — dup clusters are quasi-cliques).  Each
+    iteration is one shuffle join + one aggregation; the driver loop stops
+    at a fixpoint (an exact count of changed labels — a cheap action on
+    the label frame, never a collect of it).  For adversarial
+    long-chain graphs at 10^9+ nodes, swap in the large-star/small-star
+    alternating algorithm (same join/agg primitives, O(log n) rounds).
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    sym = edges.union(edges.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b"))).distinct()
+    labels = (sym.select(F.col("a").alias("id"))
+              .distinct()
+              .withColumn("label", F.col("id"))
+              .persist())
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy("a").agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nmin"), F.col("label")))
+                .alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))

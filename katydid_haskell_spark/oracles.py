@@ -410,3 +410,25 @@ def pages_verdicts_sql(n_rows: int = 2000, seed: int = 42,
            CAST(0 AS BIGINT) AS rows_checked, '{snapshot}' AS snapshot
     FROM tablev
     """
+
+
+def dedup_clusters_sql(num_hashes: int = 32, bands: int = 8,
+                       shingle_k: int = 3, min_jaccard: float = 0.4) -> str:
+    """Connected components over the minhash pair graph via a recursive
+    transitive-closure CTE: cluster_id = MIN reachable doc id — the same
+    canonical-representative contract as operators.dedup.connected_components."""
+    pairs = minhash_pairs_sql(num_hashes, bands, shingle_k, min_jaccard)
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT id_a, id_b FROM ({pairs}) p
+    ),
+    sym(a, b) AS (
+      SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT a, a FROM sym
+      UNION
+      SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """

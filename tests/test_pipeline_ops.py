@@ -218,3 +218,15 @@ def test_textops_arrow_matches_catalyst(spark, docs):
     ca = {r.doc_id: (r.lang, tuple(r.f)) for r in got_c}
     aa = {r.doc_id: (r.lang, tuple(r.f)) for r in got_a}
     assert ca == aa
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.doc_id: r.cluster_id
+           for r in dd.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,           # 4-chain
+                   10: 10, 11: 10,                   # pair
+                   20: 20, 21: 20, 22: 20}           # triangle
