@@ -83,6 +83,56 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col, mime_col).mapInPandas(run, out_schema)
 
 
+_RESIZER: Optional[Callable[[bytes, str, int, int], bytes]] = None
+
+
+def register_resizer(fn: Callable[[bytes, str, int, int], bytes]) -> None:
+    """Install a real image resizer: fn(payload, mime, w, h) -> payload."""
+    global _RESIZER
+    _RESIZER = fn
+
+
+def _fake_resize(payload: bytes, mime: str, w: int, h: int) -> bytes:
+    """Deterministic stand-in (no codecs in this sandbox): tag + truncate
+    proportionally to the pixel-count ratio, so output sizes behave like a
+    real re-encode and the Spark plumbing (schema, batch shape,
+    partition-parallel Arrow exchange) is exercised for real."""
+    header = f"resized:{w}x{h}:".encode()
+    keep = max(1, min(len(payload), (len(payload) * w * h) // max(1, 1 << 20)))
+    return header + (payload or b"")[:keep]
+
+
+def resize_media(df: DataFrame, width: int, height: int,
+                 payload_col: str = "payload", mime_col: str = "mime",
+                 id_col: str = "media_id") -> DataFrame:
+    """media → (media_id, payload: binary, width, height) resized via
+    Arrow-batched mapInPandas (the codec itself is pluggable —
+    register_resizer; the sandbox default is a deterministic fake)."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        resize = _RESIZER or _fake_resize
+        for b in batches:
+            out = [
+                resize(p if p is not None else b"", m, width, height)
+                for p, m in zip(b[payload_col], b[mime_col])
+            ]
+            yield pd.DataFrame({
+                "media_id": b[id_col],
+                "payload": out,
+                "width": [width] * len(b),
+                "height": [height] * len(b),
+            })
+
+    return df.select(id_col, payload_col, mime_col).mapInPandas(
+        run, out_schema)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms).
 

@@ -230,3 +230,19 @@ def test_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,           # 4-chain
                    10: 10, 11: 10,                   # pair
                    20: 20, 21: 20, 22: 20}           # triangle
+
+
+def test_resize_media(spark):
+    media = mm.synthetic_media_df(spark, 20)
+    out = mm.resize_media(media, 64, 64)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r.width == 64 and r.height == 64 for r in rows)
+    assert all(bytes(r.payload).startswith(b"resized:64x64:") for r in rows)
+    # pluggable codec: a registered resizer takes over
+    mm.register_resizer(lambda p, m, w, h: b"real")
+    try:
+        got = mm.resize_media(media, 8, 8).collect()
+        assert all(bytes(r.payload) == b"real" for r in got)
+    finally:
+        mm.register_resizer(None)
