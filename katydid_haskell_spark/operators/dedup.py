@@ -439,13 +439,22 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         k: int = 3, min_jaccard: float = 0.8,
-                        group_col: Column | None = None) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs.
+                        group_col: Column | None = None,
+                        allow_cross_join: bool = False) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs within a blocking key.
 
-    ``group_col`` restricts the self-join to a blocking key (default: exact
-    fingerprint prefix bucketing would be a full cross join — callers at
-    scale MUST pass a blocking key; tests may pass a constant).
+    ``group_col`` restricts the self-join to a blocking key — REQUIRED:
+    without one this is a full O(n²) cross join, which is never the right
+    plan at scale (use minhash_lsh_pairs for candidate generation, or pass
+    e.g. a length-bucket/lang key).  Small exact runs (tests, verification
+    of a bounded candidate set) may opt in with ``allow_cross_join=True``.
     """
+    if group_col is None and not allow_cross_join:
+        raise ValueError(
+            "ngram_jaccard_pairs without group_col is a full cross join; "
+            "pass a blocking key, or allow_cross_join=True for small exact "
+            "runs"
+        )
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         shingles(F.col(text_col), k).alias("sh"),

@@ -56,8 +56,11 @@ def test_simhash(spark, docs):
 
 
 def test_ngram_jaccard(spark, docs):
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dd.ngram_jaccard_pairs(docs, "doc_id", "text", k=2, min_jaccard=0.4)
     pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", k=2,
-                                   min_jaccard=0.4)
+                                   min_jaccard=0.4, allow_cross_join=True)
     got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
     assert got[(0, 1)] == 1.0
     assert got[(0, 6)] == 1.0
