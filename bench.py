@@ -8,9 +8,16 @@ Prints ONE JSON line:
 Env:
   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    (default 32)
-  BENCH_SCALING=1     → additionally run the pages validation job at
-                        local[8] and local[32] in subprocesses and append
-                        the scaling table to BENCH/BASELINE.md.
+  BENCH_SCALING_ROWS  rows for --scaling (default 12,000,000)
+
+Modes:
+  python bench.py            → headline queries + pages throughput (the
+                               pages flagship runs in its own subprocess,
+                               3 warm passes + median of 3 timed)
+  python bench.py --scaling  → N-vs-4N scaling evidence at local[2/8/32]
+                               over a generate-once parquet input; writes
+                               BENCH/BASELINE.md (incl. the memory-
+                               bandwidth ceiling controls)
 """
 
 from __future__ import annotations
