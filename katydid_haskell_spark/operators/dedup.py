@@ -501,6 +501,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
               .distinct()
               .withColumn("label", F.col("id"))
               .persist())
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.id)
@@ -526,5 +527,15 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # a silent non-fixpoint would return WRONG clusters — refuse
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or use "
+            "a star-contraction variant for long-chain graphs"
+        )
+    # NOTE: the returned frame references the final persisted label block
+    # (load-bearing: dropping it would replay the whole iterative lineage);
+    # materialize/write the result promptly — it is two slim long columns.
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))

@@ -249,3 +249,12 @@ def test_resize_media(spark):
         assert all(bytes(r.payload) == b"real" for r in got)
     finally:
         mm.register_resizer(None)
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    # 6-chain with max_iter=2 cannot reach the fixpoint → loud failure
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(chain, max_iter=2)
