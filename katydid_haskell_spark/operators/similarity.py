@@ -115,8 +115,10 @@ def lsh_codes_udf(dim: int, n_bits: int, seeds: Sequence[int]):
     @pandas_udf("array<long>")
     def codes(vecs: pd.Series) -> pd.Series:
         x = _stack(vecs, dim)
+        if not len(x):
+            return pd.Series([], dtype="object")
         out = [((x @ p) >= 0) @ weights for p in planes]
-        return pd.Series(np.stack(out, axis=1).tolist() if len(x) else [])
+        return pd.Series(np.stack(out, axis=1).tolist())
 
     return codes
 

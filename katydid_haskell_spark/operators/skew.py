@@ -59,7 +59,10 @@ def heavy_hitters(df: DataFrame, key: Column, min_fraction: float = 0.01,
     salting decisions, not for exact frequency reporting.
     """
     if not approx:
-        counted = df.groupBy(key.alias("key")).agg(
+        # key is cast to string in both paths (the approx path's Arrow
+        # value_counts round-trips through strings) so callers get one
+        # stable output schema regardless of mode
+        counted = df.groupBy(key.cast("string").alias("key")).agg(
             F.count(F.lit(1)).alias("cnt"))
         tot = counted.agg(F.sum("cnt").alias("__total"))
         return (counted.crossJoin(F.broadcast(tot))

@@ -48,7 +48,7 @@ def ensure_pages_fixture(n_rows: int, seed: int = SEED,
     pdf["bucket"] = np.array(
         [spark_string_bucket(u, buckets) for u in pdf["url"]], dtype=np.int32
     )
-    tmp = path + ".tmp"
+    tmp = f"{path}.tmp.{os.getpid()}"  # unique per writer; replace is atomic
     pdf.to_parquet(tmp, index=False)
     os.replace(tmp, path)
     return path
