@@ -145,6 +145,34 @@ def run_resumable(df: DataFrame, plan: CheckPlan, checkpoint_dir: str,
     done = set(completed_buckets(checkpoint_dir, snapshot))
     remaining_df = df.filter(~F.col(bucket_col).isin(*done)) if done else df
 
+    if not done and not table_rules_completed(checkpoint_dir, snapshot):
+        # fresh run (the common launch path): ONE fused four-pass plan
+        # covers row + table rules together — see checkplan.run_plan_fused.
+        # Resumed runs fall through to the split path below, because the
+        # row pass must be restricted to remaining buckets while table
+        # rules always see the whole table.
+        from .checkplan import run_plan_fused
+
+        fv, fviol = run_plan_fused(df, plan, dims or {}, baselines or {},
+                                   key_col, bucket_col, snapshot)
+        if fv is not None:
+            (fv.write.mode("append").partitionBy("bucket_id")
+             .parquet(os.path.join(checkpoint_dir, "verdicts")))
+        if fviol is not None:
+            (fviol.write.mode("append")
+             .parquet(os.path.join(checkpoint_dir, "violations")))
+        stats = (
+            spark.read.parquet(os.path.join(checkpoint_dir, "verdicts"))
+            .where(F.col("snapshot") == snapshot)
+            .groupBy("bucket_id").agg(F.max("rows_checked").alias("rows"))
+            .collect()
+        )
+        finished = [r["bucket_id"] for r in stats if r["bucket_id"] >= 0]
+        metrics = {r["bucket_id"]: {"rows": r["rows"]} for r in stats}
+        _record_buckets(checkpoint_dir, snapshot, finished, metrics)
+        _record_table_rules(checkpoint_dir, snapshot)
+        return
+
     rv, rviol = run_row_rules(remaining_df, plan, key_col, bucket_col, snapshot)
     if rv is not None:
         (rv.write.mode("append").partitionBy("bucket_id")
