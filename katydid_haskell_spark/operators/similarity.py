@@ -105,6 +105,14 @@ def lsh_codes_udf(dim: int, n_bits: int, seeds: Sequence[int]):
     deterministic hyperplanes) but evaluated as one numpy matmul per batch
     instead of per-row interpreted higher-order functions — Spark runs
     array HOFs without codegen, measured 14-19× slower (docs/PLANS.md).
+
+    Float-discipline caveat: BLAS matmul summation order differs from the
+    Catalyst/DuckDB ordered fold, so a dot within reordering error of 0.0
+    can flip a sign bit vs the oracle / the kept Catalyst cross-check.
+    Probability is ~ulp-scale per decision and deterministic for a given
+    BLAS build; "bit-for-bit" oracle parity is only guaranteed for the
+    Catalyst ``dot()`` formulation (same caveat applies to
+    :func:`cell_assign_udf` argmax and :func:`probe_cells_udf` ordering).
     """
     planes = [
         np.array([_hyperplane(dim, b, s) for b in range(n_bits)]).T  # dim×bits

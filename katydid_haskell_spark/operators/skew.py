@@ -25,6 +25,12 @@ from pyspark.sql import functions as F
 
 HOST_RE = r"^[a-z]+://([^/:?#]+)"
 
+# NULL keys are coalesced to this sentinel in BOTH heavy_hitters modes so a
+# null-heavy column produces the same verdict regardless of approx=True/False
+# (the approx path reserves the real NULL as its per-batch total row, and
+# pandas value_counts(dropna=True) would otherwise drop nulls entirely).
+NULL_KEY = "\x00<null>"
+
 
 def host_of(url: Column) -> Column:
     return F.regexp_extract(url, HOST_RE, 1)
@@ -40,7 +46,8 @@ def heavy_hitters(df: DataFrame, key: Column, min_fraction: float = 0.01,
     """Keys holding more than min_fraction of all rows → (key, cnt).
 
     ONE scan either way; the total row count comes out of the same pass
-    (never a second ``df.count()`` job).
+    (never a second ``df.count()`` job).  NULL keys are reported under the
+    :data:`NULL_KEY` sentinel — identically in both modes.
 
     ``approx=False`` — exact: full ``groupBy(key).count()`` histogram, then
     the (tiny, pre-aggregated) histogram is re-aggregated for the total and
@@ -61,8 +68,11 @@ def heavy_hitters(df: DataFrame, key: Column, min_fraction: float = 0.01,
     if not approx:
         # key is cast to string in both paths (the approx path's Arrow
         # value_counts round-trips through strings) so callers get one
-        # stable output schema regardless of mode
-        counted = df.groupBy(key.cast("string").alias("key")).agg(
+        # stable output schema regardless of mode; NULL keys become
+        # NULL_KEY in both so the modes agree on null-heavy columns
+        counted = df.groupBy(
+            F.coalesce(key.cast("string"), F.lit(NULL_KEY)).alias("key")
+        ).agg(
             F.count(F.lit(1)).alias("cnt"))
         tot = counted.agg(F.sum("cnt").alias("__total"))
         return (counted.crossJoin(F.broadcast(tot))
@@ -79,7 +89,7 @@ def heavy_hitters(df: DataFrame, key: Column, min_fraction: float = 0.01,
             n = len(s)
             if n == 0:
                 continue
-            vc = s.value_counts(dropna=True)
+            vc = s.fillna(NULL_KEY).value_counts(dropna=True)
             cand = vc[vc >= max(1.0, n * local_frac)]
             out = pd.DataFrame({
                 "key": cand.index.astype(str),
@@ -91,7 +101,8 @@ def heavy_hitters(df: DataFrame, key: Column, min_fraction: float = 0.01,
                 {"key": [None], "cnt": [n]})], ignore_index=True)
             yield out
 
-    keyed = df.select(key.cast("string").alias("key"))
+    keyed = df.select(
+        F.coalesce(key.cast("string"), F.lit(NULL_KEY)).alias("key"))
     partial = keyed.mapInPandas(batch_counts, "key string, cnt long")
     agg = partial.groupBy("key").agg(F.sum("cnt").alias("cnt"))
     tot = (agg.filter(F.col("key").isNull())

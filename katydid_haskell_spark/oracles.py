@@ -154,7 +154,17 @@ def _plane_lit(dim: int, bit: int, seed: int) -> str:
 
 def _code_expr(vec: str, dim: int, n_bits: int, seed: int) -> str:
     """Packed sign-bit code — list_inner_product over DOUBLE[] matches the
-    Spark dot() (double-widened elements, ordered fold) bit-for-bit."""
+    Spark Catalyst dot() (double-widened elements, ordered fold)
+    bit-for-bit.
+
+    CAVEAT (float discipline): the bit-for-bit claim holds for the
+    CATALYST formulation only.  The Arrow hot path
+    (``similarity.lsh_codes_udf`` etc.) computes the same dots via BLAS
+    matmul, whose summation order differs; a dot within reordering error
+    of 0.0 (~ulp scale for these 64-dim unit-ish vectors) could flip a
+    sign bit and diverge bucket membership from this oracle.  Accepted
+    risk, deterministic per (BLAS build, shape) — see
+    ``similarity.lsh_codes_udf``'s docstring for the same caveat."""
     terms = " + ".join(
         f"CASE WHEN list_inner_product(CAST({vec} AS DOUBLE[]), "
         f"{_plane_lit(dim, b, seed)}) >= 0 THEN {1 << b} ELSE 0 END"

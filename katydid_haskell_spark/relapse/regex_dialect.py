@@ -13,9 +13,9 @@ reject, with the reason, rather than silently diverge).
 Accepted (identical semantics in Python/Java/RE2): literals, ``.``,
 anchors ``^ $``, alternation, greedy/lazy quantifiers ``* + ? {m} {m,n}``,
 capturing ``(...)`` and non-capturing ``(?:...)`` groups, character
-classes without ``&&``/POSIX-names, the class escapes ``\\d \\D \\w \\W
-\\s \\S``, ``\\b \\B`` word boundaries, control escapes ``\\n \\r \\t
-\\f \\v \\xHH`` and escaped punctuation.
+classes without ``&&``/POSIX-names/nested-``[``, the class escapes ``\\d
+\\D \\w \\W \\s \\S``, ``\\b \\B`` word boundaries (outside classes only),
+control escapes ``\\n \\r \\t \\f \\v \\xHH`` and escaped punctuation.
 
 Rejected (with the dialect that diverges):
   lookaround / atomic / conditional / named groups — RE2 has none;
@@ -23,6 +23,8 @@ Rejected (with the dialect that diverges):
   ``\\p{...}`` ``\\P{...}`` — Python re has none;
   ``[[:alpha:]]`` POSIX classes — literal chars in Python/Java;
   ``[a&&b]`` — intersection in Java, literal in Python/RE2;
+  ``[a[b]]`` — nested-class union in Java, literal in Python/RE2;
+  ``[\\b]`` — backspace in Python/Java, compile error in RE2;
   possessive quantifiers ``*+ ++ ?+ {m,n}+`` — Java only;
   inline flags ``(?i)...`` — scoping rules differ;
   ``\\A \\Z \\z \\G \\uXXXX \\0NN \\cX`` — semantics or support differ.
@@ -78,6 +80,11 @@ def check_portable(pattern: str) -> None:
                 continue
             if e in ("k", "g"):
                 fail("named backreferences are unsupported in RE2")
+            if in_class and e in ("b", "B"):
+                # [\b] is backspace in Python/Java but a compile error in
+                # RE2 (and DuckDB); \B in a class is Java-only.
+                fail(rf"\{e} inside a character class differs between "
+                     "dialects (backspace vs compile error)")
             if (e in _PORTABLE_CLASS_ESCAPES or e in _PORTABLE_CTRL_ESCAPES
                     or e in _PUNCT or e == "\\" or e == " "):
                 i += 2
@@ -90,8 +97,15 @@ def check_portable(pattern: str) -> None:
             if ch == "&" and i + 1 < n and pattern[i + 1] == "&":
                 fail("[a&&b] is class intersection in Java but literal "
                      "elsewhere")
-            if ch == "[" and i + 1 < n and pattern[i + 1] == ":":
-                fail("[[:name:]] POSIX classes are literal in Python/Java")
+            if ch == "[":
+                if i + 1 < n and pattern[i + 1] == ":":
+                    fail("[[:name:]] POSIX classes are literal in "
+                         "Python/Java")
+                # [a[b]] is class UNION in java.util.regex (nested class)
+                # but '[' is a literal char in Python re / RE2.
+                fail("bare '[' inside a character class is nested-class "
+                     "union in Java but literal in Python/RE2 — escape it "
+                     r"as \[")
             if ch == "]":
                 in_class = False
             i += 1

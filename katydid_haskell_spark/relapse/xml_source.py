@@ -69,23 +69,28 @@ def decode_xml(s: str, attrs: bool = True) -> tuple:
 _VALIDATORS: dict = {}
 
 
-def validate_xml_column(col: Column, spec_source: str) -> Column:
+def validate_xml_column(col: Column, spec_source: str,
+                        attrs: bool = True) -> Column:
     """Boolean Column: XML document column matches the Relapse spec
-    (automaton path, Arrow-batched)."""
+    (automaton path, Arrow-batched).
+
+    ``attrs=True`` (default) decodes attributes as leading child nodes;
+    ``attrs=False`` restores reference parity (Xml.hs:40 drops them)."""
     compile_grammar(parse_grammar(spec_source))  # fail fast on driver
+    cache_key = (spec_source, attrs)
 
     @pandas_udf("boolean")
     def match(docs: pd.Series) -> pd.Series:
-        v = _VALIDATORS.get(spec_source)
+        v = _VALIDATORS.get(cache_key)
         if v is None:
             v = Validator(compile_grammar(parse_grammar(spec_source)))
-            _VALIDATORS[spec_source] = v
+            _VALIDATORS[cache_key] = v
 
         def one(doc):
             if doc is None:
                 return False
             try:
-                forest = decode_xml(doc)
+                forest = decode_xml(doc, attrs=attrs)
             except Exception:
                 return False
             return v.validate(forest)

@@ -117,22 +117,36 @@ def stream_dedup(stream: DataFrame, key_cols: List[str], ts_col: str,
 def foreach_batch_plan(plan: CheckPlan, dims, baselines, out_dir: str,
                        key_col: str = "url", bucket_col: str = "bucket"):
     """foreachBatch bridge: run the FUSED CheckPlan on every micro-batch
-    and append verdicts/violations parquet keyed by (snapshot=batch id).
+    and write verdicts/violations parquet partitioned by snapshot
+    (= batch id).
 
     This is the streaming shape of the batch runner: the same compiled
-    plan, per-micro-batch lineage via the snapshot column, idempotent on
-    retries because the batch id is stable."""
+    plan, per-micro-batch lineage via the snapshot partition.  Idempotent
+    on retries: Structured Streaming can re-invoke foreachBatch for the
+    same batch_id after a failure, so each write is a DYNAMIC partition
+    overwrite of only the ``snapshot=batch-{id}`` partition — a replayed
+    batch replaces its own rows instead of appending duplicates, and other
+    batches' partitions are untouched."""
     from ..plans.runner import run_plan
 
     def run(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        snap = f"batch-{batch_id}"
         res = run_plan(batch_df, plan, dims, baselines,
                        key_col=key_col, bucket_col=bucket_col,
-                       snapshot=f"batch-{batch_id}")
-        (res.verdicts.write.mode("append")
+                       snapshot=snap)
+        (res.verdicts.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("snapshot")
          .parquet(f"{out_dir}/verdicts"))
-        (res.violations.write.mode("append")
+        # violations carry no snapshot column in the batch contract
+        # (url, rule_id, detail) — stamp one here for the same
+        # partition-overwrite idempotency
+        (res.violations.withColumn("snapshot", F.lit(snap))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("snapshot")
          .parquet(f"{out_dir}/violations"))
 
     return run

@@ -19,6 +19,7 @@ PORTABLE = [
     r"\x41\t\n",
     r"price: \$\d+",
     r"[\]\[-]",
+    r"\bword\b",
 ]
 
 REJECTED = [
@@ -35,6 +36,9 @@ REJECTED = [
     (r"(?>atomic)", "atomic"),
     ("\\uffff", r"\u"),
     (r"a[bc", "unterminated"),
+    (r"[a[b]]", "nested class union (Java) vs literal (Python/RE2)"),
+    (r"[\b]", "backspace (Python/Java) vs compile error (RE2)"),
+    (r"[\B]", r"\B in class is Java-only"),
 ]
 
 

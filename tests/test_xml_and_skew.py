@@ -57,6 +57,20 @@ def test_host_and_heavy_hitters(spark):
     assert [(r["key"], r["cnt"]) for r in hh1] == [("big.example.com", 80)]
 
 
+def test_heavy_hitters_null_keys_agree(spark):
+    """Exact and approx modes must return the same verdict on a null-heavy
+    column: NULLs are coalesced to the NULL_KEY sentinel in BOTH paths
+    (the approx path reserves real NULL as its per-batch total row)."""
+    rows = [(None,)] * 80 + [(f"h{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "host string")
+    exact = skew.heavy_hitters(df, F.col("host"), min_fraction=0.5,
+                               approx=False).collect()
+    approx = skew.heavy_hitters(df.coalesce(1), F.col("host"),
+                                min_fraction=0.5, approx=True).collect()
+    assert [(r["key"], r["cnt"]) for r in exact] == [(skew.NULL_KEY, 80)]
+    assert [(r["key"], r["cnt"]) for r in approx] == [(skew.NULL_KEY, 80)]
+
+
 def test_salted_join(spark):
     fact = spark.createDataFrame(
         [(i % 3, i) for i in range(300)], "k long, v long"
@@ -111,3 +125,9 @@ def test_xml_column_sees_attributes(spark):
     got = [r["m"] for r in df.select(
         validate_xml_column(F.col("doc"), "p: .id == 7").alias("m")).collect()]
     assert got == [True, False, False]
+    # reference-parity escape hatch: attrs=False drops attributes, so the
+    # .id pattern can never match from the column path either
+    got0 = [r["m"] for r in df.select(
+        validate_xml_column(F.col("doc"), "p: .id == 7",
+                            attrs=False).alias("m")).collect()]
+    assert got0 == [False, False, False]
