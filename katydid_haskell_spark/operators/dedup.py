@@ -480,30 +480,68 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         algorithm: str = "auto",
+                         label_rounds_before_switch: int = 4) -> DataFrame:
     """(doc_id, cluster_id) for every doc in the pair graph; cluster_id =
     min doc id reachable (the canonical representative).
 
-    Min-label propagation: each iteration joins labels to the symmetrized
-    edge list and takes the per-node min of self + neighbor labels,
-    converging in O(component diameter) iterations (near-dup components
-    are shallow in practice — dup clusters are quasi-cliques).  Each
-    iteration is one shuffle join + one aggregation; the driver loop stops
-    at a fixpoint (an exact count of changed labels — a cheap action on
-    the label frame, never a collect of it).  For adversarial
-    long-chain graphs at 10^9+ nodes, swap in the large-star/small-star
-    alternating algorithm (same join/agg primitives, O(log n) rounds).
+    ``algorithm`` picks the fixpoint strategy — all three produce the
+    IDENTICAL labeling (cluster_id = component minimum):
+
+    - ``"label"`` — min-label propagation: per round, one shuffle join of
+      labels to the symmetrized edge list + a per-node min.  Converges in
+      O(component diameter) rounds: ideal for near-dup graphs, whose
+      components are quasi-cliques (diameter 2-3), pathological for
+      long chains (a 10^6-node chain = 10^6 sequential Spark jobs).
+    - ``"star"`` — alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SoCC'14): per round two join+agg passes over the edge set; edge
+      count never grows and rounds are O(log n) regardless of diameter.
+      The scale-safe choice for adversarial graph shapes.
+    - ``"auto"`` (default) — min-label for up to
+      ``label_rounds_before_switch`` rounds (the quasi-clique common case
+      converges there, keeping the cheapest plan), then restarts with
+      star-contraction if the diameter turns out to be larger.  Worst
+      case pays a few wasted label rounds before the O(log n) guarantee
+      kicks in.
+
+    Both engines refuse to return silent non-fixpoints: exceeding
+    ``max_iter`` raises rather than yielding wrong clusters.
     """
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    if algorithm == "label":
+        return _cc_min_label(edges, max_iter)
+    if algorithm == "star":
+        return _cc_star(edges, max_iter)
+    if algorithm == "auto":
+        try:
+            return _cc_min_label(edges,
+                                 min(label_rounds_before_switch, max_iter))
+        except RuntimeError:
+            return _cc_star(edges, max_iter)
+    raise ValueError(
+        f"algorithm must be 'label', 'star' or 'auto', got {algorithm!r}")
+
+
+def _cc_min_label(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Min-label propagation (see :func:`connected_components`)."""
     # persist the symmetrized edge list: every propagation round joins it,
     # and without this each round would RE-RUN the upstream pair pipeline
     # (minhash + verification) — measured 4.7s -> ~1s for the bench query
     sym = edges.union(edges.select(F.col("b").alias("a"),
                                    F.col("a").alias("b"))).distinct().persist()
+    # per-round labels are localCheckpoint'd, not just persisted: each
+    # round's plan references the previous round's labels TWICE (the
+    # neighbor-min join and the changed-count join), so without lineage
+    # truncation the LOGICAL plan doubles per round and Catalyst analysis
+    # goes exponential in the round count (measured: analyzer OOM at ~8
+    # rounds).  Quasi-clique dup graphs converge in 2-3 rounds and never
+    # noticed; deep graphs hit it before they hit max_iter.
     labels = (sym.select(F.col("a").alias("id"))
               .distinct()
               .withColumn("label", F.col("id"))
-              .persist())
+              .localCheckpoint(eager=True))
     changed = -1
     for _ in range(max_iter):
         neighbor_min = (
@@ -518,7 +556,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                         F.coalesce(F.col("nmin"), F.col("label")))
                 .alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -526,7 +564,6 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -536,10 +573,93 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds max_iter); raise max_iter or use "
-            "a star-contraction variant for long-chain graphs"
+            "algorithm='star' for long-chain graphs"
         )
-    # NOTE: the returned frame references the final persisted label block
-    # (load-bearing: dropping it would replay the whole iterative lineage);
-    # materialize/write the result promptly — it is two slim long columns.
+    # NOTE: the returned frame references the final checkpointed label
+    # block; materialize/write the result promptly — two slim long columns.
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical big→small direction, no self
+    loops, deduplicated."""
+    return (edges.select(F.greatest("a", "b").alias("a"),
+                         F.least("a", "b").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct())
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star pass: every node u attaches each strictly-LARGER
+    neighbor v to m = min(N(u) ∪ {u}).  In/out: canonical (a > b)."""
+    sym = edges.union(edges.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+    mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+    return (sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"),
+                    F.least(F.col("a"), F.col("mn")).alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star pass: every node a attaches itself and all its
+    (smaller) neighbors to their minimum.  In/out: canonical (a > b)."""
+    mins = edges.groupBy("a").agg(F.min("b").alias("m"))
+    nbrs = (edges.join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b")))
+    selfs = mins.select(F.col("a"), F.col("m").alias("b"))
+    return (nbrs.union(selfs)
+            .where(F.col("a") != F.col("b"))
+            .distinct())
+
+
+def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star contraction (see
+    :func:`connected_components`).
+
+    Each round = one large-star + one small-star pass (two join+agg
+    shuffles over the slim (a, b) long-pair edge set) plus an EXACT
+    convergence check (``exceptAll`` against the previous round — a third
+    slim shuffle; chosen over hash signatures because a false "converged"
+    would return wrong clusters).  At the fixpoint the edge set is exactly
+    the star {(v, min(C)) : v ∈ C, v ≠ min(C)} for every component C.
+    """
+    # localCheckpoint each round: materializes AND truncates lineage.
+    # persist alone is not enough here — each round's plan references the
+    # previous round's twice (join back + exceptAll), so the LOGICAL plan
+    # doubles per round and Catalyst analysis goes exponential after ~8
+    # rounds (measured: analyzer hang).  On a real cluster swap in
+    # reliable checkpoint() if executor loss during the loop must be
+    # survivable.
+    curr = _canonical_edges(edges).localCheckpoint(eager=True)
+    nodes = (curr.select("a")
+             .union(curr.select(F.col("b").alias("a")))
+             .distinct())
+    converged = False
+    for _ in range(max_iter):
+        new = _small_star(_large_star(curr)).localCheckpoint(eager=True)
+        same = (new.exceptAll(curr).isEmpty()
+                and curr.exceptAll(new).isEmpty())
+        if same:
+            converged = True
+            break
+        curr = new
+    if not converged:
+        raise RuntimeError(
+            f"star-contraction did not converge in {max_iter} rounds — "
+            "this exceeds the O(log n) bound and indicates a bug or an "
+            "edge set mutating under the loop; refusing to return "
+            "possibly-wrong clusters"
+        )
+    star = curr.alias("s")
+    out = (nodes.alias("n")
+           .join(star, F.col("n.a") == F.col("s.a"), "left")
+           .select(F.col("n.a").alias("doc_id"),
+                   F.coalesce(F.col("s.b"), F.col("n.a"))
+                   .alias("cluster_id")))
+    # NOTE: `out` references the final persisted edge block — as with the
+    # label engine, materialize/write promptly (two slim long columns).
+    return out

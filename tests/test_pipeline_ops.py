@@ -253,8 +253,60 @@ def test_resize_media(spark):
 
 def test_connected_components_nonconvergence_raises(spark):
     # 6-chain with max_iter=2 cannot reach the fixpoint → loud failure
+    # (algorithm pinned to label propagation: auto would fall back to
+    # star-contraction and succeed)
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "id_a long, id_b long")
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dd.connected_components(chain, max_iter=2)
+        dd.connected_components(chain, max_iter=2, algorithm="label")
+
+
+def test_cc_star_matches_label(spark):
+    """Star-contraction and min-label propagation produce the identical
+    labeling on a multi-component graph with dup edges, reversed edges and
+    a cycle."""
+    import random
+
+    rng = random.Random(7)
+    edges = []
+    # three deliberate shapes + random noise components
+    edges += [(i, i + 1) for i in range(0, 8)]            # chain 0-8
+    edges += [(20, 21), (21, 22), (22, 20)]               # cycle
+    edges += [(30, 31), (31, 30), (30, 31)]               # dup + reversed
+    for base in (40, 60, 80):
+        ids = list(range(base, base + 10))
+        for _ in range(14):
+            a, b = rng.sample(ids, 2)
+            edges.append((a, b))
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    lab = {r.doc_id: r.cluster_id for r in
+           dd.connected_components(pairs, algorithm="label").collect()}
+    star = {r.doc_id: r.cluster_id for r in
+            dd.connected_components(pairs, algorithm="star").collect()}
+    assert lab == star
+    assert star[8] == 0 and star[22] == 20 and star[31] == 30
+
+
+def test_cc_star_adversarial_chain(spark):
+    """1000-node chain: min-label would need ~1000 rounds; star-contraction
+    must converge within 12 (O(log n) guarantee) with every node labeled by
+    the global minimum."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long")
+    got = dd.connected_components(chain, max_iter=12, algorithm="star")
+    agg = got.groupby().agg(
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.count("*").alias("n"),
+        F.max("cluster_id").alias("mx")).collect()[0]
+    assert (agg.n_clusters, agg.n, agg.mx) == (1, 1000, 0)
+
+
+def test_cc_auto_falls_back_to_star(spark):
+    """auto: quasi-clique graphs stay on the cheap label engine; a deep
+    chain silently switches to star-contraction instead of raising."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long")
+    got = dd.connected_components(chain, max_iter=15, algorithm="auto")
+    clusters = {r.cluster_id for r in got.collect()}
+    assert clusters == {0}
