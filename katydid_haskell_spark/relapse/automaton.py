@@ -13,12 +13,21 @@ each executor compiles it once per spec (cached by source) — the moral
 equivalent of broadcasting the transition table, with the table itself built
 on first use and amortized across the partition, exactly like the
 reference's shared ``State Mem`` across trees (``Relapse.hs:65-70``).
+
+Batch amortization (two levels, both per Arrow batch):
+- :func:`factorized_map` validates each DISTINCT document once and
+  gathers (validation is pure; duplicated corpora collapse to their
+  value cardinality);
+- JSON decode goes through ``labels._loads`` (orjson when present,
+  stdlib-fallback for >64-bit ints), so the remaining per-unique-doc
+  loop does no stdlib parsing on the hot path.
 """
 
 from __future__ import annotations
 
 from typing import Callable, Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -31,6 +40,26 @@ from .smart import compile_grammar
 
 # per-process (executor) cache: spec source → Validator with warm memo tables
 _VALIDATORS: dict = {}
+
+
+def factorized_map(docs: pd.Series, one: Callable[[str], bool]) -> pd.Series:
+    """Evaluate ``one`` once per DISTINCT value in the Arrow batch, gather.
+
+    Validation is a pure function of the document text, so identical
+    documents share one decode+validate.  Event/web corpora are heavily
+    duplicated (the sf0.1 events fixture: 100 distinct props in 100k
+    rows → 1000× fewer validator calls); an all-unique batch pays one
+    O(n) hash pass (milliseconds) on top of the unavoidable per-doc work.
+    NULLs (factorize sentinel -1) → False, matching the row semantics.
+    """
+    codes, uniques = pd.factorize(docs)
+    n = len(docs)
+    if len(uniques) == 0:
+        return pd.Series(np.zeros(n, dtype=bool))
+    vals = np.fromiter((one(u) for u in uniques), dtype=bool,
+                       count=len(uniques))
+    out = np.where(codes >= 0, vals[np.where(codes >= 0, codes, 0)], False)
+    return pd.Series(out)
 
 
 def _validator_for(source: str, user_lib=None) -> Validator:
@@ -59,12 +88,12 @@ def json_matches_udf(spec_source: str, user_lib=None) -> Callable[[Column], Colu
             if doc is None:
                 return False
             try:
-                forest = decode_json(doc)
+                forest = decode_json(doc)  # orjson-backed batch decode
             except Exception:
                 return False
             return v.validate(forest)
 
-        return docs.map(one)
+        return factorized_map(docs, one)
 
     return match
 

@@ -93,6 +93,29 @@ def json_value_to_forest(v: Any) -> tuple:
     raise TypeError(f"cannot encode {type(v)} as a labeled tree")
 
 
+try:  # gated: orjson (Rust) parses ~7x faster than stdlib when present
+    import orjson as _orjson
+except ImportError:  # pragma: no cover - depends on environment
+    _orjson = None
+
+
+def _loads(s):
+    """Fast JSON parse with exact stdlib semantics.
+
+    orjson rejects out-of-range numbers (>64-bit integers, overflowing
+    floats like 1e400) that stdlib — and the reference's arbitrary-
+    precision Aeson JSRational — accepts; retry those through stdlib so
+    only genuinely malformed documents raise.  The double parse is paid
+    only on orjson-rejected inputs.
+    """
+    if _orjson is not None:
+        try:
+            return _orjson.loads(s)
+        except Exception:
+            pass
+    return json.loads(s)
+
+
 def decode_json(s: str) -> tuple:
     """Parse a JSON document string into a forest of labeled trees."""
-    return json_value_to_forest(json.loads(s))
+    return json_value_to_forest(_loads(s))

@@ -300,7 +300,8 @@ def validate_protobuf_column(col, spec_source: str, desc: DescMap,
                 return False
             return v.validate(forest)
 
-        return payloads.map(one)
+        from .automaton import factorized_map
+        return factorized_map(payloads, one)
 
     return match(col)
 

@@ -95,6 +95,7 @@ def validate_xml_column(col: Column, spec_source: str,
                 return False
             return v.validate(forest)
 
-        return docs.map(one)
+        from .automaton import factorized_map
+        return factorized_map(docs, one)
 
     return match(col)

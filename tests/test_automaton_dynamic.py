@@ -72,3 +72,58 @@ def test_interleave_order_insensitivity():
     assert v.validate(decode_json('{"p": {"b": 2, "a": 1}}'))
     assert not v.validate(decode_json('{"p": {"a": 1}}'))
     assert not v.validate(decode_json('{"p": {"a": 1, "b": 2, "c": 3}}'))
+
+
+def test_factorized_map_semantics():
+    """Batch vectorization: one decode+validate per DISTINCT doc, NULLs and
+    malformed docs False, duplicates gathered from the unique result."""
+    import pandas as pd
+
+    from katydid_haskell_spark.relapse.automaton import factorized_map
+
+    calls = []
+
+    def one(d):
+        calls.append(d)
+        return d == "hit"
+
+    s = pd.Series(["hit", None, "miss", "hit", "hit", None])
+    assert list(factorized_map(s, one)) == [True, False, False, True, True,
+                                            False]
+    assert calls == ["hit", "miss"]  # distinct non-null values only
+    assert list(factorized_map(pd.Series([None, None]), one)) == [False,
+                                                                  False]
+    assert list(factorized_map(pd.Series([], dtype=object), one)) == []
+
+
+def test_decode_json_bigint_fallback():
+    """orjson rejects >64-bit integers; decode_json must fall back to
+    stdlib (the reference's Aeson JSRational is arbitrary-precision)."""
+    from katydid_haskell_spark.relapse.labels import INT, decode_json
+
+    big = 2**70
+    (tree,) = decode_json('{"k": %d}' % big)
+    (child,) = tree.children
+    assert child.label.ty == INT and child.label.value == big
+
+
+def test_udf_duplicated_docs_match_engine(spark):
+    """The factorized UDF path must agree with the pure engine on a column
+    dominated by duplicate documents (the shape the vectorization targets)."""
+    docs = (['{"k": 60}'] * 5 + ['{"k": 10}'] * 4 + [None, "not json"]) * 3
+    g = compile_grammar(parse_grammar(".k >= 50"))
+    v = Validator(g)
+
+    def eng(d):
+        if d is None:
+            return False
+        try:
+            return v.validate(decode_json(d))
+        except Exception:
+            return False
+
+    want = [eng(d) for d in docs]
+    df = spark.createDataFrame([(d,) for d in docs], "doc string")
+    got = [r["m"] for r in df.select(
+        validate_json_column(F.col("doc"), ".k >= 50").alias("m")).collect()]
+    assert got == want
