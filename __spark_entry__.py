@@ -318,7 +318,10 @@ def _q_lsh_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    out = sim.lsh_topk(emb, queries, dim=64, k=10, n_bits=8, nprobe=3)
+    # recall-tuned config (see test_ann_recall_gates): 16 buckets/table,
+    # query-directed multiprobe, 3-table OR-amplification
+    out = sim.lsh_topk(emb, queries, dim=64, k=10, n_bits=4, nprobe=3,
+                       n_tables=3)
     return out.select("q_id", "vec_id", "rank", F.round("cos", 4).alias("cos"))
 
 
@@ -327,7 +330,7 @@ def _q_ann_topk_ivf(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    out = sim.ivf_topk(emb, queries, dim=64, k=10, n_cells=16, nprobe=4)
+    out = sim.ivf_topk(emb, queries, dim=64, k=10, n_cells=16, nprobe=6)
     return out.select("q_id", "vec_id", "rank", F.round("cos", 4).alias("cos"))
 
 
@@ -753,11 +756,12 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": orc.simhash_pairs_sql(max_hamming=8, shingle_k=2),
         "dedup_clusters": orc.dedup_clusters_sql(
             num_hashes=32, bands=8, shingle_k=3, min_jaccard=0.4),
-        "lsh_topk": orc.lsh_topk_sql(dim=64, k=10, n_bits=8, nprobe=3),
+        "lsh_topk": orc.lsh_topk_sql(dim=64, k=10, n_bits=4, nprobe=3,
+                                     n_tables=3),
         "embedding_neardup": orc.embedding_neardup_sql(
             dim=64, min_cos=0.4, n_bits=8, bands=3),
         "ann_topk_ivf": orc.ivf_topk_sql(oracle_sf, dim=64, k=10,
-                                         n_cells=16, nprobe=4),
+                                         n_cells=16, nprobe=6),
         "pages_verdicts": orc.pages_verdicts_sql(n_rows=2000, seed=42,
                                                  buckets=16,
                                                  snapshot="bench"),

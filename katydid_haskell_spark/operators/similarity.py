@@ -193,35 +193,81 @@ def probe_cells_udf(centroids: List[List[float]], dim: int, nprobe: int):
     return probes
 
 
+def lsh_probe_codes_udf(dim: int, n_bits: int, seed: int, nprobe: int):
+    """Arrow-vectorized QUERY-DIRECTED multiprobe codes per query vector.
+
+    The base bucket plus ``nprobe-1`` single-bit flips chosen by smallest
+    |hyperplane dot| — the bits the query is least confident about are the
+    ones most likely to separate it from its true neighbors (multiprobe
+    LSH, Lv et al., VLDB'07).  Ties broken by bit index (stable argsort),
+    mirroring the oracle's ``list_sort`` over (|dot|, bit) structs.
+    """
+    planes = np.array([_hyperplane(dim, b, seed)
+                       for b in range(n_bits)]).T  # dim×bits
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+    take = min(max(nprobe - 1, 0), n_bits)
+
+    @pandas_udf("array<long>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        x = _stack(vecs, dim)
+        if not len(x):
+            return pd.Series([], dtype="object")
+        d = x @ planes
+        base = ((d >= 0) @ weights).astype(np.int64)
+        if take == 0:
+            return pd.Series(base[:, None].tolist())
+        order = np.argsort(np.abs(d), axis=1, kind="stable")[:, :take]
+        flips = base[:, None] ^ weights[order]
+        return pd.Series(
+            np.concatenate([base[:, None], flips], axis=1).tolist())
+
+    return probes
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
-             n_bits: int = 10, nprobe: int = 1,
+             n_bits: int = 10, nprobe: int = 1, n_tables: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_vec",
              seed: int = 1234) -> DataFrame:
     """Approximate top-k: join on hyperplane bucket code, rank in-bucket.
 
-    ``nprobe`` > 1 additionally probes buckets at Hamming distance 1 from
-    the query code (multiprobe), trading recall for fan-out.
+    Two recall knobs, composable:
+
+    - ``nprobe`` > 1 additionally probes the buckets reached by flipping
+      the query's least-confident sign bits (query-directed multiprobe —
+      see :func:`lsh_probe_codes_udf`);
+    - ``n_tables`` > 1 is OR-amplification: independent hyperplane sets
+      (seeds ``seed..seed+L-1``), candidates unioned across tables.  The
+      corpus side computes all L codes in ONE Arrow pass and explodes to
+      (table, code); the join key is (table, code) so tables never
+      cross-match.
+
+    Candidate fan-out ≈ ``n_tables * nprobe / 2^n_bits`` of the corpus
+    per query; recall floors at the entry-query configuration are pinned
+    by ``tests/test_pipeline_ops.py::test_ann_recall_gates``.
     """
-    codes = lsh_codes_udf(dim, n_bits, [seed])
+    seeds = [seed + t for t in range(n_tables)]
+    codes = lsh_codes_udf(dim, n_bits, seeds)
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
-        codes(F.col(vec_col)).getItem(0).alias("code"),
+        F.posexplode(codes(F.col(vec_col))).alias("t", "code"),
     )
-    qcode = F.col("__qcode")
-    probes = [qcode]
-    if nprobe > 1:
-        for b in range(min(nprobe - 1, n_bits)):
-            probes.append(qcode.bitwiseXOR(F.lit(1 << b).cast("long")))
-    q = queries.select(
-        F.col(q_id_col).alias("q_id"),
-        F.col(q_vec_col).alias("qv"),
-        codes(F.col(q_vec_col)).getItem(0).alias("__qcode"),
-    ).select(
-        "q_id", "qv", F.explode(F.array(*probes)).alias("code")
-    )
-    joined = c.join(F.broadcast(q), "code").select(
+    q_parts = [
+        queries.select(
+            F.col(q_id_col).alias("q_id"),
+            F.col(q_vec_col).alias("qv"),
+            F.lit(t).alias("t"),
+            F.explode(
+                lsh_probe_codes_udf(dim, n_bits, s, nprobe)(F.col(q_vec_col))
+            ).alias("code"),
+        )
+        for t, s in enumerate(seeds)
+    ]
+    q = q_parts[0]
+    for part in q_parts[1:]:
+        q = q.unionByName(part)
+    joined = c.join(F.broadcast(q), ["t", "code"]).select(
         "q_id", "vec_id",
         cosine_pairs_udf(dim)(F.col("v"), F.col("qv")).alias("cos"),
     ).dropDuplicates(["q_id", "vec_id"])

@@ -174,25 +174,62 @@ def _code_expr(vec: str, dim: int, n_bits: int, seed: int) -> str:
 
 
 def lsh_topk_sql(dim: int = 64, k: int = 10, n_bits: int = 8,
-                 nprobe: int = 3, seed: int = 1234) -> str:
-    probes = ["qcode"] + [
-        f"xor(qcode, {1 << b})" for b in range(min(nprobe - 1, n_bits))
-    ]
-    return f"""
-    WITH c AS (
+                 nprobe: int = 3, n_tables: int = 1,
+                 seed: int = 1234) -> str:
+    """Query-directed multiprobe + multi-table LSH oracle: same probe
+    selection as ``similarity.lsh_probe_codes_udf`` — base bucket + flips
+    of the ``nprobe-1`` smallest-|dot| bits, ties broken by bit index (the
+    ``list_sort`` over (|dot|, bit, weight) structs sorts field-order
+    lexicographically, matching numpy's stable argsort); one independent
+    hyperplane set per table (seed+t), candidates unioned across tables
+    before the DISTINCT + rank."""
+    take = min(max(nprobe - 1, 0), n_bits)
+
+    def table_ctes(t: int) -> str:
+        s = seed + t
+        dot_cols = ",\n             ".join(
+            f"list_inner_product(CAST(embedding AS DOUBLE[]), "
+            f"{_plane_lit(dim, b, s)}) AS d{b}"
+            for b in range(n_bits)
+        )
+        code_over_dots = "CAST(" + " + ".join(
+            f"CASE WHEN d{b} >= 0 THEN {1 << b} ELSE 0 END"
+            for b in range(n_bits)) + " AS BIGINT)"
+        flip_arr = "[" + ", ".join(
+            f"{{'a': abs(d{b}), 'i': {b}, 'w': {1 << b}}}"
+            for b in range(n_bits)) + "]"
+        probe_list = (
+            "list_prepend(qcode, list_transform("
+            f"list_sort(flips)[1:{take}], "
+            "x -> xor(qcode, CAST(x.w AS BIGINT))))"
+            if take > 0 else "[qcode]"
+        )
+        return f"""
+    d{t} AS (
       SELECT vec_id, embedding,
-             {_code_expr("embedding", dim, n_bits, seed)} AS code
+             {dot_cols}
       FROM embeddings
     ),
-    q AS (SELECT vec_id AS q_id, embedding AS qv, code AS qcode
-          FROM c WHERE vec_id < 5),
-    probes AS (SELECT q_id, qv, UNNEST([{", ".join(probes)}]) AS code FROM q),
-    cand AS (
-      SELECT DISTINCT q_id, c.vec_id,
-             list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+    c{t} AS (
+      SELECT vec_id, embedding, {code_over_dots} AS code FROM d{t}
+    ),
+    q{t} AS (SELECT vec_id AS q_id, embedding AS qv,
+                 {code_over_dots} AS qcode, {flip_arr} AS flips
+          FROM d{t} WHERE vec_id < 5),
+    probes{t} AS (SELECT q_id, qv, UNNEST({probe_list}) AS code FROM q{t}),
+    cand{t} AS (
+      SELECT q_id, c{t}.vec_id,
+             list_cosine_similarity(CAST(c{t}.embedding AS DOUBLE[]),
                                     CAST(p.qv AS DOUBLE[])) AS cos0
-      FROM c JOIN probes p USING (code)
-    )
+      FROM c{t} JOIN probes{t} p USING (code)
+    )"""
+
+    ctes = ",".join(table_ctes(t) for t in range(n_tables))
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT * FROM cand{t}" for t in range(n_tables))
+    return f"""
+    WITH {ctes},
+    cand AS (SELECT DISTINCT q_id, vec_id, cos0 FROM ({union}))
     SELECT q_id, vec_id, rank, ROUND(cos0, 4) AS cos FROM (
       SELECT q_id, vec_id, cos0,
              ROW_NUMBER() OVER (PARTITION BY q_id

@@ -310,3 +310,41 @@ def test_cc_auto_falls_back_to_star(spark):
     got = dd.connected_components(chain, max_iter=15, algorithm="auto")
     clusters = {r.cluster_id for r in got.collect()}
     assert clusters == {0}
+
+
+def test_ann_recall_gates(spark):
+    """Recall floors for the approximate ANN paths at the ENTRY-QUERY
+    configurations, measured against the exact brute-force oracle on the
+    real sf0.01 embeddings (20 queries — wider than the 5-query driver
+    gate so a recall regression can't hide behind small-sample luck).
+
+    Measured on random 64-dim gaussians (the LSH-adversarial case: no
+    cluster structure):
+      ivf  n_cells=16 nprobe=6            → 0.805
+      lsh  n_bits=4 nprobe=3 n_tables=3   → 0.720
+    Floors leave ~0.1 margin for seed/plan jitter; a drop below them
+    means a real recall regression, not noise.
+    """
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_RECALL_SF",
+                            "/root/testdata/sf0.01")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    q = emb.filter("vec_id < 20").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    exact = {(r.q_id, r.vec_id) for r in
+             sim.brute_force_topk(emb, q, k=10)
+             .select("q_id", "vec_id").collect()}
+
+    ivf = {(r.q_id, r.vec_id) for r in
+           sim.ivf_topk(emb, q, dim=64, k=10, n_cells=16, nprobe=6)
+           .select("q_id", "vec_id").collect()}
+    ivf_recall = len(exact & ivf) / len(exact)
+    assert ivf_recall >= 0.70, f"IVF recall@10 regressed: {ivf_recall:.3f}"
+
+    lsh = {(r.q_id, r.vec_id) for r in
+           sim.lsh_topk(emb, q, dim=64, k=10, n_bits=4, nprobe=3,
+                        n_tables=3)
+           .select("q_id", "vec_id").collect()}
+    lsh_recall = len(exact & lsh) / len(exact)
+    assert lsh_recall >= 0.60, f"LSH recall@10 regressed: {lsh_recall:.3f}"
