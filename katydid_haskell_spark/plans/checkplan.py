@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..operators import drift as drift_ops
 from ..operators import referential as ref_ops
+from ..operators import skew as skew_ops
 from ..operators import stats as stats_ops
 from ..operators import uniqueness as uniq_ops
 from ..relapse import parser as relapse_parser
@@ -49,6 +50,31 @@ class RowRule:
 class UniqueRule:
     rule_id: str
     key: str
+
+
+@dataclass(frozen=True)
+class SkewSalt:
+    """Opt-in skew handling for the uniqueness pass (north-star: 'salted
+    for skewed hosts').
+
+    When set, each uniqueness rule first detects heavy-hitter keys with
+    ``skew.heavy_hitters(approx=True)`` (one slim Arrow pass over the key
+    column, candidates-only shuffle) and routes rows with hot keys
+    through a salted two-phase count (groupBy(key, salt) → groupBy(key))
+    while cold keys take the direct aggregate.
+
+    Scope note (measured honesty): for plain COUNT aggregates Spark's
+    map-side combine already collapses duplicate keys per task, so
+    salting is load-bearing mainly when (a) per-key state is
+    non-algebraic (windowed duplicate-row reporting, collect-like aggs)
+    or (b) upstream partitioning clusters a hot key into few tasks
+    (host-partitioned crawl input — the Zipf-host case the north rule
+    names).  The salted path is verdict-identical to the direct one
+    (``test_fused_skew_salt_matches_plain``).
+    """
+
+    min_fraction: float = 0.01
+    n_salts: int = 16
 
 
 @dataclass(frozen=True)
@@ -237,11 +263,42 @@ def run_table_rules(df: DataFrame, plan: CheckPlan,
     return verdicts, violations
 
 
+def _salted_duplicate_keys(df: DataFrame, key: str,
+                           cfg: SkewSalt) -> DataFrame:
+    """Skew-aware duplicate detection: hot keys (from the approx
+    heavy-hitter sketch) count through a salted two-phase aggregate; cold
+    keys aggregate directly.  Output schema identical to
+    ``uniqueness.duplicate_keys``: (key, dup_count) with dup_count > 1.
+    """
+    hot = skew_ops.heavy_hitters(df, F.col(key), cfg.min_fraction,
+                                 approx=True)
+    hot_keys = hot.select(F.col("key").alias("__hot_key"))
+    keyed = df.select(F.col(key))
+    marked = keyed.join(
+        F.broadcast(hot_keys),
+        F.coalesce(F.col(key).cast("string"),
+                   F.lit(skew_ops.NULL_KEY)) == F.col("__hot_key"),
+        "left",
+    )
+    cold = (marked.filter(F.col("__hot_key").isNull())
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("dup_count")))
+    salted = skew_ops.with_salt(
+        marked.filter(F.col("__hot_key").isNotNull()), cfg.n_salts)
+    partial = (salted.groupBy(key, "__salt")
+               .agg(F.count(F.lit(1)).alias("__c")))
+    hot_counts = (partial.groupBy(key)
+                  .agg(F.sum("__c").cast("long").alias("dup_count")))
+    return (cold.unionByName(hot_counts)
+            .filter(F.col("dup_count") > 1))
+
+
 def run_plan_fused(df: DataFrame, plan: CheckPlan,
                    dims: Dict[str, DataFrame],
                    baselines: Dict[str, DataFrame],
                    key_col: str = "url", bucket_col: str = "bucket",
-                   snapshot: str = "na") -> tuple:
+                   snapshot: str = "na",
+                   skew: Optional[SkewSalt] = None) -> tuple:
     """The whole plan in FOUR full-table passes (vs seven un-fused):
 
       1. bucket rollup — row-rule pass counts, per-bucket stat partials
@@ -466,7 +523,10 @@ def run_plan_fused(df: DataFrame, plan: CheckPlan,
     # ---- pass 4: uniqueness (inherent key shuffle) ----
     violation_frames: List[DataFrame] = []
     for r in plan.unique_rules:
-        dups = uniq_ops.duplicate_keys(df, [r.key]).persist()
+        if skew is not None:
+            dups = _salted_duplicate_keys(df, r.key, skew).persist()
+        else:
+            dups = uniq_ops.duplicate_keys(df, [r.key]).persist()
         verdict_frames.append(
             dups.agg(F.count(F.lit(1)).alias("dup_keys")).select(
                 F.lit(TABLE_SCOPE_BUCKET).alias("bucket_id"),

@@ -39,7 +39,8 @@ def run_plan(df: DataFrame, plan: CheckPlan,
              dims: Optional[Dict[str, DataFrame]] = None,
              baselines: Optional[Dict[str, DataFrame]] = None,
              key_col: str = "url", bucket_col: str = "bucket",
-             snapshot: str = "na", fused: bool = True) -> RunResult:
+             snapshot: str = "na", fused: bool = True,
+             skew=None) -> RunResult:
     """Execute every rule class; returns lazily-evaluated sink frames.
 
     ``fused=True`` (default) runs the four-pass fused plan
@@ -47,14 +48,15 @@ def run_plan(df: DataFrame, plan: CheckPlan,
     rollup, all drift histograms share one GROUPING SETS scan); the
     un-fused rule-class-per-pass path is kept for cross-checking
     (``tests/test_pages_pipeline.py`` asserts both produce the same
-    verdicts).
+    verdicts).  ``skew`` (a checkplan.SkewSalt, fused path only) enables
+    heavy-hitter-driven salting of the uniqueness pass.
     """
     from .checkplan import run_plan_fused
 
     spark = df.sparkSession
     if fused:
         rv, rviol = run_plan_fused(df, plan, dims or {}, baselines or {},
-                                   key_col, bucket_col, snapshot)
+                                   key_col, bucket_col, snapshot, skew=skew)
         tv = tviol = None
     else:
         rv, rviol = run_row_rules(df, plan, key_col, bucket_col, snapshot)

@@ -172,3 +172,36 @@ def test_fused_plan_prunes_unused_columns(spark, tmp_path):
         explained = df._jdf.queryExecution().executedPlan().toString()
         for rs in [l for l in explained.splitlines() if "ReadSchema" in l]:
             assert "html" not in rs, rs
+
+
+def test_fused_skew_salt_matches_plain(spark, pages):
+    """North-star 'salted for skewed hosts': the heavy-hitter-driven
+    salted uniqueness pass must be verdict- and violation-identical to
+    the plain aggregate on a Zipf-skewed fixture (one hot duplicated url
+    holding >10% of rows, plus the normal corpus)."""
+    from katydid_haskell_spark.plans.checkplan import SkewSalt
+
+    hot = (spark.range(600)
+           .select(F.lit("https://hot.example.com/dup").alias("url"))
+           .join(pages.limit(1).drop("url")))
+    skewed = pages.unionByName(hot.select(*pages.columns)).cache()
+    plan = default_pages_plan(expect_rows=N)
+    dims = {"lang_dim": lang_dim_df(spark)}
+    baselines = pages_baselines(spark, pages_df(spark, N, drifted=False))
+    a = run_plan(skewed, plan, dims, baselines, snapshot="s",
+                 skew=SkewSalt(min_fraction=0.05, n_salts=4))
+    b = run_plan(skewed, plan, dims, baselines, snapshot="s")
+
+    def uniq_rows(res):
+        v = [(r.bucket_id, r.rule_id, r["pass"], r.metric)
+             for r in res.verdicts.collect() if r.rule_id == "unique_url"]
+        viol = sorted((r.url, r.detail) for r in res.violations.collect()
+                      if r.rule_id == "unique_url")
+        return v, viol
+
+    va, viola = uniq_rows(a)
+    vb, violb = uniq_rows(b)
+    assert va == vb
+    assert viola == violb
+    # the hot url is detected with its exact count
+    assert ("https://hot.example.com/dup", "duplicate count=600") in viola
