@@ -168,9 +168,19 @@ def run_bench() -> dict:
     per_query = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
+        # warmup-then-measure + median-of-3, the repo-wide methodology
+        # (BENCH/BASELINE.md): a single cold timing is dominated by
+        # order-dependent Janino/JIT state — measured 1.80s cold vs 0.22s
+        # warm for the SAME trivial doc_fingerprint plan, which is the
+        # whole r2 "regression" on that query.  One untimed pass pays
+        # codegen; the median of 3 timed passes is the report.
         _force(fn(spark, sf_dir))
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(sorted(times)[1], 3)
         # operators that persist() intermediates (minhash features, dup
         # keys) would otherwise accumulate heap across queries and skew
         # later timings via GC pressure
