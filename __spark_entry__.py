@@ -336,13 +336,15 @@ def _q_ann_topk_ivf(spark, sf_dir):
 
 def _q_embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    # 8-bit buckets × 3 OR-ed bands: bounded in-bucket join cost with the
-    # recall recovered by banding (n_bits=6 single-band = 64 buckets total,
-    # quadratic in-bucket at scale — the round-1 perf-weak finding).
+    # auto-sized buckets × 3 OR-ed bands: n_bits=None counts the corpus
+    # and sizes buckets to ~constant occupancy, so in-bucket join cost
+    # per vector stays flat as the table grows (pinned n_bits=8 measured
+    # 18× time for 10× vectors at sf1 — the round-3 super-linear find);
+    # the oracle derives the identical n_bits from the same parquet.
     # τ=0.4 because the synthetic embeddings have no true near-dups (max
     # pairwise cos ≈ 0.51) — a 0.9 threshold would make the gate trivially
     # empty on both sides.
-    out = sim.embedding_neardup_pairs(emb, dim=64, min_cos=0.4, n_bits=8,
+    out = sim.embedding_neardup_pairs(emb, dim=64, min_cos=0.4, n_bits=None,
                                       bands=3)
     return out.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
@@ -759,7 +761,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_topk": orc.lsh_topk_sql(dim=64, k=10, n_bits=4, nprobe=3,
                                      n_tables=3),
         "embedding_neardup": orc.embedding_neardup_sql(
-            dim=64, min_cos=0.4, n_bits=8, bands=3),
+            dim=64, min_cos=0.4, n_bits=None, bands=3, sf_dir=oracle_sf),
         "ann_topk_ivf": orc.ivf_topk_sql(oracle_sf, dim=64, k=10,
                                          n_cells=16, nprobe=6),
         "pages_verdicts": orc.pages_verdicts_sql(n_rows=2000, seed=42,

@@ -240,8 +240,25 @@ def lsh_topk_sql(dim: int = 64, k: int = 10, n_bits: int = 8,
 
 
 def embedding_neardup_sql(dim: int = 64, min_cos: float = 0.9,
-                          n_bits: int = 8, seed: int = 99,
-                          bands: int = 3) -> str:
+                          n_bits: int | None = 8, seed: int = 99,
+                          bands: int = 3,
+                          sf_dir: str | None = None,
+                          target_bucket_size: int = 8) -> str:
+    """``n_bits=None`` derives the bucket sizing the same way the operator
+    does: count the corpus parquet and apply the shared
+    ``similarity.auto_n_bits`` — both sides land on identical plane
+    literals, keeping the driver hash gate exact."""
+    if n_bits is None:
+        import duckdb
+
+        from .operators.similarity import auto_n_bits
+
+        con = duckdb.connect()
+        n = con.execute(
+            f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchone()[0]
+        con.close()
+        n_bits = auto_n_bits(n, target_bucket_size)
     band_conds = " OR ".join(f"l.c{b} = r.c{b}" for b in range(bands))
     code_cols = ",\n             ".join(
         f"{_code_expr('embedding', dim, n_bits, seed + b)} AS c{b}"
