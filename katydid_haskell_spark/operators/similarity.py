@@ -336,8 +336,20 @@ def ivf_cell(vec: Column, centroids: List[List[float]]) -> Column:
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
+def auto_n_cells(n: int, floor: int = 4, cap: int = 1024) -> int:
+    """IVF cell-count sizing shared with the oracle: the standard
+    ``n_cells ≈ sqrt(n)`` heuristic balances probe cost (queries scan
+    nprobe/n_cells of the corpus) against quantizer cost — a PINNED cell
+    count has the same fixed-bucket scaling flaw auto_n_bits fixes for
+    the near-dup path.  Capped so driver k-means on the bounded training
+    sample stays meaningful (cells ≪ sample)."""
+    import math
+
+    return max(floor, min(cap, round(math.sqrt(max(n, 1)))))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
-             n_cells: int = 16, nprobe: int = 3,
+             n_cells: int | None = 16, nprobe: int = 3,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_vec",
              centroids: List[List[float]] | None = None) -> DataFrame:
@@ -345,7 +357,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     ``nprobe`` nearest cells only.  The inverted-file scan shape: the join
     key is the cell id, so a probe touches 1/n_cells of the corpus per
     probed cell instead of everything (at 10^12 vectors the cells would be
-    the physical partitioning / clustering keys)."""
+    the physical partitioning / clustering keys).
+
+    ``n_cells=None`` auto-sizes via :func:`auto_n_cells` (≈ sqrt(n), one
+    count pass); the default stays pinned at 16 because the oracled entry
+    query inlines centroid literals derived from the same parameter."""
+    if n_cells is None:
+        n_cells = auto_n_cells(corpus.count())
     if centroids is None:
         centroids = train_ivf_centroids(corpus, dim, n_cells,
                                         vec_col=vec_col, id_col=id_col)

@@ -135,13 +135,15 @@ def run_resumable(df: DataFrame, plan: CheckPlan, checkpoint_dir: str,
                   dims: Optional[Dict[str, DataFrame]] = None,
                   baselines: Optional[Dict[str, DataFrame]] = None,
                   key_col: str = "url", bucket_col: str = "bucket",
-                  snapshot: str = "na") -> None:
+                  snapshot: str = "na", skew=None) -> None:
     """Row-rule pass with per-bucket checkpointing + lineage.
 
     Buckets already completed for this snapshot are skipped (the resume
     anti-join); each completed bucket's verdicts land partitioned by
     bucket_id, and the manifest records (bucket, snapshot, rows, ts).
-    Table-scope rules run once after all buckets complete.
+    Table-scope rules run once after all buckets complete.  ``skew`` (a
+    checkplan.SkewSalt) applies to the fused fresh-run path's uniqueness
+    pass, same as run_plan.
     """
     spark = df.sparkSession
     done = set(completed_buckets(checkpoint_dir, snapshot))
@@ -156,7 +158,7 @@ def run_resumable(df: DataFrame, plan: CheckPlan, checkpoint_dir: str,
         from .checkplan import run_plan_fused
 
         fv, fviol = run_plan_fused(df, plan, dims or {}, baselines or {},
-                                   key_col, bucket_col, snapshot)
+                                   key_col, bucket_col, snapshot, skew=skew)
         if fv is not None:
             (fv.write.mode("append").partitionBy("bucket_id")
              .parquet(os.path.join(checkpoint_dir, "verdicts")))

@@ -348,3 +348,24 @@ def test_ann_recall_gates(spark):
            .select("q_id", "vec_id").collect()}
     lsh_recall = len(exact & lsh) / len(exact)
     assert lsh_recall >= 0.60, f"LSH recall@10 regressed: {lsh_recall:.3f}"
+
+
+def test_auto_sizing_helpers():
+    """Bucket/cell sizing must grow with the corpus (the fixed-size
+    versions were the round-3 super-linear finding)."""
+    assert sim.auto_n_bits(500) == 6
+    assert sim.auto_n_bits(2000) == 8
+    assert sim.auto_n_bits(20_000) == 12
+    assert sim.auto_n_bits(10**12) == 37
+    assert sim.auto_n_bits(4) == 4          # floor
+    assert sim.auto_n_cells(500) == 22
+    assert sim.auto_n_cells(10**12) == 1024  # cap (driver k-means bound)
+    assert sim.auto_n_cells(1) == 4          # floor
+
+
+def test_ivf_auto_cells(spark, vectors):
+    q = vectors.filter("vec_id < 2").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = sim.ivf_topk(vectors, q, dim=16, k=3, n_cells=None, nprobe=2)
+    got = {(r.q_id, r.rank): r.vec_id for r in out.collect()}
+    assert got[(0, 1)] == 0 and got[(1, 1)] == 1  # self always rank 1
