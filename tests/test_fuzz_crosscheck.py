@@ -146,3 +146,74 @@ def test_fuzz_catalyst_vs_derivative(spark):
         assert have == want, (
             f"spec #{i} {specs[i]!r}: catalyst={have} derivative={want}"
         )
+
+
+# ---------------------------------------------------------------------------
+# dynamic-array shape fuzz: star/optional/interleave INSIDE concat are
+# beyond the static Catalyst lowering and run through the derivative-
+# automaton UDF in production — fuzz that path against the pure engine
+# (the golden corpus pins 8 such shapes; this adds breadth)
+# ---------------------------------------------------------------------------
+
+drng = random.Random(11)
+
+
+def _dyn_elem():
+    if drng.random() < 0.3:
+        return f'_: ^= "{drng.choice(["t", "x"])}"'
+    return f'_: == "{drng.choice(["t1", "t2", "x", ""])}"'
+
+
+def _dyn_item():
+    e = _dyn_elem()
+    return drng.choice([e, f"({e})*", f"({e})?", "*"])
+
+
+def dyn_spec():
+    k = drng.randrange(5)
+    if k == 0:
+        items = ", ".join(_dyn_item() for _ in range(drng.randrange(2, 4)))
+        return f".tags: [{items}]"
+    if k == 1:
+        branches = "; ".join(
+            drng.choice([_dyn_elem(), f"({_dyn_elem()})*",
+                         f"({_dyn_elem()})?"])
+            for _ in range(drng.randrange(2, 4)))
+        return f".tags: {{{branches}}}"
+    if k == 2:
+        return f".tags: ([{_dyn_elem()}, {_dyn_elem()}])*"
+    if k == 3:
+        return f".tags: !(({_dyn_elem()})*)"
+    return f"(.tags: [{_dyn_item()}, {_dyn_item()}] & .tags: (_: *)*)"
+
+
+def test_fuzz_automaton_vs_derivative_dynamic_shapes(spark):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from katydid_haskell_spark.relapse.automaton import validate_json_column
+
+    tags_schema = T.StructType(
+        [T.StructField("tags", T.ArrayType(T.StringType()))])
+    specs = [dyn_spec() for _ in range(40)]
+    rows = []
+    for _ in range(25):
+        if drng.random() < 0.1:
+            rows.append({"tags": None})
+        else:
+            rows.append({"tags": [drng.choice(["t1", "t2", "x", ""])
+                                  for _ in range(drng.randrange(0, 5))]})
+    df = spark.createDataFrame(
+        [(r["tags"],) for r in rows], tags_schema).coalesce(1)
+    doc = F.to_json(F.struct(F.col("tags")),
+                    {"ignoreNullFields": "false"})
+    cols = [validate_json_column(doc, s).alias(f"c{i}")
+            for i, s in enumerate(specs)]
+    got = df.select(*cols).collect()
+    for i, s in enumerate(specs):
+        v = Validator(compile_grammar(parse_grammar(s)))
+        want = [v.validate(row_to_forest(r, tags_schema)) for r in rows]
+        have = [row[f"c{i}"] for row in got]
+        assert have == want, (
+            f"dyn spec #{i} {s!r}: automaton={have} derivative={want}")

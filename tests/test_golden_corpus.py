@@ -80,10 +80,14 @@ def test_corpus_catalyst(spark, name):
         col = compile_to_column(g, schema)
         lowered = True
     except LoweringUnsupported:
-        # production fallback: row → JSON → automaton UDF (to_json drops
-        # null fields, matching row_to_forest's null-is-absent rule)
+        # production fallback: row → JSON → automaton UDF.  NULL fields
+        # must be kept explicit ({"f": null}): the reference's Json.hs:40
+        # makes a null-valued field a PRESENT node with no children, which
+        # is what row_to_forest and decode_json both do — to_json's
+        # default null-dropping would make the field absent instead.
         col = validate_json_column(
-            F.to_json(F.struct(*[F.col(f.name) for f in schema.fields])),
+            F.to_json(F.struct(*[F.col(f.name) for f in schema.fields]),
+                      {"ignoreNullFields": "false"}),
             spec)
         lowered = False
     got = [r["m"] for r in df.select(col.alias("m")).collect()]
