@@ -114,6 +114,25 @@ def stream_dedup(stream: DataFrame, key_cols: List[str], ts_col: str,
     )
 
 
+def stream_dedup_normalized(stream: DataFrame, text_col: str, ts_col: str,
+                            watermark: str = "10 minutes",
+                            fp_col: str = "__fp") -> DataFrame:
+    """Streaming NORMALIZED dedup: keep the first record per text
+    fingerprint (lowercased, whitespace-collapsed xxhash64 — the same
+    ``textops.fingerprint`` the batch dedup uses) within the watermark
+    horizon.  Catches the case/whitespace near-dups that exact key dedup
+    misses, at identical state cost (one fingerprint per kept record,
+    bounded by the watermark)."""
+    from ..operators.textops import fingerprint
+
+    out = (
+        stream.withColumn(fp_col, fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([fp_col])
+    )
+    return out.drop(fp_col)
+
+
 def foreach_batch_plan(plan: CheckPlan, dims, baselines, out_dir: str,
                        key_col: str = "url", bucket_col: str = "bucket"):
     """foreachBatch bridge: run the FUSED CheckPlan on every micro-batch

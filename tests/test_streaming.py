@@ -224,3 +224,33 @@ def test_stream_restart_no_loss_no_dup(spark, tmp_path):
     viol = spark.read.parquet(f"{out_dir}/violations")
     # exactly one http:// violation total (from part 1, not re-emitted)
     assert viol.where("rule_id = 'url_https'").count() == 1
+
+
+def test_stream_dedup_normalized(spark, tmp_path):
+    from katydid_haskell_spark.streaming.stream_checks import (
+        stream_dedup_normalized,
+    )
+
+    rows = [
+        ("a1", "2025-01-01 00:00:01", "The Quick Fox"),
+        ("a2", "2025-01-01 00:00:02", "the  quick   fox "),  # norm dup of a1
+        ("a3", "2025-01-01 00:00:03", "something else"),
+        ("a4", "2025-01-01 00:00:04", "THE QUICK FOX"),      # norm dup of a1
+    ]
+    d = str(tmp_path / "nd_in")
+    df = spark.createDataFrame(rows, "id string, ts string, text string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(d)
+    schema = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = stream_dedup_normalized(stream, "text", "ts",
+                                  watermark="10 minutes")
+    _run_to_memory(out, "nd_t")
+    kept = {r.id for r in spark.sql("SELECT id FROM nd_t").collect()}
+    assert len(kept) == 2
+    assert "a3" in kept
+    assert len(kept & {"a1", "a2", "a4"}) == 1  # one survivor of the trio
