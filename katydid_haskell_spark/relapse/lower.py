@@ -776,31 +776,104 @@ class Lowerer:
             c0 = self._elem_cond(p, F.get(col, 0), elem_dt, 0)
             return band(F.coalesce(F.size(col) == 1, F.lit(False)), c0)
         if p.kind == CONCAT:
-            # fixed-length positional sequence of one-node patterns
-            elems: List[LP] = []
-            self._flatten_concat(p, elems)
-            conds: BExpr = F.coalesce(F.size(col) == len(elems), F.lit(False))
-            for i, ep in enumerate(elems):
-                conds = band(
-                    conds,
-                    self._elem_cond(ep, F.get(col, i), elem_dt, i),
-                )
-            return conds
+            return self._match_array_concat(p, col, elem_dt)
         if p.kind == REF:
             return self._match_array_pattern(
                 self.lift(self.g.lookup(p.ref)), col, elem_dt
             )
         raise LoweringUnsupported(f"array pattern shape: {p.kind}")
 
+    def _match_array_concat(self, p: LP, col: Column, elem_dt: T.DataType):
+        """Array concat with AT MOST ONE variable-length segment.
+
+        Segments are one-node patterns plus up to one of: ``(node)*``,
+        ``(node)?`` or ``*`` (ZAny).  Because a NODE consumes exactly one
+        element, a single variable segment makes the split POSITIONAL
+        (prefix at fixed indices from the front, suffix at fixed offsets
+        from the back, the variable segment takes the remainder) — no
+        backtracking, so it lowers to size checks + F.get + a forall over
+        F.slice, all codegen'd.  Two or more variable segments would need
+        a nondeterministic split → automaton path (LoweringUnsupported).
+        """
+        segs: List[LP] = []
+        self._flatten_concat(p, segs)
+        VAR_KINDS = (ZERO_OR_MORE, OPTIONAL)
+        var_idx = [i for i, s in enumerate(segs)
+                   if s.kind in VAR_KINDS or _is_zany(s)]
+        if not var_idx:
+            # fixed-length positional sequence of one-node patterns
+            conds: BExpr = F.coalesce(F.size(col) == len(segs), F.lit(False))
+            for i, ep in enumerate(segs):
+                conds = band(
+                    conds,
+                    self._elem_cond(ep, F.get(col, i), elem_dt, i),
+                )
+            return conds
+        if len(var_idx) > 1:
+            raise LoweringUnsupported(
+                "array concat with multiple variable segments needs the "
+                "automaton path"
+            )
+        si = var_idx[0]
+        prefix, mid, suffix = segs[:si], segs[si], segs[si + 1:]
+        for s in prefix + suffix:
+            if s.kind != NODE:
+                raise LoweringUnsupported(
+                    "array concat fixed segments must be one-node patterns"
+                )
+        k, j = len(prefix), len(suffix)
+        size = F.size(col)
+        if mid.kind == OPTIONAL and mid.pats[0].kind == ZERO_OR_MORE:
+            mid = mid.pats[0]  # (p*)? ≡ p*
+        if _is_zany(mid):
+            size_ok: BExpr = F.coalesce(size >= k + j, F.lit(False))
+            mid_ok: BExpr = True
+        elif mid.kind == ZERO_OR_MORE:
+            inner = mid.pats[0]
+            size_ok = F.coalesce(size >= k + j, F.lit(False))
+            middle = F.slice(col, k + 1,
+                             F.greatest(size - k - j, F.lit(0)))
+            mid_ok = F.coalesce(
+                F.forall(middle, lambda e: to_col(
+                    self._elem_cond(inner, e, elem_dt, None))),
+                F.lit(False))
+        elif mid.kind == OPTIONAL:
+            inner = mid.pats[0]
+            if inner.kind != NODE:
+                raise LoweringUnsupported(
+                    "optional array segment must be a one-node pattern"
+                )
+            size_ok = F.coalesce((size == k + j) | (size == k + j + 1),
+                                 F.lit(False))
+            mid_ok = bor(
+                F.coalesce(size == k + j, F.lit(False)),
+                self._elem_cond(inner, F.get(col, k), elem_dt, None),
+            )
+        else:  # pragma: no cover - guarded by var_idx construction
+            raise LoweringUnsupported(f"array segment shape: {mid.kind}")
+        conds = band(size_ok, mid_ok)
+        for i, ep in enumerate(prefix):
+            conds = band(conds,
+                         self._elem_cond(ep, F.get(col, i), elem_dt, i))
+        for t, ep in enumerate(suffix):
+            # position depends on the runtime length → index label must be
+            # wildcard (elem_cond(None) enforces; else automaton path)
+            conds = band(
+                conds,
+                self._elem_cond(ep, F.get(col, size - j + t), elem_dt,
+                                None))
+        return conds
+
     def _flatten_concat(self, p: LP, out: List[LP]) -> None:
         if p.kind == CONCAT:
             self._flatten_concat(p.pats[0], out)
             self._flatten_concat(p.pats[1], out)
-        elif p.kind == NODE:
+        elif p.kind in (NODE, ZERO_OR_MORE, OPTIONAL) or _is_zany(p):
             out.append(p)
         else:
             raise LoweringUnsupported(
-                f"concat over arrays must be a sequence of nodes, got {p.kind}"
+                f"concat over arrays must be a sequence of nodes or "
+                f"star/optional/ZAny segments, got {p.kind}"
             )
 
 

@@ -204,16 +204,35 @@ def test_fuzz_automaton_vs_derivative_dynamic_shapes(spark):
         else:
             rows.append({"tags": [drng.choice(["t1", "t2", "x", ""])
                                   for _ in range(drng.randrange(0, 5))]})
+    from katydid_haskell_spark.relapse.lower import LoweringUnsupported
+
     df = spark.createDataFrame(
         [(r["tags"],) for r in rows], tags_schema).coalesce(1)
     doc = F.to_json(F.struct(F.col("tags")),
                     {"ignoreNullFields": "false"})
     cols = [validate_json_column(doc, s).alias(f"c{i}")
             for i, s in enumerate(specs)]
+    # three-way where possible: single-variable-segment concats lower
+    # since round 3 — fuzz the new lowering alongside the automaton
+    lowered_idx = []
+    for i, s in enumerate(specs):
+        try:
+            cols.append(compile_to_column(
+                compile_grammar(parse_grammar(s)), tags_schema)
+                .alias(f"l{i}"))
+            lowered_idx.append(i)
+        except LoweringUnsupported:
+            pass
     got = df.select(*cols).collect()
+    n_lowered = len(lowered_idx)
+    assert n_lowered > 0, "fuzz produced no lowerable dynamic spec"
     for i, s in enumerate(specs):
         v = Validator(compile_grammar(parse_grammar(s)))
         want = [v.validate(row_to_forest(r, tags_schema)) for r in rows]
         have = [row[f"c{i}"] for row in got]
         assert have == want, (
             f"dyn spec #{i} {s!r}: automaton={have} derivative={want}")
+        if i in lowered_idx:
+            lhave = [row[f"l{i}"] for row in got]
+            assert lhave == want, (
+                f"dyn spec #{i} {s!r}: catalyst={lhave} derivative={want}")

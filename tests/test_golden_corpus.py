@@ -26,8 +26,9 @@ CASES = sorted(
 # over dynamic children) are beyond the static Catalyst lowering and run
 # through the derivative-automaton UDF in production
 AUTOMATON_ONLY = {
-    "concat_star_middle",
-    "concat_backtrack",
+    # concat_star_middle lowers since round 3 (single-variable-segment
+    # array concat: positional split, no backtracking needed)
+    "concat_backtrack",        # two star segments → nondeterministic split
     "concat_of_interleaves",
     "interleave_array3",
     "interleave_concat_mix",
