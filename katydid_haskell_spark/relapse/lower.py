@@ -777,11 +777,54 @@ class Lowerer:
             return band(F.coalesce(F.size(col) == 1, F.lit(False)), c0)
         if p.kind == CONCAT:
             return self._match_array_concat(p, col, elem_dt)
+        if p.kind == INTERLEAVE:
+            return self._match_array_interleave(p, col, elem_dt)
         if p.kind == REF:
             return self._match_array_pattern(
                 self.lift(self.g.lookup(p.ref)), col, elem_dt
             )
         raise LoweringUnsupported(f"array pattern shape: {p.kind}")
+
+    def _match_array_interleave(self, p: LP, col: Column,
+                                elem_dt: T.DataType):
+        """Interleave of ≤4 one-node branches over an array: every branch
+        consumes exactly one element, in any order — size == n and SOME
+        permutation assigns each element to a matching branch.  Lowered
+        as an OR over the n! positional conjunctions (≤24 terms), all
+        codegen'd.  Branches with stars/optionals (variable length) need
+        the nondeterministic split → automaton path.
+        """
+        from itertools import permutations
+
+        branches: List[LP] = []
+
+        def flat(q: LP) -> None:
+            if q.kind == INTERLEAVE:
+                for c in q.pats:
+                    flat(c)
+            else:
+                branches.append(q)
+
+        flat(p)
+        if not all(b.kind == NODE for b in branches):
+            raise LoweringUnsupported(
+                "array interleave branches must be one-node patterns "
+                "(variable-length branches need the automaton path)"
+            )
+        if len(branches) > 4:
+            raise LoweringUnsupported(
+                "array interleave beyond 4 branches (n! blowup) needs "
+                "the automaton path"
+            )
+        n = len(branches)
+        anyperm: BExpr = False
+        for perm in permutations(range(n)):
+            c: BExpr = True
+            for pos, bi in enumerate(perm):
+                c = band(c, self._elem_cond(branches[bi], F.get(col, pos),
+                                            elem_dt, pos))
+            anyperm = bor(anyperm, c)
+        return band(F.coalesce(F.size(col) == n, F.lit(False)), anyperm)
 
     def _match_array_concat(self, p: LP, col: Column, elem_dt: T.DataType):
         """Array concat with AT MOST ONE variable-length segment.

@@ -28,12 +28,13 @@ CASES = sorted(
 AUTOMATON_ONLY = {
     # concat_star_middle lowers since round 3 (single-variable-segment
     # array concat: positional split, no backtracking needed)
+    # interleave_array3 lowers since round 3 (≤4 one-node branches →
+    # OR over permutations)
     "concat_backtrack",        # two star segments → nondeterministic split
-    "concat_of_interleaves",
-    "interleave_array3",
-    "interleave_concat_mix",
-    "interleave_opt_star",
-    "star_of_concat",
+    "concat_of_interleaves",   # interleave segments inside concat
+    "interleave_concat_mix",   # concat branch inside interleave
+    "interleave_opt_star",     # variable-length interleave branches
+    "star_of_concat",          # star of multi-element group
 }
 
 
