@@ -307,6 +307,29 @@ def _q_dedup_clusters(spark, sf_dir):
     return dd.connected_components(pairs)
 
 
+def _q_dedup_clusters_star(spark, sf_dir):
+    # same pair graph, STAR-CONTRACTION engine (O(log n) rounds regardless
+    # of component diameter — the scale path for adversarial graphs);
+    # labels are identical to min-label propagation by construction, so
+    # the same recursive-CTE oracle applies
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32,
+                                 bands=8, shingle_k=3, min_jaccard=0.4)
+    return dd.connected_components(pairs, algorithm="star")
+
+
+def _q_heavy_hitter_langs(spark, sf_dir):
+    # exact mode for the oracle (the approx sketch path reports lower-bound
+    # counts by design and is agreement-tested in unit tests instead)
+    from katydid_haskell_spark.operators import skew as sk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sk.heavy_hitters(docs, F.col("lang"), min_fraction=0.13,
+                           approx=False)
+    return out.select("key", F.col("cnt").cast("long").alias("cnt"))
+
+
 def _q_simhash_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
@@ -476,6 +499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_brute": _q_ann_topk_brute,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_clusters_star": _q_dedup_clusters_star,
+        "heavy_hitter_langs": _q_heavy_hitter_langs,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_topk": _q_lsh_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
@@ -758,6 +783,20 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": orc.simhash_pairs_sql(max_hamming=8, shingle_k=2),
         "dedup_clusters": orc.dedup_clusters_sql(
             num_hashes=32, bands=8, shingle_k=3, min_jaccard=0.4),
+        # star-contraction produces the identical min-label clustering, so
+        # the same transitive-closure oracle applies verbatim
+        "dedup_clusters_star": orc.dedup_clusters_sql(
+            num_hashes=32, bands=8, shingle_k=3, min_jaccard=0.4),
+        "heavy_hitter_langs": """
+        WITH counted AS (
+          SELECT COALESCE(lang, CHR(0) || '<null>') AS key,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM documents GROUP BY 1
+        ),
+        tot AS (SELECT SUM(cnt) AS total FROM counted)
+        SELECT key, cnt FROM counted, tot
+        WHERE cnt >= total * 0.13
+        """,
         "lsh_topk": orc.lsh_topk_sql(dim=64, k=10, n_bits=4, nprobe=3,
                                      n_tables=3),
         "embedding_neardup": orc.embedding_neardup_sql(
