@@ -336,15 +336,33 @@ def run_plan_fused(df: DataFrame, plan: CheckPlan,
                          work[r.fk] == F.col(f"__dimk_{i}"), "left"
                          ).drop(f"__dimk_{i}")
 
-    stat_cols = {r.column for r in plan.stat_rules}
+    # Stat columns whose VALUE the rollup actually needs; columns used
+    # only by null_rate/count rules are projected down to an is-not-null
+    # BIT instead — on web tables that drops the widest column (text)
+    # from the rollup's aggregation input entirely.  Strictly less data
+    # through the hash aggregate (local A/B was within host noise; the
+    # effect scales with the dropped column's width).
+    VALUE_METRICS = {"min", "max", "mean", "approx_distinct"}
+    value_cols = {r.column for r in plan.stat_rules
+                  if r.metric in VALUE_METRICS}
+    nullbit_cols = sorted(
+        {r.column for r in plan.stat_rules
+         if r.metric in ("null_rate", "count")} - value_cols)
+    nullbit_alias = {c: f"__nn_{i}" for i, c in enumerate(nullbit_cols)}
     ref_fk_cols = {r.fk for r in plan.ref_rules}
     checked = work.select(
         F.col(key_col).alias("__key"),
         F.col(bucket_col).alias("__bucket"),
-        *[F.col(c) for c in sorted(stat_cols | ref_fk_cols)],
+        *[F.col(c) for c in sorted(value_cols | ref_fk_cols)],
+        *[F.col(c).isNotNull().alias(a) for c, a in nullbit_alias.items()],
         *[F.col(f"__ref_ok_{i}") for i in range(len(plan.ref_rules))],
         *[cols[r.rule_id].alias(f"ok_{i}") for i, r in enumerate(rules)],
     )
+
+    def non_null_count(c: str):
+        if c in nullbit_alias:
+            return F.sum(F.col(nullbit_alias[c]).cast("long"))
+        return F.count(c)
 
     # ---- pass 1: one groupBy(bucket) carrying everything mergeable ----
     aggs = [F.count(F.lit(1)).alias("rows_checked")]
@@ -357,13 +375,13 @@ def run_plan_fused(df: DataFrame, plan: CheckPlan,
     for i, r in enumerate(plan.stat_rules):
         c = r.column
         if r.metric == "null_rate":
-            aggs.append(F.count(c).alias(f"st_nn_{i}"))
+            aggs.append(non_null_count(c).alias(f"st_nn_{i}"))
         elif r.metric == "min":
             aggs.append(F.min(c).alias(f"st_min_{i}"))
         elif r.metric == "max":
             aggs.append(F.max(c).alias(f"st_max_{i}"))
         elif r.metric == "count":
-            aggs.append(F.count(c).alias(f"st_cnt_{i}"))
+            aggs.append(non_null_count(c).alias(f"st_cnt_{i}"))
         elif r.metric == "mean":
             aggs.append(F.sum(c).alias(f"st_sum_{i}"))
             aggs.append(F.count(c).alias(f"st_n_{i}"))
