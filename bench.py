@@ -383,13 +383,19 @@ property of the plan.  The fused plan's own overhead is bounded by the
 control: suite efficiency tracks the pure-scan efficiency at both
 pairs.
 """)
-    print(json.dumps({
+    out = {
         "scaling_efficiency": round(eff_2_8, 3),
         "scaling_efficiency_1_4": round(eff_1_4, 3),
         "scaling_efficiency_8_32": round(eff_8_32, 3),
         "local1": results[1], "local2": results[2], "local4": results[4],
         "local8": results[8], "local32": results[32],
-    }))
+    }
+    # BASELINE.md is REWRITTEN per run; the measurement history (which the
+    # reproducibility analysis needs — this box's host noise swings
+    # efficiency ~0.1 run-to-run) accumulates here instead
+    with open("BENCH/HISTORY.jsonl", "a") as f:
+        f.write(json.dumps(out) + "\n")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
