@@ -353,7 +353,11 @@ def _q_ann_topk_ivf(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    out = sim.ivf_topk(emb, queries, dim=64, k=10, n_cells=16, nprobe=6)
+    # n_cells=None auto-sizes to ~sqrt(n) cells (one count pass) so the
+    # quantizer granularity tracks the corpus instead of a pinned 16; the
+    # oracle derives the identical cell count from the same parquet.
+    # nprobe keeps the probed fraction ≈ the old 6/16 config.
+    out = sim.ivf_topk(emb, queries, dim=64, k=10, n_cells=None, nprobe=9)
     return out.select("q_id", "vec_id", "rank", F.round("cos", 4).alias("cos"))
 
 
@@ -802,7 +806,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": orc.embedding_neardup_sql(
             dim=64, min_cos=0.4, n_bits=None, bands=3, sf_dir=oracle_sf),
         "ann_topk_ivf": orc.ivf_topk_sql(oracle_sf, dim=64, k=10,
-                                         n_cells=16, nprobe=6),
+                                         n_cells=None, nprobe=9),
         "pages_verdicts": orc.pages_verdicts_sql(n_rows=2000, seed=42,
                                                  buckets=16,
                                                  snapshot="bench"),

@@ -58,14 +58,36 @@ def _perm_params(num_hashes: int, seed: int = 7):
 # ---------------------------------------------------------------------------
 
 
-def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Groups of exact (normalized) duplicates: (fp, n_docs, doc_ids)."""
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str,
+                           max_ids: int = 100) -> DataFrame:
+    """Groups of exact (normalized) duplicates: (fp, n_docs, doc_ids).
+
+    ``doc_ids`` holds at most ``max_ids`` example ids (the smallest, in
+    order) — a degenerate fingerprint group at crawl scale (millions of
+    empty/boilerplate docs sharing one fp) must not materialize an
+    unbounded array in a single aggregation buffer.  The cap is applied
+    BEFORE aggregation via a row_number window over the same fp key, so
+    the window sort and the groupBy share one hash partitioning (single
+    shuffle) and the agg buffer is bounded at ``max_ids`` entries.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     fingerprint(F.col(text_col)).alias("fp"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    ranked = base.withColumn("__rn", F.row_number().over(w))
     return (
-        df.select(F.col(id_col).alias("doc_id"),
-                  fingerprint(F.col(text_col)).alias("fp"))
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_docs"),
-             F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        ranked.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # collect_list drops nulls → only the first max_ids ids per
+            # group ever enter the buffer
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("__rn") <= max_ids, F.col("doc_id"))
+                )
+            ).alias("doc_ids"),
+        )
         .filter(F.col("n_docs") > 1)
     )
 
@@ -228,10 +250,11 @@ def simhash_udf(bits: int = 64, shingle_k: int = 2):
                 np.int64
             ) * 2 - 1
             counts = bitsm.sum(axis=0)
-            packed = 0
-            for i in range(bits):
-                if counts[i] > 0:
-                    packed |= 1 << i
+            # vectorized bit packing: positive-count bits shifted into
+            # place and OR-summed (disjoint bits, so sum == OR)
+            packed = int(
+                ((counts > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+            )
             if packed >= 1 << 63:  # two's-complement into a signed long
                 packed -= 1 << 64
             out.append(packed)
@@ -478,6 +501,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 
+class ConvergenceError(RuntimeError):
+    """A CC engine exceeded its round budget without reaching a fixpoint.
+
+    Distinct from generic RuntimeError so that ``algorithm='auto'`` can
+    fall back to star-contraction ONLY on genuine non-convergence —
+    PySpark job failures (PySparkRuntimeError is a RuntimeError subclass)
+    must propagate, not trigger a silent expensive re-run that masks the
+    real error.
+    """
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iter: int = 25,
@@ -518,7 +552,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         try:
             return _cc_min_label(edges,
                                  min(label_rounds_before_switch, max_iter))
-        except RuntimeError:
+        except ConvergenceError:
             return _cc_star(edges, max_iter)
     raise ValueError(
         f"algorithm must be 'label', 'star' or 'auto', got {algorithm!r}")
@@ -538,39 +572,44 @@ def _cc_min_label(edges: DataFrame, max_iter: int) -> DataFrame:
     # goes exponential in the round count (measured: analyzer OOM at ~8
     # rounds).  Quasi-clique dup graphs converge in 2-3 rounds and never
     # noticed; deep graphs hit it before they hit max_iter.
-    labels = (sym.select(F.col("a").alias("id"))
-              .distinct()
-              .withColumn("label", F.col("id"))
-              .localCheckpoint(eager=True))
     changed = -1
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.b == labels.id)
-            .groupBy("a").agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
-            .select(
-                "id",
-                F.least(F.col("label"),
-                        F.coalesce(F.col("nmin"), F.col("label")))
-                .alias("label"),
+    try:
+        labels = (sym.select(F.col("a").alias("id"))
+                  .distinct()
+                  .withColumn("label", F.col("id"))
+                  .localCheckpoint(eager=True))
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym.b == labels.id)
+                .groupBy("a").agg(F.min("label").alias("nmin"))
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    sym.unpersist()
+            new_labels = (
+                labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+                .select(
+                    "id",
+                    F.least(F.col("label"),
+                            F.coalesce(F.col("nmin"), F.col("label")))
+                    .alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        # labels are localCheckpoint'd (independent of sym), so releasing
+        # the cached edge block here is safe on both success and the
+        # auto-mode fallback path (where _cc_star rebuilds its own edges)
+        sym.unpersist()
     if changed != 0:
         # a silent non-fixpoint would return WRONG clusters — refuse
-        raise RuntimeError(
+        raise ConvergenceError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds max_iter); raise max_iter or use "
             "algorithm='star' for long-chain graphs"
@@ -634,10 +673,14 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
     # rounds (measured: analyzer hang).  On a real cluster swap in
     # reliable checkpoint() if executor loss during the loop must be
     # survivable.
-    curr = _canonical_edges(edges).localCheckpoint(eager=True)
-    nodes = (curr.select("a")
-             .union(curr.select(F.col("b").alias("a")))
+    # nodes come from the RAW edge set, before self-loop removal: a node
+    # appearing only in self-pairs (a==a) must still surface as a
+    # singleton cluster, exactly as the label engine reports it — the
+    # three algorithms contract to produce IDENTICAL labelings
+    nodes = (edges.select("a")
+             .union(edges.select(F.col("b").alias("a")))
              .distinct())
+    curr = _canonical_edges(edges).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iter):
         new = _small_star(_large_star(curr)).localCheckpoint(eager=True)
@@ -648,7 +691,7 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
             break
         curr = new
     if not converged:
-        raise RuntimeError(
+        raise ConvergenceError(
             f"star-contraction did not converge in {max_iter} rounds — "
             "this exceeds the O(log n) bound and indicates a bug or an "
             "edge set mutating under the loop; refusing to return "

@@ -98,6 +98,38 @@ def _stack(vecs: pd.Series, dim: int) -> "np.ndarray":
     return np.array([np.asarray(v, dtype=np.float64) for v in vecs])
 
 
+# Relative margin below which a BLAS-computed dot is considered "within
+# summation-reordering distance" of a decision boundary: reordering error
+# is bounded by ~dim·ulp ≈ 1e-13 of the norm product, so 1e-9 is a safe
+# three-orders-of-magnitude guard band that almost never triggers.
+_REL_MARGIN = 1e-9
+
+
+def _ordered_matmul(x: "np.ndarray", p: "np.ndarray") -> "np.ndarray":
+    """``x @ p`` with summation as a strict left-to-right IEEE-double fold
+    over the shared dimension — bit-identical to the Catalyst
+    ``aggregate(zip_with(a, b, *), 0.0, +)`` fold in :func:`dot` and the
+    DuckDB oracle's ordered list fold, vectorized across (row, column).
+
+    This is the parity anchor for every sign / argmax / ordering decision
+    the Arrow paths make: BLAS matmul reorders the summation (ulp-scale
+    differences), so decisions near a boundary recompute through here.
+    """
+    out = np.zeros((x.shape[0], p.shape[1]), dtype=np.float64)
+    for k in range(x.shape[1]):
+        out += x[:, k][:, None] * p[k][None, :]
+    return out
+
+
+def _ordered_self_dot(x: "np.ndarray") -> "np.ndarray":
+    """Per-row ordered-fold self dot (for norms bit-identical to
+    ``sqrt(dot(v, v))`` in the Catalyst formulation)."""
+    out = np.zeros(x.shape[0], dtype=np.float64)
+    for k in range(x.shape[1]):
+        out += x[:, k] * x[:, k]
+    return out
+
+
 def lsh_codes_udf(dim: int, n_bits: int, seeds: Sequence[int]):
     """Arrow-vectorized hyperplane codes, one per seed → array<long>.
 
@@ -106,18 +138,19 @@ def lsh_codes_udf(dim: int, n_bits: int, seeds: Sequence[int]):
     instead of per-row interpreted higher-order functions — Spark runs
     array HOFs without codegen, measured 14-19× slower (docs/PLANS.md).
 
-    Float-discipline caveat: BLAS matmul summation order differs from the
-    Catalyst/DuckDB ordered fold, so a dot within reordering error of 0.0
-    can flip a sign bit vs the oracle / the kept Catalyst cross-check.
-    Probability is ~ulp-scale per decision and deterministic for a given
-    BLAS build; "bit-for-bit" oracle parity is only guaranteed for the
-    Catalyst ``dot()`` formulation (same caveat applies to
-    :func:`cell_assign_udf` argmax and :func:`probe_cells_udf` ordering).
+    Float-discipline guarantee: BLAS matmul reorders the summation, so a
+    dot within reordering distance of 0.0 could flip its sign bit vs the
+    Catalyst/DuckDB ordered fold.  Rows with any |dot| inside the
+    ``_REL_MARGIN`` guard band recompute through :func:`_ordered_matmul`
+    (the exact ordered fold), so every SIGN decision this UDF makes is
+    identical to the Catalyst ``dot()`` formulation — bucket membership is
+    summation-order-independent.
     """
     planes = [
         np.array([_hyperplane(dim, b, s) for b in range(n_bits)]).T  # dim×bits
         for s in seeds
     ]
+    plane_norms = [np.linalg.norm(p, axis=0) for p in planes]
     weights = (1 << np.arange(n_bits)).astype(np.int64)
 
     @pandas_udf("array<long>")
@@ -125,7 +158,17 @@ def lsh_codes_udf(dim: int, n_bits: int, seeds: Sequence[int]):
         x = _stack(vecs, dim)
         if not len(x):
             return pd.Series([], dtype="object")
-        out = [((x @ p) >= 0) @ weights for p in planes]
+        xn = np.linalg.norm(x, axis=1)
+        out = []
+        for p, pn in zip(planes, plane_norms):
+            d = x @ p
+            # sign decisions inside the reordering guard band re-decide
+            # via the exact ordered fold (parity with the oracle's fold)
+            risky = np.abs(d) <= _REL_MARGIN * (xn[:, None] * pn[None, :])
+            rows = np.nonzero(risky.any(axis=1))[0]
+            if len(rows):
+                d[rows] = _ordered_matmul(x[rows], p)
+            out.append(((d >= 0) @ weights))
         return pd.Series(np.stack(out, axis=1).tolist())
 
     return codes
@@ -133,7 +176,14 @@ def lsh_codes_udf(dim: int, n_bits: int, seeds: Sequence[int]):
 
 def cell_assign_udf(centroids: List[List[float]], dim: int):
     """Arrow-vectorized nearest-centroid assignment (first-max ties, same
-    as :func:`ivf_cell`)."""
+    as :func:`ivf_cell`).
+
+    Argmax parity guarantee: rows whose top-2 sim gap is inside the
+    reordering guard band recompute their dots via the exact ordered fold
+    (:func:`_ordered_matmul`), so the winning cell is summation-order-
+    independent.  The per-row norm divisor is a shared positive scalar and
+    cannot change the argmax, so only the dots need the ordered fold.
+    """
     c = np.array(centroids, dtype=np.float64)
 
     @pandas_udf("int")
@@ -142,7 +192,15 @@ def cell_assign_udf(centroids: List[List[float]], dim: int):
         if not len(x):
             return pd.Series([], dtype="int32")
         nrm = np.linalg.norm(x, axis=1, keepdims=True)
-        sims = np.where(nrm > 0, (x @ c.T) / np.where(nrm > 0, nrm, 1.0), 0.0)
+        d = x @ c.T
+        if d.shape[1] > 1:
+            top2 = np.partition(d, d.shape[1] - 2, axis=1)[:, -2:]
+            risky = (top2[:, 1] - top2[:, 0]) <= _REL_MARGIN * np.maximum(
+                np.abs(top2[:, 1]), 1.0)
+            rows = np.nonzero(risky)[0]
+            if len(rows):
+                d[rows] = _ordered_matmul(x[rows], c.T)
+        sims = np.where(nrm > 0, d / np.where(nrm > 0, nrm, 1.0), 0.0)
         return pd.Series(sims.argmax(axis=1).astype("int32"))
 
     return assign
@@ -171,7 +229,13 @@ def probe_cells_udf(centroids: List[List[float]], dim: int, nprobe: int):
     ``reverse(array_sort(zip_with(sims, cells, struct)))`` in the Catalyst
     formulation (which is kept for cross-checks but not used in the hot
     path: a 16×64-literal Catalyst expression costs seconds of Janino
-    compilation per fresh plan)."""
+    compilation per fresh plan).
+
+    Ordering parity guarantee: this UDF runs on the (small) QUERY side, so
+    it computes every dot and norm with the exact ordered fold
+    (:func:`_ordered_matmul` / :func:`_ordered_self_dot`) — the sims are
+    bit-identical to the Catalyst ``_cell_sims`` doubles, so the probe
+    ORDER (incl. near-ties) is summation-order-independent."""
     c = np.array(centroids, dtype=np.float64)
     n_cells = len(centroids)
     take = min(nprobe, n_cells)
@@ -181,8 +245,10 @@ def probe_cells_udf(centroids: List[List[float]], dim: int, nprobe: int):
         x = _stack(vecs, dim)
         if not len(x):
             return pd.Series([], dtype="object")
-        nrm = np.linalg.norm(x, axis=1, keepdims=True)
-        sims = np.where(nrm > 0, (x @ c.T) / np.where(nrm > 0, nrm, 1.0), 0.0)
+        nrm = np.sqrt(_ordered_self_dot(x))[:, None]
+        sims = np.where(nrm > 0,
+                        _ordered_matmul(x, c.T) / np.where(nrm > 0, nrm, 1.0),
+                        0.0)
         # stable argsort over reversed columns → ties break to the HIGHER
         # cell id, matching the struct-sort-descending semantics
         rev = sims[:, ::-1]
@@ -201,6 +267,12 @@ def lsh_probe_codes_udf(dim: int, n_bits: int, seed: int, nprobe: int):
     ones most likely to separate it from its true neighbors (multiprobe
     LSH, Lv et al., VLDB'07).  Ties broken by bit index (stable argsort),
     mirroring the oracle's ``list_sort`` over (|dot|, bit) structs.
+
+    Parity guarantee: runs on the (small) QUERY side, so the dots use the
+    exact ordered fold (:func:`_ordered_matmul`) — both the SIGN bits and
+    the flip-bit ORDER (argsort over |dot|, where near-ties between two
+    bits would otherwise be BLAS-order-dependent) are bit-identical to the
+    oracle's ordered-fold dots.
     """
     planes = np.array([_hyperplane(dim, b, seed)
                        for b in range(n_bits)]).T  # dim×bits
@@ -212,7 +284,7 @@ def lsh_probe_codes_udf(dim: int, n_bits: int, seed: int, nprobe: int):
         x = _stack(vecs, dim)
         if not len(x):
             return pd.Series([], dtype="object")
-        d = x @ planes
+        d = _ordered_matmul(x, planes)
         base = ((d >= 0) @ weights).astype(np.int64)
         if take == 0:
             return pd.Series(base[:, None].tolist())

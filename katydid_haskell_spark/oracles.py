@@ -280,17 +280,29 @@ def embedding_neardup_sql(dim: int = 64, min_cos: float = 0.9,
     """
 
 
-def ivf_topk_sql(sf_dir: str, dim: int = 64, k: int = 10, n_cells: int = 16,
+def ivf_topk_sql(sf_dir: str, dim: int = 64, k: int = 10,
+                 n_cells: int | None = 16,
                  nprobe: int = 4, sample: int = 4096, iters: int = 8,
                  seed: int = 5) -> str:
     """IVF oracle: centroids re-derived from the SAME ordered training
     sample the Spark trainer reads (``ORDER BY vec_id LIMIT sample``) via
     the shared ``kmeans_unit`` — bit-identical float64 constants — then
-    cell assignment / probing / ranking expressed in SQL."""
+    cell assignment / probing / ranking expressed in SQL.
+
+    ``n_cells=None`` derives the cell count exactly as the operator does:
+    count the corpus parquet, apply the shared ``similarity.auto_n_cells``
+    — both sides train the identical quantizer."""
     import duckdb
     import numpy as np
 
     con = duckdb.connect()
+    if n_cells is None:
+        from .operators.similarity import auto_n_cells
+
+        n = con.execute(
+            f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchone()[0]
+        n_cells = auto_n_cells(n)
     rows = con.execute(
         f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
         f"ORDER BY vec_id LIMIT {sample}"

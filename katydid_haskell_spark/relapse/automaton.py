@@ -62,8 +62,37 @@ def factorized_map(docs: pd.Series, one: Callable[[str], bool]) -> pd.Series:
     return pd.Series(out)
 
 
+def _lib_cache_key(user_lib):
+    """Stable content-derived cache key for a user-function library.
+
+    ``id(user_lib)`` is NOT a valid key in a long-lived executor: after
+    the original object is GC'd a different library can be allocated at
+    the same address and silently alias the cached validator.  Key by the
+    function's identity-bearing content instead: module/qualname, its
+    bytecode, and the (repr'd) closure cell contents — two registries
+    built from the same closure over different values get distinct keys.
+    """
+    if user_lib is None:
+        return None
+    parts = [getattr(user_lib, "__module__", ""),
+             getattr(user_lib, "__qualname__", "")]
+    code = getattr(user_lib, "__code__", None)
+    if code is not None:
+        parts.append(code.co_code)
+        for cell in getattr(user_lib, "__closure__", None) or ():
+            try:
+                parts.append(repr(cell.cell_contents))
+            except Exception:
+                parts.append("<unreadable-cell>")
+    else:
+        # callable object (e.g. class instance): fall back to its repr,
+        # which for registry-style objects should expose the content
+        parts.append(repr(user_lib))
+    return tuple(parts)
+
+
 def _validator_for(source: str, user_lib=None) -> Validator:
-    key = (source, id(user_lib) if user_lib else None)
+    key = (source, _lib_cache_key(user_lib))
     v = _VALIDATORS.get(key)
     if v is None:
         v = Validator(compile_grammar(parse_grammar(source, user_lib)))

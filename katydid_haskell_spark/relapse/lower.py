@@ -785,17 +785,30 @@ class Lowerer:
             )
         raise LoweringUnsupported(f"array pattern shape: {p.kind}")
 
+    # expression-size guard for the interleave lowering: OR over at most
+    # this many branch→position assignments (4! = 24, the old ≤4-branch
+    # bound — kept so name-feasibility pruning can only WIDEN coverage,
+    # never emit a bigger expression than before)
+    _INTERLEAVE_MATCHING_CAP = 24
+
     def _match_array_interleave(self, p: LP, col: Column,
                                 elem_dt: T.DataType):
-        """Interleave of ≤4 one-node branches over an array: every branch
+        """Interleave of one-node branches over an array: every branch
         consumes exactly one element, in any order — size == n and SOME
-        permutation assigns each element to a matching branch.  Lowered
-        as an OR over the n! positional conjunctions (≤24 terms), all
-        codegen'd.  Branches with stars/optionals (variable length) need
-        the nondeterministic split → automaton path.
-        """
-        from itertools import permutations
+        assignment maps each branch to a distinct position with name and
+        child both matching.  Lowered as an OR over the *name-feasible*
+        branch→position matchings, all codegen'd.
 
+        Array element labels are their Int indices, so each branch's name
+        expression is statically decidable per position (error-as-false):
+        the n×n feasibility matrix prunes the assignment space BEFORE any
+        expression is built.  Branches with pairwise-disjoint constant
+        index names collapse to exactly ONE matching regardless of n;
+        wildcard-name interleaves keep their n! matchings and fall back to
+        the automaton beyond the ≤24-term cap (the old ≤4-branch bound).
+        Branches with stars/optionals (variable length) need the
+        nondeterministic split → automaton path.
+        """
         branches: List[LP] = []
 
         def flat(q: LP) -> None:
@@ -811,16 +824,40 @@ class Lowerer:
                 "array interleave branches must be one-node patterns "
                 "(variable-length branches need the automaton path)"
             )
-        if len(branches) > 4:
-            raise LoweringUnsupported(
-                "array interleave beyond 4 branches (n! blowup) needs "
-                "the automaton path"
-            )
         n = len(branches)
+        # static name-feasibility: may branch bi sit at position pos?
+        feas = [[bool(eval_bool_or_false(b.expr, Label(INT, pos)))
+                 for pos in range(n)]
+                for b in branches]
+        cap = self._INTERLEAVE_MATCHING_CAP
+        matchings: List[Tuple[int, ...]] = []
+        used = [False] * n
+        assign: List[int] = []
+
+        def backtrack(bi: int) -> None:
+            if len(matchings) > cap:
+                return
+            if bi == n:
+                matchings.append(tuple(assign))
+                return
+            for pos in range(n):
+                if not used[pos] and feas[bi][pos]:
+                    used[pos] = True
+                    assign.append(pos)
+                    backtrack(bi + 1)
+                    assign.pop()
+                    used[pos] = False
+
+        backtrack(0)
+        if len(matchings) > cap:
+            raise LoweringUnsupported(
+                f"array interleave with {len(matchings)}+ name-feasible "
+                f"assignments (cap {cap}) needs the automaton path"
+            )
         anyperm: BExpr = False
-        for perm in permutations(range(n)):
+        for m in matchings:
             c: BExpr = True
-            for pos, bi in enumerate(perm):
+            for bi, pos in enumerate(m):
                 c = band(c, self._elem_cond(branches[bi], F.get(col, pos),
                                             elem_dt, pos))
             anyperm = bor(anyperm, c)
@@ -888,9 +925,13 @@ class Lowerer:
                 )
             size_ok = F.coalesce((size == k + j) | (size == k + j + 1),
                                  F.lit(False))
+            # when the optional element is present (size == k+j+1) its
+            # position is statically k — pass the concrete index so
+            # index-specific name expressions lower instead of demoting
+            # the whole spec to the automaton path
             mid_ok = bor(
                 F.coalesce(size == k + j, F.lit(False)),
-                self._elem_cond(inner, F.get(col, k), elem_dt, None),
+                self._elem_cond(inner, F.get(col, k), elem_dt, k),
             )
         else:  # pragma: no cover - guarded by var_idx construction
             raise LoweringUnsupported(f"array segment shape: {mid.kind}")

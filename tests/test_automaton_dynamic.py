@@ -127,3 +127,26 @@ def test_udf_duplicated_docs_match_engine(spark):
     got = [r["m"] for r in df.select(
         validate_json_column(F.col("doc"), ".k >= 50").alias("m")).collect()]
     assert got == want
+
+
+def test_validator_cache_key_is_content_stable():
+    """The executor validator cache must key user libraries by CONTENT,
+    not id(): after GC a new library can reuse the old address and would
+    silently alias the cached validator (round-3 VERDICT nit)."""
+    from katydid_haskell_spark.relapse.automaton import _lib_cache_key
+
+    def make_lib(tag):
+        def lib(name, args):
+            return None if tag else None  # closure over tag
+        return lib
+
+    a, b = make_lib("A"), make_lib("B")
+    assert _lib_cache_key(a) != _lib_cache_key(b)       # different content
+    assert _lib_cache_key(a) == _lib_cache_key(make_lib("A"))  # same content
+    assert _lib_cache_key(None) is None
+    # keys survive the original object being GC'd: recreate at (likely)
+    # the same address — equality is by content, never by id
+    key_a = _lib_cache_key(a)
+    del a
+    a2 = make_lib("A")
+    assert _lib_cache_key(a2) == key_a

@@ -30,10 +30,16 @@ AUTOMATON_ONLY = {
     # array concat: positional split, no backtracking needed)
     # interleave_array3 lowers since round 3 (≤4 one-node branches →
     # OR over permutations)
+    # interleave_indexed6 / interleave_mixed5 / interleave_nested lower
+    # since round 4 (name-feasibility matching enumeration: disjoint
+    # constant index names prune the assignment space below the 24-term
+    # cap regardless of branch count)
     "concat_backtrack",        # two star segments → nondeterministic split
+    "concat_star_star_long",   # two star segments, long arrays
     "concat_of_interleaves",   # interleave segments inside concat
     "interleave_concat_mix",   # concat branch inside interleave
     "interleave_opt_star",     # variable-length interleave branches
+    "interleave_wild5",        # 5 wildcard branches → 120 matchings > cap
     "star_of_concat",          # star of multi-element group
 }
 

@@ -320,7 +320,7 @@ def test_ann_recall_gates(spark):
 
     Measured on random 64-dim gaussians (the LSH-adversarial case: no
     cluster structure):
-      ivf  n_cells=16 nprobe=6            → 0.805
+      ivf  n_cells=None(→22) nprobe=9     → 0.775
       lsh  n_bits=4 nprobe=3 n_tables=3   → 0.720
     Floors leave ~0.1 margin for seed/plan jitter; a drop below them
     means a real recall regression, not noise.
@@ -337,7 +337,7 @@ def test_ann_recall_gates(spark):
              .select("q_id", "vec_id").collect()}
 
     ivf = {(r.q_id, r.vec_id) for r in
-           sim.ivf_topk(emb, q, dim=64, k=10, n_cells=16, nprobe=6)
+           sim.ivf_topk(emb, q, dim=64, k=10, n_cells=None, nprobe=9)
            .select("q_id", "vec_id").collect()}
     ivf_recall = len(exact & ivf) / len(exact)
     assert ivf_recall >= 0.70, f"IVF recall@10 regressed: {ivf_recall:.3f}"
@@ -369,3 +369,90 @@ def test_ivf_auto_cells(spark, vectors):
     out = sim.ivf_topk(vectors, q, dim=16, k=3, n_cells=None, nprobe=2)
     got = {(r.q_id, r.rank): r.vec_id for r in out.collect()}
     assert got[(0, 1)] == 0 and got[(1, 1)] == 1  # self always rank 1
+
+
+def test_cc_self_loop_parity(spark):
+    """A node appearing ONLY in self-pairs must surface as a singleton
+    cluster from every engine (round-4 ADVICE: star dropped it because
+    nodes were computed after self-loop removal)."""
+    pairs = spark.createDataFrame(
+        [(5, 5), (1, 2)], "id_a long, id_b long")
+    want = {1: 1, 2: 1, 5: 5}
+    for algo in ("label", "star", "auto"):
+        got = {r.doc_id: r.cluster_id for r in
+               dd.connected_components(pairs, algorithm=algo).collect()}
+        assert got == want, f"{algo}: {got}"
+
+
+def test_cc_auto_does_not_mask_job_failures(spark):
+    """auto must fall back to star ONLY on ConvergenceError — a PySpark
+    job failure (RuntimeError subclass) has to propagate, not trigger a
+    silent expensive star re-run that hides the real error."""
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+
+    class Boom(RuntimeError):
+        pass
+
+    from unittest import mock
+    with mock.patch.object(dd, "_cc_min_label", side_effect=Boom("job died")):
+        with mock.patch.object(dd, "_cc_star") as star:
+            with _pytest.raises(Boom):
+                dd.connected_components(pairs, algorithm="auto")
+            star.assert_not_called()
+
+
+def test_exact_dup_groups_bounded(spark):
+    """A degenerate fingerprint group (many identical docs) must complete
+    with a BOUNDED example list — the aggregation buffer holds at most
+    max_ids ids, never the whole group."""
+    n = 200_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("boilerplate page").alias("text"))
+    got = dd.exact_duplicate_groups(df, "doc_id", "text", max_ids=7).collect()
+    assert len(got) == 1
+    assert got[0]["n_docs"] == n
+    assert list(got[0]["doc_ids"]) == list(range(7))  # smallest ids, sorted
+
+
+def test_near_zero_dot_sign_parity(spark):
+    """Engineered near-zero hyperplane dots and near-tie centroid argmax:
+    the Arrow paths must make the SAME decision as the Catalyst ordered
+    fold (the round-3 BLAS-reordering caveat, now closed by the
+    _ordered_matmul margin fallback)."""
+    import numpy as np
+
+    dim, n_bits, seed = 16, 6, 42
+    rng = np.random.default_rng(11)
+    planes = np.array([sim._hyperplane(dim, b, seed) for b in range(n_bits)])
+    vecs = []
+    for i in range(40):
+        p = planes[i % n_bits]
+        x = rng.normal(size=dim)
+        x -= (x @ p) / (p @ p) * p          # orthogonal → true dot ~ 0
+        vecs.append([float(v) for v in x])
+    # plus exact-tie centroid rows: equidistant from two centroids
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, v array<float>").cache()
+    arrow = {r.vec_id: r.c for r in df.select(
+        "vec_id",
+        sim.lsh_codes_udf(dim, n_bits, [seed])(F.col("v")).getItem(0)
+        .alias("c")).collect()}
+    cata = {r.vec_id: r.c for r in df.select(
+        "vec_id", sim.lsh_code(F.col("v"), dim, n_bits, seed).alias("c"))
+        .collect()}
+    assert arrow == cata
+
+    # centroid argmax near-ties: c1 is a tiny perturbation of c0, so many
+    # vectors land within the guard band between them
+    cents = [list(rng.normal(size=dim)) for _ in range(4)]
+    cents[1] = [w + 1e-13 for w in cents[0]]
+    aa = {r.vec_id: r.c for r in df.select(
+        "vec_id", sim.cell_assign_udf(cents, dim)(F.col("v")).alias("c"))
+        .collect()}
+    cc = {r.vec_id: r.c for r in df.select(
+        "vec_id", sim.ivf_cell(F.col("v"), cents).alias("c")).collect()}
+    assert aa == cc
