@@ -135,6 +135,39 @@ def pages_throughput(spark, n_rows: int, warmup: bool = False,
     return n_rows / dt, dt
 
 
+def unique_json_throughput(spark, n_rows: int) -> float:
+    """Automaton-path validation over an ALL-UNIQUE JSON corpus — the
+    factorization-defeating case (every document text distinct, so the
+    per-distinct-doc dedup of factorized_map buys nothing).  Exercises the
+    round-4 table-VPA fast path (relapse/vpa.py): vectorized condition
+    masks + signature-collapsed walks.  Input is cached+counted before the
+    timed passes so the timing measures validation, not generation."""
+    from pyspark.sql import functions as F
+
+    from katydid_haskell_spark.relapse.automaton import validate_json_column
+
+    df = spark.range(n_rows).select(
+        F.to_json(F.struct(
+            (F.col("id") % 100).alias("k"),
+            F.concat(F.lit("u"), F.col("id")).alias("name"),
+            F.array(F.concat(F.lit("t"), F.col("id")),
+                    F.lit("x")).alias("tags"),
+        )).alias("doc")
+    ).persist()
+    df.count()
+    spec = '(.k >= 50 & .name ^= "u")'
+    out = df.select(
+        validate_json_column(F.col("doc"), spec, fast=False).alias("ok"))
+    _force(out)  # untimed warmup (worker pool + table build)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _force(out)
+        times.append(time.perf_counter() - t0)
+    df.unpersist()
+    return sorted(times)[1]
+
+
 def run_bench() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -186,6 +219,11 @@ def run_bench() -> dict:
         # later timings via GC pressure
         spark.catalog.clearCache()
 
+    # all-unique automaton corpus: sf-scaled like pages (1M docs at sf0.1)
+    n_unique = max(int(10_000_000 * sf), 2000)
+    uq_sec = unique_json_throughput(spark, n_unique)
+    per_query["unique_json_automaton"] = round(uq_sec, 3)
+
     # pages throughput in a FRESH subprocess: a session that has churned
     # through 26 queries of cache/uncache degrades heap locality ~3x, and
     # running the 1M-row suite first degrades the query timings instead —
@@ -211,6 +249,8 @@ def run_bench() -> dict:
         "sf": sf,
         "pages_docs_per_sec": round(docs_per_sec),
         "pages_rows": n_pages,
+        "unique_json_docs_per_sec": round(n_unique / uq_sec),
+        "unique_json_rows": n_unique,
     }
     spark.stop()
     return out

@@ -37,9 +37,15 @@ from .derive import Validator
 from .labels import decode_json
 from .parser import parse_grammar
 from .smart import compile_grammar
+from .vpa import VpaUnsupported, try_table_validator
 
 # per-process (executor) cache: spec source → Validator with warm memo tables
 _VALIDATORS: dict = {}
+
+# per-process cache: spec source → TableValidator (int-table VPA with
+# vectorized condition evaluation — the unique-doc fast path) or False
+# when the grammar's shape needs the per-doc Validator
+_TABLE_VALIDATORS: dict = {}
 
 
 def factorized_map(docs: pd.Series, one: Callable[[str], bool]) -> pd.Series:
@@ -100,6 +106,21 @@ def _validator_for(source: str, user_lib=None) -> Validator:
     return v
 
 
+def _table_validator_for(source: str, user_lib=None):
+    import os
+    if os.environ.get("SPARK_GRAFT_NO_VPA") == "1":
+        # operational escape hatch + A/B lever for the bench: force the
+        # per-doc Validator path
+        return None
+    key = (source, _lib_cache_key(user_lib))
+    tv = _TABLE_VALIDATORS.get(key)
+    if tv is None:
+        tv = try_table_validator(
+            compile_grammar(parse_grammar(source, user_lib))) or False
+        _TABLE_VALIDATORS[key] = tv
+    return tv or None
+
+
 def json_matches_udf(spec_source: str, user_lib=None) -> Callable[[Column], Column]:
     """A vectorized (Arrow) boolean UDF: does each JSON document match.
 
@@ -111,6 +132,19 @@ def json_matches_udf(spec_source: str, user_lib=None) -> Callable[[Column], Colu
 
     @pandas_udf("boolean")
     def match(docs: pd.Series) -> pd.Series:
+        tv = _table_validator_for(spec_source, user_lib)
+        if tv is not None:
+            # int-table VPA: vectorized condition eval over distinct
+            # labels + signature-factorized walks (vpa.py) — the
+            # unique-doc fast path
+            try:
+                return pd.Series(tv.validate_batch(docs.tolist()))
+            except VpaUnsupported:
+                # dynamically minted conditions overflowed the symbol
+                # mask: demote this spec to the per-doc engine for the
+                # rest of the process lifetime
+                _TABLE_VALIDATORS[(spec_source,
+                                   _lib_cache_key(user_lib))] = False
         v = _validator_for(spec_source, user_lib)
 
         def one(doc: Optional[str]) -> bool:
