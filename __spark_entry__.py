@@ -330,6 +330,18 @@ def _q_heavy_hitter_langs(spark, sf_dir):
     return out.select("key", F.col("cnt").cast("long").alias("cnt"))
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    # exact word-3-gram Jaccard within a lang blocking key — the
+    # verification-grade dedup operator (candidate sets at scale come
+    # from minhash_lsh; lang here stands in for any blocking key).
+    # jaccard is an integer-ratio division: bit-identical to the oracle
+    # by construction, deliberately NOT rounded (see CLAUDE.md).
+    docs = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", k=3,
+                                  min_jaccard=0.2,
+                                  group_col=F.col("lang"))
+
+
 def _q_simhash_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
@@ -505,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "heavy_hitter_langs": _q_heavy_hitter_langs,
+        "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_topk": _q_lsh_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
@@ -784,6 +797,36 @@ def oracle_sql() -> dict[str, str]:
         # Seeded-hash pipelines: full math re-derived in SQL (oracles.py).
         "minhash_pairs": orc.minhash_pairs_sql(
             num_hashes=32, bands=8, shingle_k=3, min_jaccard=0.4),
+        "ngram_jaccard": r"""
+        WITH ws_t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(text),
+                             '[^a-zA-Z0-9'']+'), w -> w != '') AS ws
+          FROM documents
+        ),
+        sh_t AS (
+          SELECT doc_id, lang,
+                 list_distinct(CASE WHEN len(ws) >= 3
+                     THEN [array_to_string(ws[i:i+2], ' ')
+                           for i in range(1, len(ws)-1)]
+                     ELSE [array_to_string(ws, ' ')] END) AS sh
+          FROM ws_t
+        ),
+        pairs AS (
+          SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                 len(list_intersect(l.sh, r.sh)) AS inter,
+                 len(l.sh) + len(r.sh)
+                   - len(list_intersect(l.sh, r.sh)) AS un
+          FROM sh_t l JOIN sh_t r
+            ON l.lang = r.lang AND l.doc_id < r.doc_id
+        )
+        SELECT id_a, id_b, jaccard FROM (
+          SELECT id_a, id_b,
+                 CASE WHEN un > 0 THEN inter::DOUBLE / un
+                      ELSE 0.0 END AS jaccard
+          FROM pairs)
+        WHERE jaccard >= 0.2
+        """,
         "simhash_pairs": orc.simhash_pairs_sql(max_hamming=8, shingle_k=2),
         "dedup_clusters": orc.dedup_clusters_sql(
             num_hashes=32, bands=8, shingle_k=3, min_jaccard=0.4),
