@@ -549,11 +549,23 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     if algorithm == "star":
         return _cc_star(edges, max_iter)
     if algorithm == "auto":
+        # cache the edge frame across the two attempts: the fallback must
+        # not re-run the (potentially expensive) upstream pair pipeline
+        # that the label rounds already scanned
+        cached = edges.persist()
         try:
-            return _cc_min_label(edges,
-                                 min(label_rounds_before_switch, max_iter))
-        except ConvergenceError:
-            return _cc_star(edges, max_iter)
+            try:
+                # label result is localCheckpoint'd → safe to release in
+                # the finally on every path
+                return _cc_min_label(
+                    cached, min(label_rounds_before_switch, max_iter))
+            except ConvergenceError:
+                # star's final labeling joins `nodes` (derived from the
+                # raw edges) — checkpoint eagerly so the cache release in
+                # the finally cannot force an upstream re-run
+                return _cc_star(cached, max_iter).localCheckpoint(eager=True)
+        finally:
+            cached.unpersist()
     raise ValueError(
         f"algorithm must be 'label', 'star' or 'auto', got {algorithm!r}")
 
