@@ -183,7 +183,9 @@ def try_lower_json_spec(col: Column, spec_source: str, user_lib=None):
 
     Qualifying shape: And/Or/Not compositions of
     ``Contains(Node(<const field name>, <non-nullable leaf predicate>))``
-    — i.e. ``.field <op> value`` forms.  The document is parsed once with
+    — i.e. ``.field <op> value`` forms — including NESTED chains
+    (``.a: .b == 1`` → variant path ``$.a.b``).  The document is parsed
+    once with
     ``try_parse_json`` (Spark 4 VariantType); each field predicate is
     lowered with **runtime type guards** derived from
     ``schema_of_variant``, reproducing the reference's JSON label rules
@@ -212,11 +214,12 @@ def try_lower_json_spec(col: Column, spec_source: str, user_lib=None):
 
     doc = F.try_parse_json(col)
 
-    def field_variant(name: str):
+    def field_variant(path):
         # escape not needed for plain identifiers; reject exotic names
-        if not name.replace("_", "a").isalnum():
-            raise _NoFast()
-        return F.try_variant_get(doc, f"$.{name}", "variant")
+        for name in path:
+            if not name.replace("_", "a").isalnum():
+                raise _NoFast()
+        return F.try_variant_get(doc, "$." + ".".join(path), "variant")
 
     class _NoFast(Exception):
         pass
@@ -337,15 +340,31 @@ def try_lower_json_spec(col: Column, spec_source: str, user_lib=None):
         if k == NOT:
             return bnot(lower_pattern(p.pats[0]))
         if k == CONTAINS:
-            inner = p.pats[0]
-            if inner.kind != NODE:
-                raise _NoFast()
-            name = const_name(inner.expr)
-            child = inner.pats[0]
-            if (name is None or child.kind != NODE or child.nullable
-                    or child.pats[0].kind != EMPTY):
-                raise _NoFast()
-            return lower_leaf(child.expr, field_variant(name))
+            # chain of Contains(Node(const name, ...)) → one variant path:
+            # `.a: .b == 1` lowers to try_variant_get(doc, '$.a.b').
+            # Equivalence holds because a variant path only resolves
+            # through OBJECT steps — arrays (index-labeled children),
+            # scalars (leaf child), nulls (childless node) and missing
+            # intermediate fields all yield NULL exactly where the
+            # Contains chain fails to match.
+            path = []
+            cur = p
+            while True:
+                inner = cur.pats[0]
+                if inner.kind != NODE:
+                    raise _NoFast()
+                name = const_name(inner.expr)
+                if name is None:
+                    raise _NoFast()
+                path.append(name)
+                child = inner.pats[0]
+                if child.kind == CONTAINS:
+                    cur = child
+                    continue
+                if (child.kind != NODE or child.nullable
+                        or child.pats[0].kind != EMPTY):
+                    raise _NoFast()
+                return lower_leaf(child.expr, field_variant(path))
         if k == REF:
             return lower_pattern(g.lookup(p.ref))
         raise _NoFast()

@@ -67,3 +67,47 @@ def test_fast_matches_udf(spark, df, spec):
 )
 def test_non_qualifying_falls_back(spark, spec):
     assert try_lower_json_spec(F.col("doc"), spec) is None
+
+
+NESTED_DOCS = [
+    '{"a": {"b": 1}}',
+    '{"a": {"b": 2}}',
+    '{"a": {"b": 1, "c": 9}}',
+    '{"a": {"x": {"b": 1}}}',     # too deep: b not a direct child
+    '{"a": [{"b": 1}]}',          # array step: index-labeled children
+    '{"a": "b"}',                 # scalar: leaf child, not a field node
+    '{"a": null}',                # childless a node
+    '{"a": {"b": null}}',         # childless b node
+    '{"a": {"b": {"c": 1}}}',     # b is an object, not an int leaf
+    '{"b": 1}',                   # missing intermediate
+    '{}', None, "not json",
+    '{"a": {"b": 1.0}}',          # integral float → Int label
+    '{"a": {"b": "1"}}',          # string never coerces
+    '{"a": {"b": true}}',
+]
+
+NESTED_SPECS = [
+    '.a: .b == 1',
+    '(.a: .b >= 1 & .a: .b < 5)',
+    '!(.a: .b == 1)',
+    '.a: .b: .c == 1',
+    '(.a: .b == 1 | .b == 1)',
+]
+
+
+@pytest.mark.parametrize("spec", NESTED_SPECS)
+def test_nested_path_fast_matches_udf(spark, spec):
+    """Round 4: Contains chains lower to one variant path ($.a.b) — must
+    agree with the automaton on every intermediate-step shape (arrays,
+    scalars, nulls, depth mismatches)."""
+    df = spark.createDataFrame([(d,) for d in NESTED_DOCS], "doc string")
+    fast = try_lower_json_spec(F.col("doc"), spec)
+    assert fast is not None, f"{spec} should qualify for the fast path"
+    got = df.select(
+        fast.alias("fast"),
+        validate_json_column(F.col("doc"), spec, fast=False).alias("udf"),
+    ).collect()
+    for doc, row in zip(NESTED_DOCS, got):
+        assert row["fast"] == row["udf"], (
+            f"spec={spec} doc={doc!r}: fast={row['fast']} udf={row['udf']}"
+        )
