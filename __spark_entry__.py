@@ -330,6 +330,46 @@ def _q_heavy_hitter_langs(spark, sf_dir):
     return out.select("key", F.col("cnt").cast("long").alias("cnt"))
 
 
+def _q_stream_doc_violations(spark, sf_dir):
+    """Structured-Streaming violations over the documents table: file
+    source -> compiled relapse row rules -> append-mode memory sink, one
+    availableNow pass.  The RESULT is deterministic and batch-equal, so
+    the streaming machinery itself sits under the DuckDB value-hash gate
+    (the kill/restart and watermark behaviors stay in test_streaming)."""
+    import uuid
+
+    from katydid_haskell_spark.plans.checkplan import CheckPlan, RowRule
+    from katydid_haskell_spark.streaming.stream_checks import (
+        stream_violations,
+    )
+
+    import hashlib
+    import os
+    import tempfile
+
+    # the file stream source requires a DIRECTORY; the testdata table is
+    # a single parquet file — expose it through a stable symlink dir
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    sch = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(sch).parquet(d)
+    plan = CheckPlan(row_rules=[
+        RowRule("text_nonempty", ".text: -> gt(length($string), 0)"),
+        RowRule("lang_known", '.lang *= []string{"en","de","fr","es"}'),
+    ])
+    out = stream_violations(stream, plan, key_col="doc_id")
+    name = "stream_viol_" + uuid.uuid4().hex[:12]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("url").cast("bigint").alias("doc_id"), "rule_id")
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     # exact word-3-gram Jaccard within a lang blocking key — the
     # verification-grade dedup operator (candidate sets at scale come
@@ -517,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "heavy_hitter_langs": _q_heavy_hitter_langs,
+        "stream_doc_violations": _q_stream_doc_violations,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_topk": _q_lsh_topk,
@@ -797,6 +838,13 @@ def oracle_sql() -> dict[str, str]:
         # Seeded-hash pipelines: full math re-derived in SQL (oracles.py).
         "minhash_pairs": orc.minhash_pairs_sql(
             num_hashes=32, bands=8, shingle_k=3, min_jaccard=0.4),
+        "stream_doc_violations": """
+        SELECT doc_id, 'text_nonempty' AS rule_id FROM documents
+        WHERE text IS NULL OR length(text) = 0
+        UNION ALL
+        SELECT doc_id, 'lang_known' AS rule_id FROM documents
+        WHERE lang IS NULL OR lang NOT IN ('en','de','fr','es')
+        """,
         "ngram_jaccard": r"""
         WITH ws_t AS (
           SELECT doc_id, lang,
