@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -370,6 +371,56 @@ def _q_stream_doc_violations(spark, sf_dir):
         F.col("url").cast("bigint").alias("doc_id"), "rule_id")
 
 
+def _q_xml_validate(spark, sf_dir):
+    """XML source under the value-hash gate: XML is CONSTRUCTED in-query
+    from table columns, so the oracle re-derives the verdict from the raw
+    columns while the Spark side genuinely round-trips XML text ->
+    ElementTree forest -> relapse automaton (Xml.hs:23-47 semantics:
+    element text parses as Int when possible else String)."""
+    from katydid_haskell_spark.relapse.xml_source import validate_xml_column
+
+    docs = _t(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<doc><lang>"), F.coalesce(F.col("lang"), F.lit("")),
+        F.lit("</lang><n>"), F.col("n_chars").cast("string"),
+        F.lit("</n></doc>"),
+    )
+    spec = 'doc: {lang: *= []string{"en","de","fr","es"}; n: >= 500}'
+    return docs.select(
+        "doc_id", validate_xml_column(xml, spec).alias("ok"))
+
+
+def _q_protobuf_validate(spark, sf_dir):
+    """Protobuf source under the value-hash gate: wire bytes are ENCODED
+    in-query from table columns (the repo's fixture encoder inside an
+    Arrow UDF — harness role), then the product surface decodes wire
+    format -> forest -> relapse validation (Protobuf.hs:165-293
+    semantics: absent proto3 field -> NO node, so a null lang fails the
+    membership check exactly like the oracle's IS NULL branch)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from katydid_haskell_spark.relapse import protobuf_source as pb
+
+    docs = _t(spark, sf_dir, "documents")
+    desc = {"Doc": {1: pb.Field("lang", "string"),
+                    2: pb.Field("n_chars", "int64")}}
+
+    @pandas_udf("binary")
+    def enc(lang: pd.Series, n: pd.Series) -> pd.Series:
+        out = []
+        for l, v in zip(lang, n):
+            b = b"" if l is None else pb.encode_string(1, l)
+            b += pb.encode_int64(2, int(v))
+            out.append(b)
+        return pd.Series(out)
+
+    spec = ('(.lang *= []string{"en","de","fr","es"} '
+            '& .n_chars >= 500)')
+    payload = enc(F.col("lang"), F.col("n_chars"))
+    ok = pb.validate_protobuf_column(payload, spec, desc, "Doc")
+    return docs.select("doc_id", ok.alias("ok"))
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     # exact word-3-gram Jaccard within a lang blocking key — the
     # verification-grade dedup operator (candidate sets at scale come
@@ -558,6 +609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": _q_dedup_clusters_star,
         "heavy_hitter_langs": _q_heavy_hitter_langs,
         "stream_doc_violations": _q_stream_doc_violations,
+        "xml_validate": _q_xml_validate,
+        "protobuf_validate": _q_protobuf_validate,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_topk": _q_lsh_topk,
@@ -844,6 +897,18 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, 'lang_known' AS rule_id FROM documents
         WHERE lang IS NULL OR lang NOT IN ('en','de','fr','es')
+        """,
+        "xml_validate": """
+        SELECT doc_id,
+               (COALESCE(lang IN ('en','de','fr','es'), FALSE)
+                AND COALESCE(n_chars >= 500, FALSE)) AS ok
+        FROM documents
+        """,
+        "protobuf_validate": """
+        SELECT doc_id,
+               (COALESCE(lang IN ('en','de','fr','es'), FALSE)
+                AND COALESCE(n_chars >= 500, FALSE)) AS ok
+        FROM documents
         """,
         "ngram_jaccard": r"""
         WITH ws_t AS (
