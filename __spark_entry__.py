@@ -110,8 +110,12 @@ def _q_relapse_validate_rate(spark, sf_dir):
 
 
 def _q_relapse_props_json(spark, sf_dir):
-    # from_json fast path: field-anchored spec lowered to pure Catalyst
-    ev = _t(spark, sf_dir, "events")
+    # from_json fast path: field-anchored spec lowered to pure Catalyst.
+    # testdata parquet is one 128MB-bound scan partition — spread the
+    # per-row variant work across cores (production tables arrive
+    # pre-partitioned; same note as minhash_pairs)
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism)
     valid = validate_json_column(F.col("props"), ".k >= 50", fast=True)
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -121,7 +125,8 @@ def _q_relapse_props_json(spark, sf_dir):
 
 def _q_relapse_props_json_automaton(spark, sf_dir):
     # same semantics through the derivative-automaton pandas UDF
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism)
     valid = validate_json_column(F.col("props"), ".k >= 50", fast=False)
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
