@@ -430,10 +430,18 @@ def _q_ngram_jaccard(spark, sf_dir):
     # exact word-3-gram Jaccard within a lang blocking key — the
     # verification-grade dedup operator (candidate sets at scale come
     # from minhash_lsh; lang here stands in for any blocking key).
+    # The per-group self-join is O(group²), so the ENTRY query caps each
+    # lang group at its first 300 doc_ids — bounded cost at any SF (the
+    # cap is inactive at the sf0.01 oracle scale: max group 218).
     # jaccard is an integer-ratio division: bit-identical to the oracle
     # by construction, deliberately NOT rounded (see CLAUDE.md).
+    from pyspark.sql.window import Window
+
     docs = _t(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", k=3,
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    capped = (docs.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= 300).drop("__rn"))
+    return dd.ngram_jaccard_pairs(capped, "doc_id", "text", k=3,
                                   min_jaccard=0.2,
                                   group_col=F.col("lang"))
 
@@ -916,11 +924,16 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         """,
         "ngram_jaccard": r"""
-        WITH ws_t AS (
+        WITH capped AS (
+          SELECT doc_id, lang, text FROM documents
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY doc_id) <= 300
+        ),
+        ws_t AS (
           SELECT doc_id, lang,
                  list_filter(string_split_regex(lower(text),
                              '[^a-zA-Z0-9'']+'), w -> w != '') AS ws
-          FROM documents
+          FROM capped
         ),
         sh_t AS (
           SELECT doc_id, lang,
