@@ -472,8 +472,9 @@ def _q_ann_topk_ivf(spark, sf_dir):
     # n_cells=None auto-sizes to ~sqrt(n) cells (one count pass) so the
     # quantizer granularity tracks the corpus instead of a pinned 16; the
     # oracle derives the identical cell count from the same parquet.
-    # nprobe keeps the probed fraction ≈ the old 6/16 config.
-    out = sim.ivf_topk(emb, queries, dim=64, k=10, n_cells=None, nprobe=9)
+    # nprobe=None auto-probes a constant fraction of cells (recall-stable
+    # as cells grow with the corpus); identical to 9/22 at sf0.01.
+    out = sim.ivf_topk(emb, queries, dim=64, k=10, n_cells=None, nprobe=None)
     return out.select("q_id", "vec_id", "rank", F.round("cos", 4).alias("cos"))
 
 
@@ -980,7 +981,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": orc.embedding_neardup_sql(
             dim=64, min_cos=0.4, n_bits=None, bands=3, sf_dir=oracle_sf),
         "ann_topk_ivf": orc.ivf_topk_sql(oracle_sf, dim=64, k=10,
-                                         n_cells=None, nprobe=9),
+                                         n_cells=None, nprobe=None),
         "pages_verdicts": orc.pages_verdicts_sql(n_rows=2000, seed=42,
                                                  buckets=16,
                                                  snapshot="bench"),

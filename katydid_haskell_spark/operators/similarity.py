@@ -408,6 +408,16 @@ def ivf_cell(vec: Column, centroids: List[List[float]]) -> Column:
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
+def auto_nprobe(n_cells: int, fraction: float = 0.4) -> int:
+    """Probe-count sizing shared with the oracle: a FIXED nprobe over
+    auto-growing cells silently loses recall as the corpus scales (probed
+    fraction → 0); probing a constant fraction of cells keeps recall
+    roughly stable while still scanning only ``fraction`` of the corpus.
+    The 0.4 default reproduces the gate-measured sf0.01 config
+    (round(22 × 0.4) = 9 probes, recall@10 = 0.775 ≥ 0.70)."""
+    return max(1, round(n_cells * fraction))
+
+
 def auto_n_cells(n: int, floor: int = 4, cap: int = 1024) -> int:
     """IVF cell-count sizing shared with the oracle: the standard
     ``n_cells ≈ sqrt(n)`` heuristic balances probe cost (queries scan
@@ -421,7 +431,7 @@ def auto_n_cells(n: int, floor: int = 4, cap: int = 1024) -> int:
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
-             n_cells: int | None = 16, nprobe: int = 3,
+             n_cells: int | None = 16, nprobe: int | None = 3,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_vec",
              centroids: List[List[float]] | None = None) -> DataFrame:
@@ -432,10 +442,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     the physical partitioning / clustering keys).
 
     ``n_cells=None`` auto-sizes via :func:`auto_n_cells` (≈ sqrt(n), one
-    count pass); the default stays pinned at 16 because the oracled entry
-    query inlines centroid literals derived from the same parameter."""
+    count pass); ``nprobe=None`` auto-sizes via :func:`auto_nprobe` (a
+    constant FRACTION of cells — a pinned probe count over growing cells
+    would silently shed recall as the corpus scales)."""
     if n_cells is None:
         n_cells = auto_n_cells(corpus.count())
+    if nprobe is None:
+        nprobe = auto_nprobe(n_cells)
     if centroids is None:
         centroids = train_ivf_centroids(corpus, dim, n_cells,
                                         vec_col=vec_col, id_col=id_col)

@@ -282,7 +282,7 @@ def embedding_neardup_sql(dim: int = 64, min_cos: float = 0.9,
 
 def ivf_topk_sql(sf_dir: str, dim: int = 64, k: int = 10,
                  n_cells: int | None = 16,
-                 nprobe: int = 4, sample: int = 4096, iters: int = 8,
+                 nprobe: int | None = 4, sample: int = 4096, iters: int = 8,
                  seed: int = 5) -> str:
     """IVF oracle: centroids re-derived from the SAME ordered training
     sample the Spark trainer reads (``ORDER BY vec_id LIMIT sample``) via
@@ -303,6 +303,10 @@ def ivf_topk_sql(sf_dir: str, dim: int = 64, k: int = 10,
             f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
         ).fetchone()[0]
         n_cells = auto_n_cells(n)
+    if nprobe is None:
+        from .operators.similarity import auto_nprobe
+
+        nprobe = auto_nprobe(n_cells)
     rows = con.execute(
         f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
         f"ORDER BY vec_id LIMIT {sample}"

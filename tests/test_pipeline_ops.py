@@ -320,7 +320,7 @@ def test_ann_recall_gates(spark):
 
     Measured on random 64-dim gaussians (the LSH-adversarial case: no
     cluster structure):
-      ivf  n_cells=None(→22) nprobe=9     → 0.775
+      ivf  n_cells=None(→22) nprobe=None(→9) → 0.775
       lsh  n_bits=4 nprobe=3 n_tables=3   → 0.720
     Floors leave ~0.1 margin for seed/plan jitter; a drop below them
     means a real recall regression, not noise.
@@ -337,7 +337,7 @@ def test_ann_recall_gates(spark):
              .select("q_id", "vec_id").collect()}
 
     ivf = {(r.q_id, r.vec_id) for r in
-           sim.ivf_topk(emb, q, dim=64, k=10, n_cells=None, nprobe=9)
+           sim.ivf_topk(emb, q, dim=64, k=10, n_cells=None, nprobe=None)
            .select("q_id", "vec_id").collect()}
     ivf_recall = len(exact & ivf) / len(exact)
     assert ivf_recall >= 0.70, f"IVF recall@10 regressed: {ivf_recall:.3f}"
