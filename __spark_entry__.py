@@ -431,8 +431,9 @@ def _q_ngram_jaccard(spark, sf_dir):
     # verification-grade dedup operator (candidate sets at scale come
     # from minhash_lsh; lang here stands in for any blocking key).
     # The per-group self-join is O(group²), so the ENTRY query caps each
-    # lang group at its first 300 doc_ids — bounded cost at any SF (the
-    # cap is inactive at the sf0.01 oracle scale: max group 218).
+    # lang group at its first 120 doc_ids — bounded cost at any SF; the
+    # cap is ACTIVE at the sf0.01 oracle scale (max lang group 218) and
+    # the oracle mirrors it with QUALIFY row_number.
     # jaccard is an integer-ratio division: bit-identical to the oracle
     # by construction, deliberately NOT rounded (see CLAUDE.md).
     from pyspark.sql.window import Window
@@ -440,7 +441,7 @@ def _q_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy("doc_id")
     capped = (docs.withColumn("__rn", F.row_number().over(w))
-              .filter(F.col("__rn") <= 300).drop("__rn"))
+              .filter(F.col("__rn") <= 120).drop("__rn"))
     return dd.ngram_jaccard_pairs(capped, "doc_id", "text", k=3,
                                   min_jaccard=0.2,
                                   group_col=F.col("lang"))
@@ -928,7 +929,7 @@ def oracle_sql() -> dict[str, str]:
         WITH capped AS (
           SELECT doc_id, lang, text FROM documents
           QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
-                                     ORDER BY doc_id) <= 300
+                                     ORDER BY doc_id) <= 120
         ),
         ws_t AS (
           SELECT doc_id, lang,
