@@ -344,33 +344,60 @@ class CondBatch:
             return args[0], args[1].value
         return None, None
 
+    @staticmethod
+    def _var_chain(e: Expr):
+        """A Var or a unary value chain over one Var → (label_type_code,
+        per-value transform or None).  The chain's RESULT type is
+        ``e.ty``; the code is the LABEL type the underlying Var needs."""
+        if isinstance(e, Var):
+            code = _TY_CODE.get(e.ty)
+            return None if code is None else (code, None)
+        if (isinstance(e, Func) and e.name in ("toLower", "toUpper")
+                and isinstance(e.args[0], Var)
+                and e.args[0].ty == STRING):
+            return (_TY_CODE[STRING],
+                    str.lower if e.name == "toLower" else str.upper)
+        if (isinstance(e, Func) and e.name == "length"
+                and isinstance(e.args[0], Var)
+                and e.args[0].ty in (STRING, BYTES)):
+            return (_TY_CODE[e.args[0].ty], len)
+        return None
+
     def _compile_cmp(self, e: Func):
-        """Var-vs-Const comparison, either side, any scalar type: the
-        vectorized analogue of ``_eval_cmp`` (errors → False)."""
+        """(Var-chain)-vs-Const comparison, either side, any scalar type:
+        the vectorized analogue of ``_eval_cmp`` (errors → False).  The
+        var side may be a bare Var or a toLower/toUpper/length chain."""
         import operator as op
 
         a, b = e.args
-        if isinstance(a, Var) and isinstance(b, Const):
+        if isinstance(b, Const):
             var, cst, flipped = a, b, False
-        elif isinstance(b, Var) and isinstance(a, Const):
+        elif isinstance(a, Const):
             var, cst, flipped = b, a, True
         else:
             return None
-        code = _TY_CODE.get(var.ty)
-        if code is None or var.ty != cst.ty:
-            # mixed-type comparisons can't come from the parser; scalar
+        chain = self._var_chain(var)
+        if chain is None or var.ty != cst.ty:
+            # result-type mismatches can't come from the parser; scalar
             # eval handles any programmatic construction exactly
             return None
+        code, tf = chain
         fn = {"eq": op.eq, "ne": op.ne, "ge": op.ge,
               "gt": op.gt, "le": op.le, "lt": op.lt}[e.name]
         c = cst.value
 
-        def cmp_fn(tys, vals, _fn=fn, _c=c, _code=code, _flip=flipped):
+        def cmp_fn(tys, vals, _fn=fn, _c=c, _code=code, _flip=flipped,
+                   _tf=tf):
             ok = tys == _code
             val = np.zeros(len(tys), dtype=bool)
             sel = np.nonzero(ok)[0]
             if len(sel):
                 sub = vals[sel]
+                if _tf is not None:
+                    out = np.empty(len(sub), dtype=object)
+                    for i, v in enumerate(sub):
+                        out[i] = _tf(v)
+                    sub = out
                 res = _fn(_c, sub) if _flip else _fn(sub, _c)
                 # object-array comparison yields an object array of bools
                 val[sel] = np.asarray(res, dtype=bool)

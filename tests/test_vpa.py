@@ -155,8 +155,8 @@ def test_condbatch_vectorized_matches_scalar_eval():
         ".a: -> and(ge($int, 0), lt($int, 10))",
         ".a: -> or(eq($string, \"en\"), eq($string, \"de\"))",
         ".a: -> or(eq($bool, true), not(eq($string, \"x\")))",
-        ".a: -> eq(toLower($string), \"en\")",  # falls back (nested fn)
-        ".a: -> eq(length($string), 2)",        # falls back (nested fn)
+        ".a: -> eq(toLower($string), \"en\")",  # vectorized chain (r4)
+        ".a: -> eq(length($string), 2)",        # vectorized chain (r4)
     ]
     labels = [
         Label(STRING, "en"), Label(STRING, "EN"), Label(STRING, "de"),
