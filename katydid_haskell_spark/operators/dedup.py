@@ -281,7 +281,16 @@ def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
 
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two string arrays (distinct semantics)."""
-    ad, bd = F.array_distinct(a), F.array_distinct(b)
+    return jaccard_distinct(F.array_distinct(a), F.array_distinct(b))
+
+
+def jaccard_distinct(ad: Column, bd: Column) -> Column:
+    """Jaccard over arrays ALREADY deduplicated.  Pair-join callers
+    should apply a per-document ``array_distinct`` BEFORE the join — the
+    naive form re-distincts both sides once per PAIR (strictly wasted
+    work, material when inputs carry many duplicates; word-shingle
+    arrays are near-distinct already, where the per-pair
+    ``array_intersect`` dominates instead)."""
     inter = F.size(F.array_intersect(ad, bd))
     union = F.size(ad) + F.size(bd) - inter
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
@@ -341,8 +350,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     )
     # Verification: shuffle-join the candidates back for exact Jaccard over
     # shingle-hash sets.  Both joins key on a doc id, so the shingle side
-    # shuffles once per side regardless of how many pairs the corpus yields.
-    sh = feats.select("doc_id", "hh")
+    # shuffles once per side regardless of how many pairs the corpus
+    # yields.  Distinct applied per DOC before the join — a candidate-rich
+    # corpus would otherwise re-distinct each doc's set once per pair.
+    sh = feats.select("doc_id", F.array_distinct("hh").alias("hh"))
     pairs = (
         sh.join(cand, sh.doc_id == cand.id_a)
         .select("id_a", "id_b", F.col("hh").alias("hh_a"))
@@ -351,7 +362,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     )
     return (
         pairs.select(
-            "id_a", "id_b", jaccard(F.col("hh_a"), F.col("hh_b")).alias("jaccard")
+            "id_a", "id_b",
+            jaccard_distinct(F.col("hh_a"), F.col("hh_b")).alias("jaccard")
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
@@ -480,7 +492,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         )
     sh = df.select(
         F.col(id_col).alias("doc_id"),
-        shingles(F.col(text_col), k).alias("sh"),
+        # distinct ONCE per document, before the pair join fans out
+        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
         (group_col if group_col is not None else F.lit(0)).alias("grp"),
     )
     l, r = sh.alias("l"), sh.alias("r")
@@ -490,7 +503,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .select(
             F.col("l.doc_id").alias("id_a"),
             F.col("r.doc_id").alias("id_b"),
-            jaccard(F.col("l.sh"), F.col("r.sh")).alias("jaccard"),
+            jaccard_distinct(F.col("l.sh"), F.col("r.sh")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
