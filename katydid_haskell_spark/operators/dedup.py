@@ -707,14 +707,23 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
              .distinct())
     curr = _canonical_edges(edges).localCheckpoint(eager=True)
     converged = False
+    prev_count = curr.count()
     for _ in range(max_iter):
         new = _small_star(_large_star(curr)).localCheckpoint(eager=True)
-        same = (new.exceptAll(curr).isEmpty()
+        # exact convergence, cheapest-check-first: a changed edge COUNT
+        # (one job over checkpointed data) proves non-convergence without
+        # paying the two exceptAll shuffles; equal counts then get the
+        # full multiset equality check — still exact, a false "converged"
+        # would return wrong clusters
+        new_count = new.count()
+        same = (new_count == prev_count
+                and new.exceptAll(curr).isEmpty()
                 and curr.exceptAll(new).isEmpty())
         if same:
             converged = True
             break
         curr = new
+        prev_count = new_count
     if not converged:
         raise ConvergenceError(
             f"star-contraction did not converge in {max_iter} rounds — "
