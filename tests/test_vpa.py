@@ -221,3 +221,30 @@ def test_vpa_minted_condition_restart():
     assert len(tv.conds) > n0  # the walk really minted new conditions
     # second batch replays the grown tables with no further restarts
     assert list(tv.validate_batch(docs)) == want
+
+
+def test_vpa_deep_vertical_recursion():
+    """Vertical recursion (allowed per Smart.hs:46-47) at depths no fixed
+    schema could unroll: a 60-level linked list walked by the table VPA
+    must agree with the engine, including a violation planted mid-chain."""
+    spec = "#main = .node: @chain\n#chain = {v: >= 0; (next: (@chain)?)?}"
+    g = compile_grammar(parse_grammar(spec))
+    tv = try_table_validator(g)
+    assert tv is not None
+    v = Validator(g)
+
+    def _n(depth, bad_at=None):
+        n = {"v": -1 if bad_at == depth else depth}
+        if depth > 0:
+            n["next"] = _n(depth - 1, bad_at)
+        return n
+
+    def chain(depth, bad_at=None):
+        return json.dumps({"node": _n(depth, bad_at)})
+
+    docs = [chain(60), chain(60, bad_at=23), chain(1), chain(0),
+            chain(0, bad_at=0), json.dumps({"node": None})]
+    want = [_engine_verdict(v, d) for d in docs]
+    assert want == [True, False, True, True, False, False]  # hand-derived
+    got = list(tv.validate_batch(docs))
+    assert got == want
