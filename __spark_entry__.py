@@ -426,6 +426,27 @@ def _q_protobuf_validate(spark, sf_dir):
     return docs.select("doc_id", ok.alias("ok"))
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    """Multimodal plumbing under the value-hash gate: payloads are
+    CONSTRUCTED from the text column, pushed through the real
+    mapInPandas resize exchange (Arrow batches, binary payload schema),
+    and the deterministic fake codec's size behavior
+    (header + proportional truncation — multimodal._fake_resize) is
+    re-derived by the oracle with integer math over the raw column."""
+    from katydid_haskell_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit("image/png").alias("mime"),
+    )
+    out = mm.resize_media(media, 64, 64)
+    return out.select(
+        "media_id", "width", "height",
+        F.octet_length("payload").cast("bigint").alias("out_bytes"))
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     # exact word-3-gram Jaccard within a lang blocking key — the
     # verification-grade dedup operator (candidate sets at scale come
@@ -626,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_doc_violations": _q_stream_doc_violations,
         "xml_validate": _q_xml_validate,
         "protobuf_validate": _q_protobuf_validate,
+        "multimodal_resize": _q_multimodal_resize,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_topk": _q_lsh_topk,
@@ -924,6 +946,15 @@ def oracle_sql() -> dict[str, str]:
                (COALESCE(lang IN ('en','de','fr','es'), FALSE)
                 AND COALESCE(n_chars >= 500, FALSE)) AS ok
         FROM documents
+        """,
+        "multimodal_resize": """
+        SELECT doc_id AS media_id,
+               64 AS width, 64 AS height,
+               CAST(14 + CASE WHEN L = 0 THEN 0
+                              WHEN L < 256 THEN 1
+                              ELSE L // 256 END AS BIGINT) AS out_bytes
+        FROM (SELECT doc_id, octet_length(encode(text)) AS L
+              FROM documents)
         """,
         "ngram_jaccard": r"""
         WITH capped AS (
