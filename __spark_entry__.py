@@ -426,6 +426,34 @@ def _q_protobuf_validate(spark, sf_dir):
     return docs.select("doc_id", ok.alias("ok"))
 
 
+def _q_corpus_curation(spark, sf_dir):
+    """The canonical training-data curation pass as ONE composed plan:
+    lang allowlist -> token-count floor -> exact-dedup keep-min — filter,
+    quality and dedup operators composed the way a pipeline consumes
+    them.  Plan shape: codegen'd filters + one window over the content
+    fingerprint (single shuffle); md5 fp so the oracle dedups the
+    identical groups."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    filtered = (
+        docs.filter(F.col("lang").isin("en", "de"))
+        .withColumn("n_words", F.size(tx.words(F.col("text"))))
+        .filter(F.col("n_words") >= 40)
+        .withColumn("__fp", F.md5(normalized))
+    )
+    w = Window.partitionBy("__fp")
+    return (
+        filtered.withColumn("__keep",
+                            F.col("doc_id") == F.min("doc_id").over(w))
+        .filter("__keep")
+        # bigint to match DuckDB's len() type in the schema gate
+        .select("doc_id", "lang", F.col("n_words").cast("bigint")
+                .alias("n_words"))
+    )
+
+
 def _q_multimodal_resize(spark, sf_dir):
     """Multimodal plumbing under the value-hash gate: payloads are
     CONSTRUCTED from the text column, pushed through the real
@@ -648,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_validate": _q_xml_validate,
         "protobuf_validate": _q_protobuf_validate,
         "multimodal_resize": _q_multimodal_resize,
+        "corpus_curation": _q_corpus_curation,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_topk": _q_lsh_topk,
@@ -946,6 +975,20 @@ def oracle_sql() -> dict[str, str]:
                (COALESCE(lang IN ('en','de','fr','es'), FALSE)
                 AND COALESCE(n_chars >= 500, FALSE)) AS ok
         FROM documents
+        """,
+        "corpus_curation": """
+        WITH f AS (
+          SELECT doc_id, lang,
+                 len(list_filter(string_split_regex(lower(text),
+                     '[^a-zA-Z0-9'']+'), w -> w != '')) AS n_words,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                   AS fp
+          FROM documents
+          WHERE lang IN ('en', 'de')
+        )
+        SELECT doc_id, lang, n_words FROM f
+        WHERE n_words >= 40
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
         """,
         "multimodal_resize": """
         SELECT doc_id AS media_id,
