@@ -67,6 +67,21 @@ def test_corpus_python_engine(spark, name):
 
 
 @pytest.mark.parametrize("name", CASES)
+def test_corpus_unmemoized_derive(spark, name):
+    """Fourth algorithm of the Suite.hs analogue: the UNMEMOIZED
+    single-forest derivative (derive.py:derive, the Derive.hs readable
+    version) must agree with the memoized Validator — together with the
+    Catalyst and table-VPA checks this mirrors the reference's
+    deriv/zip/mem/vpa four-way comparison (test/Suite.hs:46-61)."""
+    from katydid_haskell_spark.relapse.derive import derive
+
+    spec, rows, schema, want = load_case(name)
+    g = compile_grammar(parse_grammar(spec))
+    got = [derive(g, row_to_forest(r, schema)).nullable for r in rows]
+    assert got == want, f"{name}: unmemoized derive got {got}, want {want}"
+
+
+@pytest.mark.parametrize("name", CASES)
 def test_corpus_catalyst(spark, name):
     """Spark-side verdicts must match the golden expectations through the
     PRODUCTION dispatch: Catalyst lowering where the shape is static,
