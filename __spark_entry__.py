@@ -426,6 +426,33 @@ def _q_protobuf_validate(spark, sf_dir):
     return docs.select("doc_id", ok.alias("ok"))
 
 
+def _q_protobuf_packed(spark, sf_dir):
+    """Packed repeated scalars under the value-hash gate — the decode
+    feature that SURPASSES the reference (Protobuf.hs:280 TODO; proto3
+    packs by default).  Wire bytes built in-query from table columns;
+    the star-over-elements spec runs the decoded index-labeled repeated
+    group through the validator; the oracle re-derives the verdict with
+    the same integer math over the raw columns."""
+    from pyspark.sql.functions import pandas_udf
+
+    from katydid_haskell_spark.relapse import protobuf_source as pb
+
+    docs = _t(spark, sf_dir, "documents")
+    desc = {"Doc": {1: pb.Field("vals", "int64", repeated=True)}}
+
+    @pandas_udf("binary")
+    def enc(doc_id: pd.Series, n_chars: pd.Series) -> pd.Series:
+        return pd.Series([
+            pb.encode_packed_varints(1, [int(n) % 100, (int(d) * 7) % 50])
+            for d, n in zip(doc_id, n_chars)
+        ])
+
+    spec = ".vals: (_: >= 10)*"
+    ok = pb.validate_protobuf_column(
+        enc(F.col("doc_id"), F.col("n_chars")), spec, desc, "Doc")
+    return docs.select("doc_id", ok.alias("ok"))
+
+
 def _q_corpus_curation(spark, sf_dir):
     """The canonical training-data curation pass as ONE composed plan:
     lang allowlist -> token-count floor -> exact-dedup keep-min — filter,
@@ -677,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "protobuf_validate": _q_protobuf_validate,
         "multimodal_resize": _q_multimodal_resize,
         "corpus_curation": _q_corpus_curation,
+        "protobuf_packed": _q_protobuf_packed,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_topk": _q_lsh_topk,
@@ -974,6 +1002,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                (COALESCE(lang IN ('en','de','fr','es'), FALSE)
                 AND COALESCE(n_chars >= 500, FALSE)) AS ok
+        FROM documents
+        """,
+        "protobuf_packed": """
+        SELECT doc_id,
+               ((n_chars % 100) >= 10 AND ((doc_id * 7) % 50) >= 10) AS ok
         FROM documents
         """,
         "corpus_curation": """
