@@ -645,6 +645,75 @@ def _q_sessionize_events(spark, sf_dir):
     )
 
 
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-doc
+    map-side pass, Arrow-vectorized (Catalyst formulation kept as the
+    parity reference in textops.repetition_features)."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    f = tx.repetition_features_udf()(F.col("text"))
+    flagged = (
+        (f.getField("dup_line_frac") > 0.30)
+        | (f.getField("top_bigram_frac") > 0.20)
+        | (f.getField("dup_trigram_frac") > 0.30)
+    )
+    # int/int ratio columns are bit-identical by construction — deliberately
+    # NOT rounded (ROUND itself can differ between engines at half-ulp).
+    return docs.select(
+        "doc_id",
+        f.getField("n_lines").alias("n_lines"),
+        f.getField("dup_line_frac").alias("dup_line_frac"),
+        f.getField("top_bigram_frac").alias("top_bigram_frac"),
+        f.getField("dup_trigram_frac").alias("dup_trigram_frac"),
+        flagged.alias("flagged"),
+    )
+
+
+def _q_decontam_overlap(spark, sf_dir):
+    """Benchmark decontamination: word-3-gram collisions between the
+    corpus and a deterministic in-table eval slice (doc_id % 31 == 0).
+    Eval grams broadcast; corpus side never shuffles raw text."""
+    from katydid_haskell_spark.operators import decontam as dc
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 31 == 0)
+    train = docs.filter(F.col("doc_id") % 31 != 0)
+    return dc.ngram_overlap(train, eval_set, "doc_id", "text", n=3)
+
+
+def _q_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with a
+    non-equi extra condition (late shipment >90 days after order)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    win = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    late = win.join(
+        li,
+        (win["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > win["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late"))
+
+
+def _q_q13_cust_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left-outer join preserving zero-order customers,
+    then a distribution over the per-customer counts (double agg)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist"))
+
+
 def _q_pages_verdicts(spark, sf_dir):
     from katydid_haskell_spark.plans.pages_plan import (
         default_pages_plan,
@@ -715,6 +784,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top10_customers": _q_top10_customers,
         "set_ops_customers": _q_set_ops_customers,
         "sessionize_events": _q_sessionize_events,
+        "gopher_quality": _q_gopher_quality,
+        "decontam_overlap": _q_decontam_overlap,
+        "q4_order_priority": _q_q4_order_priority,
+        "q13_cust_distribution": _q_q13_cust_distribution,
         "pages_verdicts": _q_pages_verdicts,
     }
 
@@ -1090,6 +1163,82 @@ def oracle_sql() -> dict[str, str]:
             dim=64, min_cos=0.4, n_bits=None, bands=3, sf_dir=oracle_sf),
         "ann_topk_ivf": orc.ivf_topk_sql(oracle_sf, dim=64, k=10,
                                          n_cells=None, nprobe=None),
+        "gopher_quality": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                             l -> trim(l)), l -> l <> '') AS lines,
+                 {_WORDS_SQL} AS ws
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, lines,
+                 CASE WHEN len(ws) >= 2
+                      THEN [array_to_string(ws[i:i+1], ' ')
+                            for i in range(1, len(ws))]
+                      ELSE CAST([] AS VARCHAR[]) END AS bi,
+                 CASE WHEN len(ws) >= 3
+                      THEN [array_to_string(ws[i:i+2], ' ')
+                            for i in range(1, len(ws)-1)]
+                      ELSE CAST([] AS VARCHAR[]) END AS tri
+          FROM base
+        ), feats AS (
+          SELECT doc_id,
+                 len(lines) AS n_lines,
+                 CASE WHEN len(lines) > 0
+                      THEN (len(lines) - len(list_distinct(lines))) * 1.0
+                           / len(lines) ELSE 0.0 END AS dup_line_frac,
+                 CASE WHEN len(bi) > 0
+                      THEN list_max(list_transform(list_distinct(bi),
+                           g -> len(list_filter(bi, x -> x = g)))) * 1.0
+                           / len(bi) ELSE 0.0 END AS top_bigram_frac,
+                 CASE WHEN len(tri) > 0
+                      THEN (len(tri) - len(list_distinct(tri))) * 1.0
+                           / len(tri) ELSE 0.0 END AS dup_trigram_frac
+          FROM grams
+        )
+        SELECT doc_id, n_lines,
+               dup_line_frac, top_bigram_frac, dup_trigram_frac,
+               (dup_line_frac > 0.30 OR top_bigram_frac > 0.20
+                OR dup_trigram_frac > 0.30) AS flagged
+        FROM feats
+        """,
+        "decontam_overlap": f"""
+        WITH w AS (
+          SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(ws[i:i+2], ' ')
+                                for i in range(1, len(ws)-1)]) AS grams
+          FROM w WHERE len(ws) >= 3
+        ), t AS (
+          SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 31 <> 0
+        ), e AS (
+          SELECT doc_id AS eval_id, unnest(grams) AS gram
+          FROM g WHERE doc_id % 31 = 0
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_hit_grams,
+               CAST(COUNT(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+        FROM t JOIN e USING (gram) GROUP BY 1
+        """,
+        "q4_order_priority": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY 1
+        """,
+        "q13_cust_distribution": """
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+          SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+          GROUP BY c_custkey)
+        GROUP BY 1
+        """,
         "pages_verdicts": orc.pages_verdicts_sql(n_rows=2000, seed=42,
                                                  buckets=16,
                                                  snapshot="bench"),

@@ -177,6 +177,145 @@ def lang_id_udf():
     return lid
 
 
+def _word_ngrams(ws: Column, n: int) -> Column:
+    """Array of n-word grams (space-joined); empty array below n words."""
+    size = F.size(ws)
+    idx = F.sequence(F.lit(1), size - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(size >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _max_run_length(arr: Column) -> Column:
+    """Count of the most frequent element of a string array (0 if empty).
+
+    Sorts the array and folds a run-length scan — the mode COUNT is
+    order-independent, so no tie-break is needed (unlike the mode value).
+    Stays in Catalyst HOFs: no shuffle, no UDF.
+    """
+    srt = F.array_sort(arr)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    run = lambda acc, x: F.when(x == acc.getField("prev"),
+                                acc.getField("run") + 1).otherwise(F.lit(1))
+    return F.aggregate(
+        srt,
+        acc0,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc.getField("best"), run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc.getField("best"),
+    )
+
+
+def repetition_features(col: Column) -> Column:
+    """Gopher-style repetition/format signals as a struct (pure Catalyst).
+
+    Columns: n_lines, dup_line_frac (1 - distinct/total over trimmed
+    non-empty lines), bullet_ratio (lines starting ``-``/``*``/bullet),
+    ellipsis_ratio (lines ending ``...``/ellipsis), top_bigram_frac
+    (fraction of word bigrams equal to the most frequent bigram),
+    dup_trigram_frac (1 - distinct/total over word trigrams).
+
+    These are the per-document repetition filters of Gopher-class corpus
+    curation (Rae et al. 2021 §A1.1), each computable per row with no
+    shuffle — the 100-TB shape is a single map-side pass.
+    """
+    lines = F.filter(
+        F.transform(F.split(col, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike("^[-*•]")))
+    n_ellipsis = F.size(
+        F.filter(lines, lambda l: l.rlike("(\\.\\.\\.|…)$"))
+    )
+    ws = words(col)
+    bigrams = _word_ngrams(ws, 2)
+    trigrams = _word_ngrams(ws, 3)
+    n_bi = F.size(bigrams)
+    n_tri = F.size(trigrams)
+    safe = lambda num, den: F.when(
+        den > 0, num.cast("double") / den
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        n_lines.alias("n_lines"),
+        safe(n_lines - F.size(F.array_distinct(lines)), n_lines).alias(
+            "dup_line_frac"
+        ),
+        safe(n_bullet, n_lines).alias("bullet_ratio"),
+        safe(n_ellipsis, n_lines).alias("ellipsis_ratio"),
+        safe(_max_run_length(bigrams), n_bi).alias("top_bigram_frac"),
+        safe(n_tri - F.size(F.array_distinct(trigrams)), n_tri).alias(
+            "dup_trigram_frac"
+        ),
+    )
+
+
+def repetition_flag(col: Column) -> Column:
+    """Gopher-style repetition rejection flag (fixed thresholds)."""
+    f = repetition_features(col)
+    return (
+        (f.getField("dup_line_frac") > 0.30)
+        | (f.getField("top_bigram_frac") > 0.20)
+        | (f.getField("dup_trigram_frac") > 0.30)
+    )
+
+
+def repetition_features_udf():
+    """Arrow-vectorized repetition_features — identical values to the
+    Catalyst formulation (same line/word splits, same int/int double
+    ratios), one Python pass per batch instead of interpreted array-HOF
+    evaluation (Spark runs array HOFs without codegen)."""
+    import re
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    word_re = re.compile(_WORD_SPLIT)
+    bullet_re = re.compile(r"^[-*•]")
+    ellipsis_re = re.compile(r"(\.\.\.|…)$")
+
+    @pandas_udf(
+        "struct<n_lines:int, dup_line_frac:double, bullet_ratio:double, "
+        "ellipsis_ratio:double, top_bigram_frac:double, "
+        "dup_trigram_frac:double>"
+    )
+    def feats(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        sc = lambda num, den: num / den if den > 0 else 0.0
+        for t in texts:
+            t = t or ""
+            lines = [s for s in (l.strip() for l in t.split("\n")) if s]
+            nl = len(lines)
+            ws = [w for w in word_re.split(t.lower()) if w]
+            bi = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+            tri = [f"{a} {b} {c}" for a, b, c in zip(ws, ws[1:], ws[2:])]
+            top_bi = max(Counter(bi).values()) if bi else 0
+            rows.append((
+                nl,
+                sc(nl - len(set(lines)), nl),
+                sc(sum(1 for l in lines if bullet_re.match(l)), nl),
+                sc(sum(1 for l in lines if ellipsis_re.search(l)), nl),
+                sc(top_bi, len(bi)),
+                sc(len(tri) - len(set(tri)), len(tri)),
+            ))
+        return pd.DataFrame(rows, columns=[
+            "n_lines", "dup_line_frac", "bullet_ratio", "ellipsis_ratio",
+            "top_bigram_frac", "dup_trigram_frac"])
+
+    return feats
+
+
 def fingerprint(col: Column) -> Column:
     """Exact content fingerprint: 64-bit hash of whitespace/case-normalized
     text (xxhash64, JVM-side)."""

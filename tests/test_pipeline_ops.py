@@ -456,3 +456,76 @@ def test_near_zero_dot_sign_parity(spark):
     cc = {r.vec_id: r.c for r in df.select(
         "vec_id", sim.ivf_cell(F.col("v"), cents).alias("c")).collect()}
     assert aa == cc
+
+
+REP_DOCS = [
+    (0, "a b a b a b\nline one\nline one\n- bullet\nend..."),
+    (1, "hello world this is quite fine today"),
+    (2, "• item\nmore text here now…"),
+]
+
+
+def test_repetition_features_hand_computed(spark):
+    """Gopher repetition signals hand-derived on a known fixture (both
+    the Catalyst HOF formulation and the Arrow UDF)."""
+    df = spark.createDataFrame(REP_DOCS, "doc_id long, text string")
+    for expr in (tx.repetition_features(F.col("text")),
+                 tx.repetition_features_udf()(F.col("text"))):
+        rows = {r.doc_id: r.f for r in
+                df.select("doc_id", expr.alias("f")).collect()}
+        f0 = rows[0]
+        assert f0.n_lines == 5
+        assert f0.dup_line_frac == pytest.approx(1 / 5)   # 'line one' dup
+        assert f0.bullet_ratio == pytest.approx(1 / 5)
+        assert f0.ellipsis_ratio == pytest.approx(1 / 5)
+        assert f0.top_bigram_frac == pytest.approx(3 / 11)  # 'a b' x3
+        assert f0.dup_trigram_frac == pytest.approx(2 / 10)
+        f1 = rows[1]
+        assert (f1.n_lines, f1.dup_line_frac, f1.bullet_ratio) == (1, 0.0, 0.0)
+        assert f1.top_bigram_frac == pytest.approx(1 / 6)
+        assert f1.dup_trigram_frac == 0.0
+        f2 = rows[2]
+        assert f2.bullet_ratio == pytest.approx(1 / 2)    # unicode bullet
+        assert f2.ellipsis_ratio == pytest.approx(1 / 2)  # unicode ellipsis
+
+
+def test_repetition_arrow_matches_catalyst(spark, docs):
+    """Arrow hot path == Catalyst reference, bit-exact, on the shared
+    dedup fixture (includes dup/near-dup/multilingual texts)."""
+    both = docs.select(
+        "doc_id",
+        tx.repetition_features(F.col("text")).alias("cat"),
+        tx.repetition_features_udf()(F.col("text")).alias("arw"),
+    ).collect()
+    for r in both:
+        assert r.cat == r.arw, r.doc_id
+
+
+def test_repetition_flag(spark):
+    df = spark.createDataFrame(
+        [(0, "spam spam spam spam spam spam spam"), (1, REP_DOCS[1][1])],
+        "doc_id long, text string")
+    got = {r.doc_id: r.flag for r in df.select(
+        "doc_id", tx.repetition_flag(F.col("text")).alias("flag")).collect()}
+    assert got == {0: True, 1: False}
+
+
+def test_decontam_overlap(spark):
+    from katydid_haskell_spark.operators import decontam as dc
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "one two three four five"),
+         (3, "short doc")],                  # < 3 words: no grams
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "x alpha beta gamma y"),
+         (101, "unrelated eval text entirely")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_hit_grams, r.n_eval_docs)
+           for r in dc.ngram_overlap(train, ev, "doc_id", "text",
+                                     n=3).collect()}
+    assert got == {1: (1, 1)}               # only 'alpha beta gamma'
+    kept = dc.decontaminate(train, ev, "doc_id", "text", n=3)
+    assert {r.doc_id for r in kept.collect()} == {2, 3}
+    assert kept.columns == train.columns     # original shape preserved
