@@ -41,6 +41,9 @@ AUTOMATON_ONLY = {
     "interleave_opt_star",     # variable-length interleave branches
     "interleave_wild5",        # 5 wildcard branches → 120 matchings > cap
     "star_of_concat",          # star of multi-element group
+    "optional_chain",          # three optional segments → multi-variable
+                               # concat split beyond the single-segment
+                               # lowering
 }
 
 
