@@ -714,6 +714,36 @@ def _q_q13_cust_distribution(spark, sf_dir):
         F.count(F.lit(1)).alias("custdist"))
 
 
+def _q_pii_scan(spark, sf_dir):
+    """PII detect + redact (C4/Dolma anonymization): payload constructed
+    FROM table columns inside the query (fixture texts carry no PII), so
+    the oracle re-derives both the payload and the scan from raw columns
+    — the established construct-in-query pattern.  Scan itself is pure
+    JVM regexp (map-side, no UDF)."""
+    from katydid_haskell_spark.operators import pii
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    payload = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0, F.concat(
+            F.lit(" contact user"), did.cast("string"),
+            F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.concat(
+            F.lit(" from 10.0."), (did % 256).cast("string"), F.lit("."),
+            ((did * 7) % 256).cast("string"))).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.concat(
+            F.lit(" call +1555"),
+            F.lpad((did % 10000000).cast("string"), 7, "0"))).otherwise(
+                F.lit("")),
+        F.when(did % 17 == 0, F.concat(
+            F.lit(" ref "),
+            F.lpad(did.cast("string"), 9, "0"))).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", payload.alias("text"))
+    return pii.pii_scan(base, "doc_id", "text")
+
+
 def _q_pages_verdicts(spark, sf_dir):
     from katydid_haskell_spark.plans.pages_plan import (
         default_pages_plan,
@@ -788,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": _q_decontam_overlap,
         "q4_order_priority": _q_q4_order_priority,
         "q13_cust_distribution": _q_q13_cust_distribution,
+        "pii_scan": _q_pii_scan,
         "pages_verdicts": _q_pages_verdicts,
     }
 
@@ -1238,6 +1269,48 @@ def oracle_sql() -> dict[str, str]:
             ON c_custkey = o_custkey AND o_orderstatus <> 'F'
           GROUP BY c_custkey)
         GROUP BY 1
+        """,
+        "pii_scan": r"""
+        WITH p AS (
+          SELECT doc_id, text ||
+            CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+                 || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END ||
+            CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.'
+                 || CAST(doc_id % 256 AS VARCHAR) || '.'
+                 || CAST((doc_id * 7) % 256 AS VARCHAR)
+                 ELSE '' END ||
+            CASE WHEN doc_id % 13 = 0 THEN ' call +1555'
+                 || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0')
+                 ELSE '' END ||
+            CASE WHEN doc_id % 17 = 0 THEN ' ref '
+                 || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+                 ELSE '' END AS t
+          FROM documents
+        ), counted AS (
+          SELECT doc_id, t,
+                 len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   AS n_email,
+                 len(regexp_extract_all(t,
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                   AS n_ipv4,
+                 len(regexp_extract_all(t, '\+[0-9]{10,14}\b')) AS n_phone,
+                 len(regexp_extract_all(t, '\b[0-9]{9,}\b')) AS n_long_id
+          FROM p
+        )
+        SELECT doc_id, n_email, n_ipv4, n_phone, n_long_id,
+               (n_email > 0 OR n_ipv4 > 0 OR n_phone > 0 OR n_long_id > 0)
+                 AS any_pii,
+               md5(regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                     '<IP>', 'g'),
+                     '\+[0-9]{10,14}\b', '<PHONE>', 'g'),
+                     '\b[0-9]{9,}\b', '<ID>', 'g')) AS redacted_fp
+        FROM counted
         """,
         "pages_verdicts": orc.pages_verdicts_sql(n_rows=2000, seed=42,
                                                  buckets=16,

@@ -72,6 +72,11 @@ HEADLINE = [
     "lsh_topk",
     "ann_topk_ivf",
     "embedding_neardup",
+    "gopher_quality",
+    "decontam_overlap",
+    "pii_scan",
+    "q4_order_priority",
+    "q13_cust_distribution",
     "q6_revenue",
     "rollup_lineitem",
     "top10_customers",

@@ -529,3 +529,32 @@ def test_decontam_overlap(spark):
     kept = dc.decontaminate(train, ev, "doc_id", "text", n=3)
     assert {r.doc_id for r in kept.collect()} == {2, 3}
     assert kept.columns == train.columns     # original shape preserved
+
+
+def test_pii_scan_hand_checked(spark):
+    from katydid_haskell_spark.operators import pii
+
+    df = spark.createDataFrame(
+        [(1, "write to jane.doe+x@mail.example.org or call +12345678901"),
+         (2, "server at 192.168.1.10 logged id 123456789"),
+         (3, "clean text with short 1234 numbers"),
+         (4, "two mails a@b.io c@d.io and ip 10.0.0.1")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            pii.pii_scan(df, "doc_id", "text").collect()}
+    r1 = rows[1]
+    # the phone digit run (11 >= 9) ALSO counts as long_id on raw text
+    assert (r1.n_email, r1.n_phone, r1.n_long_id, r1.n_ipv4) == (1, 1, 1, 0)
+    r2 = rows[2]
+    assert (r2.n_email, r2.n_ipv4, r2.n_long_id) == (0, 1, 1)
+    r3 = rows[3]
+    assert not r3.any_pii
+    r4 = rows[4]
+    assert (r4.n_email, r4.n_ipv4) == (2, 1)
+    # redaction: order is email -> ip -> phone -> id; placeholders survive
+    red = {r.doc_id: r.red for r in df.select(
+        "doc_id", pii.redact(F.col("text")).alias("red")).collect()}
+    assert red[1] == "write to <EMAIL> or call <PHONE>"
+    assert red[2] == "server at <IP> logged id <ID>"
+    assert red[3] == "clean text with short 1234 numbers"
+    assert red[4] == "two mails <EMAIL> <EMAIL> and ip <IP>"
