@@ -744,6 +744,21 @@ def _q_pii_scan(spark, sf_dir):
     return pii.pii_scan(base, "doc_id", "text")
 
 
+def _q_host_skew_report(spark, sf_dir):
+    """Exact heavy-hitter hosts over the Zipf-skewed pages corpus — the
+    data-driven input to salting decisions (north-star 'salted for
+    skewed hosts').  approx=False: deterministic exact histogram path;
+    the Arrow candidate pre-filter mode is covered by unit parity
+    tests."""
+    from katydid_haskell_spark.operators import skew
+    from katydid_haskell_spark.sources.pages import pages_df
+
+    pages = pages_df(spark, 2000)
+    hosts = skew.with_host(pages)
+    return skew.heavy_hitters(hosts, F.col("host"), min_fraction=0.01,
+                              approx=False)
+
+
 def _q_pages_verdicts(spark, sf_dir):
     from katydid_haskell_spark.plans.pages_plan import (
         default_pages_plan,
@@ -819,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": _q_q4_order_priority,
         "q13_cust_distribution": _q_q13_cust_distribution,
         "pii_scan": _q_pii_scan,
+        "host_skew_report": _q_host_skew_report,
         "pages_verdicts": _q_pages_verdicts,
     }
 
@@ -1312,6 +1328,9 @@ def oracle_sql() -> dict[str, str]:
                      '\b[0-9]{9,}\b', '<ID>', 'g')) AS redacted_fp
         FROM counted
         """,
+        "host_skew_report": orc.host_skew_sql(n_rows=2000, seed=42,
+                                              buckets=16,
+                                              min_fraction=0.01),
         "pages_verdicts": orc.pages_verdicts_sql(n_rows=2000, seed=42,
                                                  buckets=16,
                                                  snapshot="bench"),

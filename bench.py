@@ -75,6 +75,7 @@ HEADLINE = [
     "gopher_quality",
     "decontam_overlap",
     "pii_scan",
+    "host_skew_report",
     "q4_order_priority",
     "q13_cust_distribution",
     "q6_revenue",

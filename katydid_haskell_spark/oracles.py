@@ -492,6 +492,27 @@ def pages_verdicts_sql(n_rows: int = 2000, seed: int = 42,
     """
 
 
+def host_skew_sql(n_rows: int = 2000, seed: int = 42, buckets: int = 16,
+                  min_fraction: float = 0.01) -> str:
+    """Exact heavy-hitter hosts of the pages corpus, re-derived from the
+    Spark-free pages fixture (same byte-identity contract as
+    pages_verdicts_sql) — the oracle for skew.heavy_hitters(approx=False)
+    over skew.with_host."""
+    from .sources.pages_fixture import ensure_pages_fixture
+
+    pd_path = ensure_pages_fixture(n_rows, seed, buckets, drifted=True)
+    return f"""
+    WITH hosts AS (
+      SELECT regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS key
+      FROM read_parquet('{pd_path}')
+    ), counted AS (
+      SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt FROM hosts GROUP BY 1
+    ), tot AS (SELECT SUM(cnt) AS total FROM counted)
+    SELECT key, cnt FROM counted, tot
+    WHERE cnt >= total * {min_fraction}
+    """
+
+
 def dedup_clusters_sql(num_hashes: int = 32, bands: int = 8,
                        shingle_k: int = 3, min_jaccard: float = 0.4) -> str:
     """Connected components over the minhash pair graph via a recursive
