@@ -744,6 +744,18 @@ def _q_pii_scan(spark, sf_dir):
     return pii.pii_scan(base, "doc_id", "text")
 
 
+def _q_quantile_profile(spark, sf_dir):
+    """Exact per-lang text-length percentiles (type-7 interpolation —
+    bit-identical between Spark `percentile` and DuckDB `quantile_cont`,
+    so no rounding).  The approx_percentile (GK sketch) variant is the
+    crawl-scale path, parity-covered in unit tests."""
+    from katydid_haskell_spark.operators import stats as st
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "lang_key", F.coalesce("lang", F.lit("<null>")))
+    return st.percentile_profile(docs, ["lang_key"], "n_chars")
+
+
 def _q_host_skew_report(spark, sf_dir):
     """Exact heavy-hitter hosts over the Zipf-skewed pages corpus — the
     data-driven input to salting decisions (north-star 'salted for
@@ -834,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": _q_q4_order_priority,
         "q13_cust_distribution": _q_q13_cust_distribution,
         "pii_scan": _q_pii_scan,
+        "quantile_profile": _q_quantile_profile,
         "host_skew_report": _q_host_skew_report,
         "pages_verdicts": _q_pages_verdicts,
     }
@@ -1327,6 +1340,15 @@ def oracle_sql() -> dict[str, str]:
                      '\+[0-9]{10,14}\b', '<PHONE>', 'g'),
                      '\b[0-9]{9,}\b', '<ID>', 'g')) AS redacted_fp
         FROM counted
+        """,
+        "quantile_profile": """
+        SELECT COALESCE(lang, '<null>') AS lang_key,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               quantile_cont(n_chars, 0.25) AS p25,
+               quantile_cont(n_chars, 0.5) AS p50,
+               quantile_cont(n_chars, 0.75) AS p75,
+               quantile_cont(n_chars, 0.95) AS p95
+        FROM documents GROUP BY 1
         """,
         "host_skew_report": orc.host_skew_sql(n_rows=2000, seed=42,
                                               buckets=16,

@@ -76,6 +76,7 @@ HEADLINE = [
     "decontam_overlap",
     "pii_scan",
     "host_skew_report",
+    "quantile_profile",
     "q4_order_priority",
     "q13_cust_distribution",
     "q6_revenue",

@@ -558,3 +558,21 @@ def test_pii_scan_hand_checked(spark):
     assert red[2] == "server at <IP> logged id <ID>"
     assert red[3] == "clean text with short 1234 numbers"
     assert red[4] == "two mails <EMAIL> <EMAIL> and ip <IP>"
+
+
+def test_percentile_profile(spark):
+    from katydid_haskell_spark.operators import stats as st
+
+    df = spark.createDataFrame(
+        [("a", v) for v in (10, 20, 30, 40, 50)] + [("b", 7)],
+        "k string, v long")
+    rows = {r.k: r for r in st.percentile_profile(
+        df, ["k"], "v", probs=(0.25, 0.5, 0.95)).collect()}
+    a = rows["a"]
+    assert (a.n, a.p25, a.p50, a.p95) == (5, 20.0, 30.0, 48.0)
+    assert (rows["b"].p25, rows["b"].p50) == (7.0, 7.0)
+    # approx variant: identical shape, sane values on tiny input
+    ap = {r.k: r for r in st.percentile_profile(
+        df, ["k"], "v", probs=(0.25, 0.5, 0.95), exact=False).collect()}
+    assert set(ap["a"].asDict()) == set(a.asDict())
+    assert ap["b"].p50 == 7.0
