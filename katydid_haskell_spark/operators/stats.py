@@ -50,7 +50,28 @@ def _metric_col(metric: str, c: str) -> Column:
         return F.count_distinct(F.col(c))
     if metric == "mean":
         return F.avg(c)
+    p = _parse_percentile_metric(metric)
+    if p is not None:
+        fn, q = p
+        return F.expr(f"{fn}({c}, {q!r})")
     raise ValueError(f"unknown stat metric: {metric}")
+
+
+def _parse_percentile_metric(metric: str):
+    """``p95`` / ``p99.9`` → exact percentile; ``approx_p95`` →
+    approx_percentile (GK sketch).  Returns (sql_fn, prob) or None."""
+    fn = "percentile"
+    if metric.startswith("approx_p"):
+        fn, metric = "approx_percentile", metric[len("approx_"):]
+    if not metric.startswith("p"):
+        return None
+    try:
+        q = float(metric[1:]) / 100.0
+    except ValueError:
+        return None
+    if not 0.0 <= q <= 1.0:
+        return None
+    return fn, q
 
 
 def _check(op: str, m: Column, v, v_hi=None) -> Column:

@@ -387,8 +387,12 @@ def run_plan_fused(df: DataFrame, plan: CheckPlan,
             aggs.append(F.count(c).alias(f"st_n_{i}"))
         elif r.metric == "approx_distinct":
             aggs.append(F.hll_sketch_agg(c).alias(f"st_hll_{i}"))
-        elif r.metric == "distinct":
-            exact_rules.append((i, r))  # one extra global pass below
+        elif (r.metric == "distinct"
+              or stats_ops._parse_percentile_metric(r.metric) is not None):
+            # not mergeable from per-bucket partials (exact distinct needs
+            # the full key set; percentiles need the full distribution) —
+            # ONE combined extra global pass below
+            exact_rules.append((i, r))
         else:
             raise ValueError(f"unknown stat metric: {r.metric}")
     rolled = checked.groupBy("__bucket").agg(*aggs).persist()
@@ -432,9 +436,11 @@ def run_plan_fused(df: DataFrame, plan: CheckPlan,
     for i, _ in enumerate(plan.ref_rules):
         fin.append(F.sum(f"orphans_{i}").alias(f"ref_{i}"))
     table_wide = rolled.agg(*fin)
-    for i, r in exact_rules:
-        exact = df.agg(
-            F.count_distinct(F.col(r.column)).alias(f"f_{i}"))
+    if exact_rules:
+        # all non-mergeable metrics share ONE extra full-table pass
+        exact = df.agg(*[
+            stats_ops._metric_col(r.metric, r.column).alias(f"f_{i}")
+            for i, r in exact_rules])
         table_wide = table_wide.crossJoin(F.broadcast(exact))
 
     table_structs = []

@@ -205,3 +205,37 @@ def test_fused_skew_salt_matches_plain(spark, pages):
     assert viola == violb
     # the hot url is detected with its exact count
     assert ("https://hot.example.com/dup", "duplicate count=600") in viola
+
+
+def test_percentile_stat_rules_fused_parity(spark):
+    """Percentile StatRules (p50 / p99 / approx_p95): valid in both
+    engines, identical verdicts fused vs unfused, and the fused plan
+    folds ALL non-mergeable metrics (exact distinct + percentiles) into
+    ONE extra global pass."""
+    from katydid_haskell_spark.operators.stats import StatRule
+    from katydid_haskell_spark.plans.checkplan import CheckPlan
+    from katydid_haskell_spark.plans.runner import run_plan
+
+    df = with_bucket(pages_df(spark, 800)).withColumn(
+        "text_len", F.length("text"))
+    plan = CheckPlan(
+        row_rules=[],
+        stat_rules=[
+            StatRule("len_p50_floor", "text_len", "p50", "ge", 1.0),
+            StatRule("len_p99_cap", "text_len", "p99", "le", 1e7),
+            StatRule("len_p95_approx", "text_len", "approx_p95", "le", 1e7),
+            StatRule("url_exact_distinct", "url", "distinct", "ge", 1),
+        ],
+        unique_rules=[], ref_rules=[], drift_rules=[],
+    )
+    a = run_plan(df, plan, {}, {}, snapshot="s", fused=True)
+    b = run_plan(df, plan, {}, {}, snapshot="s", fused=False)
+    va = {(r.bucket_id, r.rule_id): (r["pass"], r.metric)
+          for r in a.verdicts.collect()}
+    vb = {(r.bucket_id, r.rule_id): (r["pass"], r.metric)
+          for r in b.verdicts.collect()}
+    assert va == vb
+    assert all(p for p, _ in va.values())
+    # exact p50 really is the median of the column
+    med = df.agg(F.expr("percentile(text_len, 0.5)")).collect()[0][0]
+    assert va[(-1, "len_p50_floor")][1] == med
