@@ -502,6 +502,23 @@ def _q_multimodal_resize(spark, sf_dir):
         F.octet_length("payload").cast("bigint").alias("out_bytes"))
 
 
+def _q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plan under the value-hash gate: (kind, duration_ms)
+    metadata constructed from raw columns, expanded one row per
+    (media_id, frame_ts_ms) — pure Catalyst sequence+explode, payload
+    untouched (the decode step is the registered codec's job)."""
+    from katydid_haskell_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("video"))
+        .otherwise(F.lit("image")).alias("kind"),
+        (F.lit(1000) + F.col("n_chars") % 5000).alias("duration_ms"),
+    )
+    return mm.frame_sample_plan(media, every_ms=700)
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     # exact word-3-gram Jaccard within a lang blocking key — the
     # verification-grade dedup operator (candidate sets at scale come
@@ -829,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_validate": _q_xml_validate,
         "protobuf_validate": _q_protobuf_validate,
         "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
         "corpus_curation": _q_corpus_curation,
         "protobuf_packed": _q_protobuf_packed,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1340,6 +1358,13 @@ def oracle_sql() -> dict[str, str]:
                      '\+[0-9]{10,14}\b', '<PHONE>', 'g'),
                      '\b[0-9]{9,}\b', '<ID>', 'g')) AS redacted_fp
         FROM counted
+        """,
+        "multimodal_frames": """
+        SELECT doc_id AS media_id,
+               unnest(range(0, greatest(duration_ms - 1, 0) + 1, 700))
+                 AS frame_ts_ms
+        FROM (SELECT doc_id, 1000 + (n_chars % 5000) AS duration_ms
+              FROM documents WHERE doc_id % 3 = 0)
         """,
         "quantile_profile": """
         SELECT COALESCE(lang, '<null>') AS lang_key,
