@@ -481,6 +481,45 @@ def _q_corpus_curation(spark, sf_dir):
     )
 
 
+def _q_corpus_curation_full(spark, sf_dir):
+    """The COMPLETE curation pipeline as one composed plan: eval-slice
+    exclusion -> lang allowlist -> token floor -> Gopher repetition
+    rejection -> benchmark decontamination (word-4-gram, broadcast) ->
+    exact-dedup keep-min.  Every stage is an operator oracled on its own
+    elsewhere; this query gates their composition."""
+    from pyspark.sql.window import Window
+
+    from katydid_haskell_spark.operators import decontam as dc
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 31 == 0)
+    train = docs.filter(F.col("doc_id") % 31 != 0)
+    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    rep = tx.repetition_features_udf()(F.col("text"))
+    rep_flag = (
+        (rep.getField("dup_line_frac") > 0.30)
+        | (rep.getField("top_bigram_frac") > 0.20)
+        | (rep.getField("dup_trigram_frac") > 0.30)
+    )
+    filtered = (
+        train.filter(F.col("lang").isin("en", "de"))
+        .withColumn("n_words", F.size(tx.words(F.col("text"))))
+        .filter(F.col("n_words") >= 40)
+        # Arrow hot path; bit-identical to tx.repetition_flag (parity test)
+        .filter(~rep_flag)
+        .withColumn("__fp", F.md5(normalized))
+    )
+    clean = dc.decontaminate(filtered, eval_set, "doc_id", "text", n=4)
+    w = Window.partitionBy("__fp")
+    return (
+        clean.withColumn("__keep",
+                         F.col("doc_id") == F.min("doc_id").over(w))
+        .filter("__keep")
+        .select("doc_id", "lang",
+                F.col("n_words").cast("bigint").alias("n_words"))
+    )
+
+
 def _q_multimodal_resize(spark, sf_dir):
     """Multimodal plumbing under the value-hash gate: payloads are
     CONSTRUCTED from the text column, pushed through the real
@@ -848,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
         "corpus_curation": _q_corpus_curation,
+        "corpus_curation_full": _q_corpus_curation_full,
         "protobuf_packed": _q_protobuf_packed,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_pairs": _q_simhash_pairs,
@@ -1358,6 +1398,58 @@ def oracle_sql() -> dict[str, str]:
                      '\+[0-9]{10,14}\b', '<PHONE>', 'g'),
                      '\b[0-9]{9,}\b', '<ID>', 'g')) AS redacted_fp
         FROM counted
+        """,
+        "corpus_curation_full": f"""
+        WITH base AS (
+          SELECT doc_id, lang, text, {_WORDS_SQL} AS ws,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                             l -> trim(l)), l -> l <> '') AS lines
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, lang, ws, lines,
+                 CASE WHEN len(ws) >= 2
+                      THEN [array_to_string(ws[i:i+1], ' ')
+                            for i in range(1, len(ws))]
+                      ELSE CAST([] AS VARCHAR[]) END AS bi,
+                 CASE WHEN len(ws) >= 3
+                      THEN [array_to_string(ws[i:i+2], ' ')
+                            for i in range(1, len(ws)-1)]
+                      ELSE CAST([] AS VARCHAR[]) END AS tri,
+                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                   AS fp
+          FROM base
+        ), flags AS (
+          SELECT doc_id, lang, len(ws) AS n_words, fp,
+                 (CASE WHEN len(lines) > 0
+                       THEN (len(lines) - len(list_distinct(lines))) * 1.0
+                            / len(lines) ELSE 0.0 END > 0.30
+                  OR CASE WHEN len(bi) > 0
+                       THEN list_max(list_transform(list_distinct(bi),
+                            g -> len(list_filter(bi, x -> x = g)))) * 1.0
+                            / len(bi) ELSE 0.0 END > 0.20
+                  OR CASE WHEN len(tri) > 0
+                       THEN (len(tri) - len(list_distinct(tri))) * 1.0
+                            / len(tri) ELSE 0.0 END > 0.30) AS flagged
+          FROM grams
+        ), g4 AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(ws[i:i+3], ' ')
+                                for i in range(1, len(ws)-2)]) AS grams4
+          FROM base WHERE len(ws) >= 4
+        ), ev AS (
+          SELECT DISTINCT unnest(grams4) AS gram FROM g4
+          WHERE doc_id % 31 = 0
+        ), dirty AS (
+          SELECT DISTINCT t.doc_id FROM
+            (SELECT doc_id, unnest(grams4) AS gram FROM g4
+             WHERE doc_id % 31 <> 0) t
+          JOIN ev USING (gram)
+        )
+        SELECT doc_id, lang, n_words FROM flags
+        WHERE doc_id % 31 <> 0 AND lang IN ('en', 'de') AND n_words >= 40
+          AND NOT flagged
+          AND doc_id NOT IN (SELECT doc_id FROM dirty)
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
         """,
         "multimodal_frames": """
         SELECT doc_id AS media_id,

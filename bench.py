@@ -77,6 +77,7 @@ HEADLINE = [
     "pii_scan",
     "host_skew_report",
     "quantile_profile",
+    "corpus_curation_full",
     "q4_order_priority",
     "q13_cust_distribution",
     "q6_revenue",
