@@ -728,7 +728,10 @@ def _q_gopher_quality(spark, sf_dir):
 def _q_decontam_overlap(spark, sf_dir):
     """Benchmark decontamination: word-3-gram collisions between the
     corpus and a deterministic in-table eval slice (doc_id % 31 == 0).
-    Eval grams broadcast; corpus side never shuffles raw text."""
+    Distinct eval-gram set broadcast + LEFT SEMI probe — join output
+    bounded by the corpus gram count even on high-collision
+    vocabularies (the pair-join variant measured 124s vs ~1s at sf0.1);
+    corpus side never shuffles raw text."""
     from katydid_haskell_spark.operators import decontam as dc
 
     docs = _t(spark, sf_dir, "documents")
@@ -1331,13 +1334,12 @@ def oracle_sql() -> dict[str, str]:
         ), t AS (
           SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 31 <> 0
         ), e AS (
-          SELECT doc_id AS eval_id, unnest(grams) AS gram
+          SELECT DISTINCT unnest(grams) AS gram
           FROM g WHERE doc_id % 31 = 0
         )
-        SELECT t.doc_id,
-               CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_hit_grams,
-               CAST(COUNT(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
-        FROM t JOIN e USING (gram) GROUP BY 1
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+        FROM t WHERE gram IN (SELECT gram FROM e) GROUP BY 1
         """,
         "q4_order_priority": """
         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late

@@ -14,10 +14,43 @@ oracle can re-derive the identical gram sets in SQL.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from katydid_haskell_spark.operators.textops import _word_ngrams, words
+from katydid_haskell_spark.operators.textops import _WORD_SPLIT
+
+
+def distinct_ngrams_udf(n: int):
+    """Arrow-vectorized distinct word n-grams per document.
+
+    One Python pass per batch.  The Catalyst formulation
+    (``transform(sequence(...), i -> element_at(ws, i+j)...)``) is the
+    slow path here: array HOFs evaluate interpreted (no codegen, no
+    common-subexpression elimination), so every ``element_at`` re-runs
+    the full lower/split/filter word pipeline — measured 41s per 5000
+    docs at sf0.1 vs milliseconds for this UDF.  Same word split as
+    textops.words / the SQL oracle.
+    """
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    word_re = re.compile(_WORD_SPLIT)
+
+    @pandas_udf("array<string>")
+    def grams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            ws = [w for w in word_re.split((t or "").lower()) if w]
+            if len(ws) < n:
+                out.append([])
+            else:
+                out.append(sorted({" ".join(ws[i:i + n])
+                                   for i in range(len(ws) - n + 1)}))
+        return pd.Series(out)
+
+    return grams
 
 
 def _distinct_grams(df: DataFrame, id_col: str, text_col: str,
@@ -27,44 +60,55 @@ def _distinct_grams(df: DataFrame, id_col: str, text_col: str,
     Documents with fewer than n words contribute no grams (they cannot
     collide at length n) — mirrored exactly in the SQL oracle.
     """
-    ws = words(F.col(text_col))
     return (
         df.select(F.col(id_col).alias(out_id),
-                  F.array_distinct(_word_ngrams(ws, n)).alias("grams"))
+                  distinct_ngrams_udf(n)(F.col(text_col)).alias("grams"))
         .select(out_id, F.explode("grams").alias("gram"))
     )
 
 
 def ngram_overlap(train: DataFrame, eval_set: DataFrame, id_col: str,
-                  text_col: str, n: int = 13) -> DataFrame:
+                  text_col: str, n: int = 13,
+                  count_eval_docs: bool = False) -> DataFrame:
     """Per training document: overlap with the benchmark n-gram set.
 
-    Returns (id_col, n_hit_grams, n_eval_docs) for every training doc
-    sharing at least one word n-gram with any eval doc:
+    Default output (id_col, n_hit_grams): distinct training-doc n-grams
+    that appear in ANY eval doc.  The eval side is collapsed to a
+    DISTINCT gram set and the probe is a broadcast LEFT SEMI join, so
+    the join output is bounded by the training gram count no matter how
+    many eval docs share a gram.
 
-    - ``n_hit_grams``: distinct training-doc n-grams that appear in ANY
-      eval doc,
-    - ``n_eval_docs``: distinct eval docs sharing at least one n-gram.
-
-    ``eval_set`` is assumed small (benchmark suites are) and broadcast.
+    ``count_eval_docs=True`` adds ``n_eval_docs`` (distinct eval docs
+    sharing >=1 gram) — this REQUIRES the full (train-gram x eval-gram)
+    pair join, whose output is sum over grams of |train| x |eval|
+    multiplicity: quadratic on high-collision vocabularies (measured
+    124s vs ~1s at sf0.1 on the synthetic corpus).  Keep it for small
+    targeted audits, never the corpus-wide pass.
     """
     tg = _distinct_grams(train, id_col, text_col, n, id_col)
     eg = _distinct_grams(eval_set, id_col, text_col, n, "eval_id")
-    hits = tg.join(F.broadcast(eg), "gram")
-    return (
-        hits.groupBy(id_col)
-        .agg(
-            F.countDistinct("gram").alias("n_hit_grams"),
-            F.countDistinct("eval_id").alias("n_eval_docs"),
+    if count_eval_docs:
+        hits = tg.join(F.broadcast(eg), "gram")
+        return (
+            hits.groupBy(id_col)
+            .agg(
+                F.countDistinct("gram").alias("n_hit_grams"),
+                F.countDistinct("eval_id").alias("n_eval_docs"),
+            )
         )
-    )
+    eset = eg.select("gram").distinct()
+    hits = tg.join(F.broadcast(eset), "gram", "left_semi")
+    # tg is distinct per (doc, gram) already -> plain count == distinct
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hit_grams"))
 
 
 def decontaminate(train: DataFrame, eval_set: DataFrame, id_col: str,
                   text_col: str, n: int = 13,
                   min_hits: int = 1) -> DataFrame:
     """Training rows with fewer than ``min_hits`` benchmark n-gram
-    collisions — the kept (clean) corpus, original columns preserved."""
+    collisions — the kept (clean) corpus, original columns preserved.
+    Uses the bounded semi-join overlap (never the pair join)."""
     dirty = (
         ngram_overlap(train, eval_set, id_col, text_col, n)
         .filter(F.col("n_hit_grams") >= min_hits)

@@ -53,7 +53,7 @@ def _metric_col(metric: str, c: str) -> Column:
     p = _parse_percentile_metric(metric)
     if p is not None:
         fn, q = p
-        return F.expr(f"{fn}({c}, {q!r})")
+        return F.expr(f"{fn}(`{c}`, {q!r})")
     raise ValueError(f"unknown stat metric: {metric}")
 
 
@@ -188,7 +188,7 @@ def percentile_profile(df: DataFrame, key_cols: Sequence[str], column: str,
     """
     fn = "percentile" if exact else "approx_percentile"
     arr = ", ".join(repr(float(p)) for p in probs)
-    pcol = F.expr(f"{fn}({column}, array({arr}))")
+    pcol = F.expr(f"{fn}(`{column}`, array({arr}))")
     aggs = [F.count(F.lit(1)).alias("n")] + [
         F.element_at(pcol, i + 1).alias(f"p{int(round(p * 100))}")
         for i, p in enumerate(probs)

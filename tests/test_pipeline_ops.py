@@ -522,10 +522,15 @@ def test_decontam_overlap(spark):
         [(100, "x alpha beta gamma y"),
          (101, "unrelated eval text entirely")],
         "doc_id long, text string")
-    got = {r.doc_id: (r.n_hit_grams, r.n_eval_docs)
+    got = {r.doc_id: r.n_hit_grams
            for r in dc.ngram_overlap(train, ev, "doc_id", "text",
                                      n=3).collect()}
-    assert got == {1: (1, 1)}               # only 'alpha beta gamma'
+    assert got == {1: 1}                    # only 'alpha beta gamma'
+    # pair-join audit variant (quadratic on hot vocab — opt-in only)
+    full = {r.doc_id: (r.n_hit_grams, r.n_eval_docs)
+            for r in dc.ngram_overlap(train, ev, "doc_id", "text", n=3,
+                                      count_eval_docs=True).collect()}
+    assert full == {1: (1, 1)}
     kept = dc.decontaminate(train, ev, "doc_id", "text", n=3)
     assert {r.doc_id for r in kept.collect()} == {2, 3}
     assert kept.columns == train.columns     # original shape preserved
