@@ -229,6 +229,12 @@ def repetition_features(col: Column) -> Column:
     These are the per-document repetition filters of Gopher-class corpus
     curation (Rae et al. 2021 §A1.1), each computable per row with no
     shuffle — the 100-TB shape is a single map-side pass.
+
+    NOTE: this Catalyst formulation is the cross-check REFERENCE, not the
+    hot path — array HOFs run interpreted without common-subexpression
+    elimination, so the embedded ``words()`` pipeline re-evaluates per
+    element (measured ~8ms/doc).  Production uses
+    :func:`repetition_features_udf` (bit-identical, parity-tested).
     """
     lines = F.filter(
         F.transform(F.split(col, "\n"), lambda l: F.trim(l)),
