@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from katydid_haskell_spark.operators.textops import _WORD_SPLIT
 
 
-def distinct_ngrams_udf(n: int):
+def distinct_ngrams_udf(n: int, short_fallback: bool = False):
     """Arrow-vectorized distinct word n-grams per document.
 
     One Python pass per batch.  The Catalyst formulation
@@ -31,6 +31,10 @@ def distinct_ngrams_udf(n: int):
     the full lower/split/filter word pipeline — measured 41s per 5000
     docs at sf0.1 vs milliseconds for this UDF.  Same word split as
     textops.words / the SQL oracle.
+
+    ``short_fallback=True`` reproduces textops.shingles semantics for
+    documents shorter than n words (one whole-text shingle instead of no
+    grams) — used by the jaccard path, whose oracle mirrors it.
     """
     import re
 
@@ -44,7 +48,7 @@ def distinct_ngrams_udf(n: int):
         for t in texts:
             ws = [w for w in word_re.split((t or "").lower()) if w]
             if len(ws) < n:
-                out.append([])
+                out.append([" ".join(ws)] if short_fallback else [])
             else:
                 out.append(sorted({" ".join(ws[i:i + n])
                                    for i in range(len(ws) - n + 1)}))

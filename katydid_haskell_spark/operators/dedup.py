@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .textops import fingerprint, rolling_fingerprints, shingles, words
+from .textops import fingerprint, rolling_fingerprints, words
 
 # Mersenne prime 2^31-1: (a*h+b) stays under 2^62, so the permutation
 # arithmetic cannot overflow a long even under ANSI mode (Spark 4 default).
@@ -490,10 +490,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             "pass a blocking key, or allow_cross_join=True for small exact "
             "runs"
         )
+    from .decontam import distinct_ngrams_udf
+
     sh = df.select(
         F.col(id_col).alias("doc_id"),
-        # distinct ONCE per document, before the pair join fans out
-        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
+        # distinct ONCE per document, before the pair join fans out;
+        # Arrow UDF, not Catalyst shingles — interpreted array HOFs
+        # re-evaluate the embedded word split per element (no CSE), ~8ms
+        # per doc.  short_fallback matches shingles()' <k-words semantics
+        # (and the SQL oracle's ELSE branch).
+        distinct_ngrams_udf(k, short_fallback=True)(
+            F.col(text_col)).alias("sh"),
         (group_col if group_col is not None else F.lit(0)).alias("grp"),
     )
     l, r = sh.alias("l"), sh.alias("r")
