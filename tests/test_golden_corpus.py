@@ -44,6 +44,9 @@ AUTOMATON_ONLY = {
     "optional_chain",          # three optional segments → multi-variable
                                # concat split beyond the single-segment
                                # lowering
+    "concat_opt_star_tail",    # optional + star segments → multi-variable
+    "star_of_optional",        # (p?)* — star of a nullable non-node
+                               # pattern (smart ctors keep it as-is)
 }
 
 
