@@ -815,6 +815,32 @@ def _q_quantile_profile(spark, sf_dir):
     return st.percentile_profile(docs, ["lang_key"], "n_chars")
 
 
+def _q_url_normalize(spark, sf_dir):
+    """Crawl URL canonicalization: messy URLs constructed from raw
+    columns (mixed-case authority, default ports, utm params at both
+    query positions, fragments, trailing slashes), normalized by the
+    pure-JVM regexp chain; the oracle rebuilds payload AND transform."""
+    from katydid_haskell_spark.operators.urltools import normalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://Host"), (did % 50).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(did % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"), did.cast("string"),
+        F.when(did % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit("?utm_source=x&q="), did.cast("string")))
+        .when(did % 7 == 0,
+              F.concat(F.lit("?q="), did.cast("string"),
+                       F.lit("&utm_campaign=z")))
+        .otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", normalize_url(url).alias("norm_url"))
+
+
 def _q_host_skew_report(spark, sf_dir):
     """Exact heavy-hitter hosts over the Zipf-skewed pages corpus — the
     data-driven input to salting decisions (north-star 'salted for
@@ -908,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_cust_distribution": _q_q13_cust_distribution,
         "pii_scan": _q_pii_scan,
         "quantile_profile": _q_quantile_profile,
+        "url_normalize": _q_url_normalize,
         "host_skew_report": _q_host_skew_report,
         "pages_verdicts": _q_pages_verdicts,
     }
@@ -1468,6 +1495,40 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(n_chars, 0.75) AS p75,
                quantile_cont(n_chars, 0.95) AS p95
         FROM documents GROUP BY 1
+        """,
+        "url_normalize": r"""
+        WITH p AS (
+          SELECT doc_id,
+            'HTTPS://Host' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM'
+            || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+            || '/p/' || CAST(doc_id AS VARCHAR)
+            || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                    THEN '?utm_source=x&q=' || CAST(doc_id AS VARCHAR)
+                    WHEN doc_id % 7 = 0
+                    THEN '?q=' || CAST(doc_id AS VARCHAR) || '&utm_campaign=z'
+                    ELSE '' END
+            || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END AS url
+          FROM documents
+        ), parts AS (
+          SELECT doc_id, url,
+                 regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', 0) AS pre
+          FROM p
+        ), step AS (
+          SELECT doc_id,
+                 regexp_replace(lower(pre), ':(80|443)$', '') AS np,
+                 substr(url, length(pre) + 1) AS rest
+          FROM parts
+        )
+        SELECT doc_id, np ||
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(rest, '#.*$', '', 'g'),
+            '([?&])utm_[^&#]*', '\1', 'g'),
+            '([?&])&+', '\1', 'g'),
+            '[?&]+$', '', 'g'),
+            '/$', '', 'g') AS norm_url
+        FROM step
         """,
         "host_skew_report": orc.host_skew_sql(n_rows=2000, seed=42,
                                               buckets=16,

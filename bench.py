@@ -78,6 +78,7 @@ HEADLINE = [
     "host_skew_report",
     "quantile_profile",
     "corpus_curation_full",
+    "url_normalize",
     "q4_order_priority",
     "q13_cust_distribution",
     "q6_revenue",

@@ -581,3 +581,24 @@ def test_percentile_profile(spark):
         df, ["k"], "v", probs=(0.25, 0.5, 0.95), exact=False).collect()}
     assert set(ap["a"].asDict()) == set(a.asDict())
     assert ap["b"].p50 == 7.0
+
+
+def test_normalize_url_hand_checked(spark):
+    from katydid_haskell_spark.operators.urltools import normalize_url
+
+    cases = [
+        ("HTTPS://Host1.Example.COM:443/p/7?utm_source=x&q=1#frag",
+         "https://host1.example.com/p/7?q=1"),
+        ("http://A.B.com:80/", "http://a.b.com"),
+        ("https://x.com/p/?q=1&utm_campaign=z", "https://x.com/p/?q=1"),
+        ("https://x.com/utm_page?utm_a=1", "https://x.com/utm_page"),
+        ("https://x.com/p#frag", "https://x.com/p"),
+        ("https://x.com/p?utm_a=1&utm_b=2&q=1", "https://x.com/p?q=1"),
+        ("https://x.com:8080/p", "https://x.com:8080/p"),  # non-default port
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r.i: r.n for r in df.select(
+        "i", normalize_url(F.col("url")).alias("n")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
