@@ -189,8 +189,11 @@ def percentile_profile(df: DataFrame, key_cols: Sequence[str], column: str,
     fn = "percentile" if exact else "approx_percentile"
     arr = ", ".join(repr(float(p)) for p in probs)
     pcol = F.expr(f"{fn}(`{column}`, array({arr}))")
+    # label p25 / p50 / p99_9 (fractional percentiles keep their digits —
+    # int(round(...)) would collapse 0.999 into p100)
+    label = lambda p: "p" + ("%g" % (p * 100)).replace(".", "_")
     aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.element_at(pcol, i + 1).alias(f"p{int(round(p * 100))}")
+        F.element_at(pcol, i + 1).alias(label(p))
         for i, p in enumerate(probs)
     ]
     return df.groupBy(*key_cols).agg(*aggs)
