@@ -602,3 +602,32 @@ def test_normalize_url_hand_checked(spark):
         "i", normalize_url(F.col("url")).alias("n")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_decontam_plan_is_semi_join(spark):
+    """Regression guard for the round-4 scale fix: the default overlap
+    must probe a broadcast DISTINCT gram set with a LEFT SEMI join (join
+    output bounded by the corpus gram count).  The pair join (output =
+    per-gram multiplicity product, 124s at sf0.1 on hot vocab) exists
+    only behind count_eval_docs=True."""
+    import contextlib
+    import io
+
+    from katydid_haskell_spark.operators import decontam as dc
+
+    train = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(50)],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(1000, "alpha beta gamma")],
+                               "doc_id long, text string")
+    out = dc.ngram_overlap(train, ev, "doc_id", "text", n=3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
+    # every (identical) train doc overlaps on its full distinct gram set;
+    # multiplicity of the shared grams must NOT inflate the counts
+    got = {r.doc_id: r.n_hit_grams for r in out.collect()}
+    assert got == {i: 1 for i in range(50)}  # only 'alpha beta gamma'
