@@ -271,13 +271,13 @@ def _q_doc_lang_id(spark, sf_dir):
 
 def _q_doc_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    normalized = tx.normalize_ws(F.col("text"))
     return docs.select("doc_id", F.md5(normalized).alias("fp"))
 
 
 def _q_exact_dup_groups(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    normalized = tx.normalize_ws(F.col("text"))
     return (
         docs.select(F.md5(normalized).alias("fp"), "doc_id")
         .groupBy("fp")
@@ -463,7 +463,7 @@ def _q_corpus_curation(spark, sf_dir):
     from pyspark.sql.window import Window
 
     docs = _t(spark, sf_dir, "documents")
-    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    normalized = tx.normalize_ws(F.col("text"))
     filtered = (
         docs.filter(F.col("lang").isin("en", "de"))
         .withColumn("n_words", F.size(tx.words(F.col("text"))))
@@ -494,7 +494,7 @@ def _q_corpus_curation_full(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     eval_set = docs.filter(F.col("doc_id") % 31 == 0)
     train = docs.filter(F.col("doc_id") % 31 != 0)
-    normalized = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    normalized = tx.normalize_ws(F.col("text"))
     rep = tx.repetition_features_udf()(F.col("text"))
     rep_flag = (
         (rep.getField("dup_line_frac") > 0.30)
@@ -1088,19 +1088,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
         """,
-        "token_counts": """
+        "token_counts": f"""
             SELECT doc_id,
-                   len(list_filter(string_split_regex(text, '\\s+'),
+                   len(list_filter(string_split_regex(text, '{tx.WS_RE}'),
                        x -> x <> '')) AS ws_tokens,
                    len(regexp_extract_all(text,
-                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
+                       '{tx.BPE_ISH}')) AS bpe_tokens
             FROM documents
         """,
         "doc_quality": f"""
             SELECT doc_id,
                    len(w) AS n_words,
                    ROUND(CASE WHEN length(text) > 0
-                         THEN len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+                         THEN len(regexp_extract_all(text, '{tx.PUNCT_RE}')) * 1.0
                               / length(text) ELSE 0 END, 6) AS punct_ratio,
                    ROUND(CASE WHEN length(text) > 0
                          THEN len(regexp_extract_all(text, '[0-9]')) * 1.0
@@ -1126,13 +1126,15 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_pred
             FROM ranked WHERE rk = 1
         """,
-        "doc_fingerprint": """
+        "doc_fingerprint": f"""
             SELECT doc_id,
-                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+                   md5(regexp_replace(regexp_replace(lower(text), '{tx.WS_RE}', ' ',
+                   'g'), '^ | $', '', 'g')) AS fp
             FROM documents
         """,
-        "exact_dup_groups": """
-            SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+        "exact_dup_groups": f"""
+            SELECT md5(regexp_replace(regexp_replace(lower(text), '{tx.WS_RE}', ' ',
+                   'g'), '^ | $', '', 'g')) AS fp,
                    COUNT(*) AS n_docs
             FROM documents GROUP BY 1 HAVING COUNT(*) > 1
         """,
@@ -1230,12 +1232,13 @@ def oracle_sql() -> dict[str, str]:
                ((n_chars % 100) >= 10 AND ((doc_id * 7) % 50) >= 10) AS ok
         FROM documents
         """,
-        "corpus_curation": """
+        "corpus_curation": f"""
         WITH f AS (
           SELECT doc_id, lang,
                  len(list_filter(string_split_regex(lower(text),
                      '[^a-zA-Z0-9'']+'), w -> w != '')) AS n_words,
-                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                 md5(regexp_replace(regexp_replace(lower(text), '{tx.WS_RE}', ' ',
+                   'g'), '^ | $', '', 'g'))
                    AS fp
           FROM documents
           WHERE lang IN ('en', 'de')
@@ -1315,7 +1318,9 @@ def oracle_sql() -> dict[str, str]:
         WITH base AS (
           SELECT doc_id,
                  list_filter(list_transform(string_split(text, chr(10)),
-                             l -> trim(l)), l -> l <> '') AS lines,
+                             l -> regexp_replace(l, '{tx.LINE_TRIM_RE}',
+                                                 '', 'g')),
+                             l -> l <> '') AS lines,
                  {_WORDS_SQL} AS ws
           FROM documents
         ), grams AS (
@@ -1432,7 +1437,9 @@ def oracle_sql() -> dict[str, str]:
         WITH base AS (
           SELECT doc_id, lang, text, {_WORDS_SQL} AS ws,
                  list_filter(list_transform(string_split(text, chr(10)),
-                             l -> trim(l)), l -> l <> '') AS lines
+                             l -> regexp_replace(l, '{tx.LINE_TRIM_RE}',
+                                                 '', 'g')),
+                             l -> l <> '') AS lines
           FROM documents
         ), grams AS (
           SELECT doc_id, lang, ws, lines,
@@ -1444,7 +1451,8 @@ def oracle_sql() -> dict[str, str]:
                       THEN [array_to_string(ws[i:i+2], ' ')
                             for i in range(1, len(ws)-1)]
                       ELSE CAST([] AS VARCHAR[]) END AS tri,
-                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                 md5(regexp_replace(regexp_replace(lower(text), '{tx.WS_RE}', ' ',
+                   'g'), '^ | $', '', 'g'))
                    AS fp
           FROM base
         ), flags AS (

@@ -184,7 +184,11 @@ def percentile_profile(df: DataFrame, key_cols: Sequence[str], column: str,
     — verified bit-identical to DuckDB ``quantile_cont``); exact
     percentiles sort each group, so at crawl scale prefer
     ``exact=False`` → ``approx_percentile`` (Greenwald-Khanna sketch,
-    mergeable, bounded memory) with the identical output shape.
+    mergeable, bounded memory).  Both modes share one schema: the
+    p-columns are cast to DOUBLE (``approx_percentile`` otherwise
+    returns the input column's type — BIGINT on long columns, a
+    pandas/value-hash hazard), though the approx VALUES still differ
+    from exact and are never oracle-gated.
     """
     fn = "percentile" if exact else "approx_percentile"
     arr = ", ".join(repr(float(p)) for p in probs)
@@ -193,7 +197,7 @@ def percentile_profile(df: DataFrame, key_cols: Sequence[str], column: str,
     # int(round(...)) would collapse 0.999 into p100)
     label = lambda p: "p" + ("%g" % (p * 100)).replace(".", "_")
     aggs = [F.count(F.lit(1)).alias("n")] + [
-        F.element_at(pcol, i + 1).alias(label(p))
+        F.element_at(pcol, i + 1).cast("double").alias(label(p))
         for i, p in enumerate(probs)
     ]
     return df.groupBy(*key_cols).agg(*aggs)

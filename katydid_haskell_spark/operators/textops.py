@@ -26,9 +26,25 @@ LANG_PROFILES = {
 }
 
 _WORD_SPLIT = r"[^a-zA-Z0-9']+"
+
+# Whitespace, spelled out.  ``\s`` means three different things across the
+# engines that must agree bit-for-bit: Java (Spark regexp_*) \s =
+# [ \t\n\x0B\f\r]; RE2 (DuckDB oracles) \s drops \x0B; Python adds the
+# whole Unicode space set.  Every normalization under the value-hash gate
+# therefore uses these EXPLICIT classes — the same literal pattern text is
+# valid in all three dialects (oracles embed the constants via f-strings).
+WS_RE = r"[ \t\n\x0B\f\r]+"
+# Per-line trim set (lines are produced by splitting on \n, so \n itself
+# is excluded; \r covers CRLF crawls, \t covers tab padding).
+LINE_TRIM_RE = r"^[ \t\x0B\f\r]+|[ \t\x0B\f\r]+$"
+LINE_STRIP_CHARS = " \t\x0B\f\r"
+# "Punctuation" = not word-char, not whitespace — explicit on both axes
+# (Python \w is Unicode-aware, Java/RE2 are ASCII; \s as above).
+PUNCT_RE = r"[^A-Za-z0-9_ \t\n\x0B\f\r]"
+
 # BPE-ish tokenizer regex: words, numbers, punctuation runs — a cheap
 # approximation of byte-pair-style token counts.
-BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 STOPWORDS_EN = LANG_PROFILES["en"] + ["it", "on", "as", "are", "was", "be"]
 
@@ -39,7 +55,7 @@ def words(col: Column) -> Column:
 
 def token_count_ws(col: Column) -> Column:
     """Whitespace token count."""
-    return F.size(F.filter(F.split(col, r"\s+"), lambda w: w != ""))
+    return F.size(F.filter(F.split(col, WS_RE), lambda w: w != ""))
 
 
 def token_count_bpe(col: Column) -> Column:
@@ -53,7 +69,7 @@ def quality_features(col: Column) -> Column:
     ws = words(col)
     n_chars = F.length(col)
     n_words = F.size(ws)
-    n_punct = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    n_punct = F.regexp_count(col, F.lit(PUNCT_RE))
     n_digit = F.regexp_count(col, F.lit(r"[0-9]"))
     n_upper = F.regexp_count(col, F.lit(r"[A-Z]"))
     n_stop = F.size(F.array_intersect(ws, F.array(*[F.lit(w) for w in STOPWORDS_EN])))
@@ -124,7 +140,7 @@ def quality_features_udf():
     from pyspark.sql.functions import pandas_udf
 
     word_re = re.compile(_WORD_SPLIT)
-    punct_re = re.compile(r"[^\w\s]")
+    punct_re = re.compile(PUNCT_RE)
     digit_re = re.compile(r"[0-9]")
     upper_re = re.compile(r"[A-Z]")
     stop = frozenset(STOPWORDS_EN)
@@ -237,7 +253,11 @@ def repetition_features(col: Column) -> Column:
     :func:`repetition_features_udf` (bit-identical, parity-tested).
     """
     lines = F.filter(
-        F.transform(F.split(col, "\n"), lambda l: F.trim(l)),
+        # explicit trim set (NOT F.trim, which is space-only): CRLF and
+        # tab-padded crawl text must trim identically here, in the Arrow
+        # UDF (str.strip(LINE_STRIP_CHARS)) and in the DuckDB oracle
+        F.transform(F.split(col, "\n"),
+                    lambda l: F.regexp_replace(l, LINE_TRIM_RE, "")),
         lambda l: l != "",
     )
     n_lines = F.size(lines)
@@ -301,7 +321,8 @@ def repetition_features_udf():
         sc = lambda num, den: num / den if den > 0 else 0.0
         for t in texts:
             t = t or ""
-            lines = [s for s in (l.strip() for l in t.split("\n")) if s]
+            lines = [s for s in (l.strip(LINE_STRIP_CHARS)
+                                 for l in t.split("\n")) if s]
             nl = len(lines)
             ws = [w for w in word_re.split(t.lower()) if w]
             bi = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
@@ -322,11 +343,24 @@ def repetition_features_udf():
     return feats
 
 
+def normalize_ws(col: Column) -> Column:
+    """Case-fold + collapse runs of whitespace to one space + strip edges.
+
+    The canonical pre-fingerprint normalization — shared by every dedup
+    fingerprint AND re-derived verbatim in the DuckDB oracles (same
+    explicit ``WS_RE`` class, so Java and RE2 agree on \\x0B).  Pure
+    regex, no ``trim()``: Spark's trim strips ASCII space only while
+    DuckDB's strips Unicode spaces (NBSP included) — a third dialect
+    divergence.  After collapsing, edges hold at most one space, so
+    ``^ | $`` finishes the job identically everywhere."""
+    collapsed = F.regexp_replace(F.lower(col), WS_RE, " ")
+    return F.regexp_replace(collapsed, "^ | $", "")
+
+
 def fingerprint(col: Column) -> Column:
     """Exact content fingerprint: 64-bit hash of whitespace/case-normalized
     text (xxhash64, JVM-side)."""
-    normalized = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
-    return F.xxhash64(normalized)
+    return F.xxhash64(normalize_ws(col))
 
 
 def shingles(col: Column, k: int = 5) -> Column:

@@ -389,9 +389,12 @@ def run_plan_fused(df: DataFrame, plan: CheckPlan,
             aggs.append(F.hll_sketch_agg(c).alias(f"st_hll_{i}"))
         elif (r.metric == "distinct"
               or stats_ops._parse_percentile_metric(r.metric) is not None):
-            # not mergeable from per-bucket partials (exact distinct needs
-            # the full key set; percentiles need the full distribution) —
-            # ONE combined extra global pass below
+            # not mergeable from per-bucket partials: exact distinct needs
+            # the full key set, EXACT percentiles the full distribution.
+            # approx_p* (GK sketch) IS mergeable in principle, but Spark
+            # exposes no partial-sketch value to roll up, so it is routed
+            # through the same ONE combined extra global pass below for
+            # simplicity — revisit if SQL ever exposes GK partials.
             exact_rules.append((i, r))
         else:
             raise ValueError(f"unknown stat metric: {r.metric}")

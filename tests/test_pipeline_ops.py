@@ -501,6 +501,98 @@ def test_repetition_arrow_matches_catalyst(spark, docs):
         assert r.cat == r.arw, r.doc_id
 
 
+NASTY_WS_DOCS = [
+    # CRLF line endings — every line carries a trailing \r
+    (0, "Line one.\r\nLine one.\r\n- bullet\r\nend...\r\n"),
+    # tab-padded lines + vertical tab (\x0B: in Java \s, NOT in RE2 \s)
+    (1, "\tpadded line\t\nplain\x0Bmiddle\n\x0B\n  spaced  "),
+    # NBSP is deliberately OUTSIDE the explicit classes: never trimmed,
+    # counted as punctuation by all three engines alike
+    (2, " \xa0lead nbsp\xa0 \nword word again\r\n"),
+    (3, "a b a b a b\r\nmixed\t\r\n- item\r\nmore…\r\n"),
+]
+
+
+def test_whitespace_parity_crlf_tab_vt(spark):
+    """The explicit whitespace classes (tx.WS_RE / LINE_TRIM_RE /
+    PUNCT_RE) make Catalyst (Java regex), the Arrow UDFs (Python re) and
+    the DuckDB oracles (RE2) agree bit-for-bit on CRLF / tab / vertical-
+    tab / NBSP text — the \\s-dialect divergence ADVICE.md r4 flagged.
+    """
+    import duckdb
+    import pandas as pd
+
+    df = spark.createDataFrame(NASTY_WS_DOCS, "doc_id long, text string")
+
+    # 1) repetition features: Catalyst HOF vs Arrow UDF
+    both = df.select(
+        "doc_id",
+        tx.repetition_features(F.col("text")).alias("cat"),
+        tx.repetition_features_udf()(F.col("text")).alias("arw"),
+    ).collect()
+    for r in both:
+        assert r.cat == r.arw, (r.doc_id, r.cat, r.arw)
+    # CRLF doc: '\r' is trimmed, so 'Line one.' dedups and 'end...' ends
+    # with the ellipsis (would both fail under space-only trim)
+    feats = {r.doc_id: r.cat for r in both}
+    assert feats[0].n_lines == 4
+    assert feats[0].dup_line_frac == pytest.approx(1 / 4)
+    assert feats[0].bullet_ratio == pytest.approx(1 / 4)
+    assert feats[0].ellipsis_ratio == pytest.approx(1 / 4)
+    # VT-only line trims to empty and is dropped
+    assert feats[1].n_lines == 3
+
+    # 2) normalize_ws fingerprint + punct + ws-token counts vs DuckDB,
+    # re-derived with the SAME literal pattern text (RE2 dialect)
+    got = (
+        df.select(
+            "doc_id",
+            F.md5(tx.normalize_ws(F.col("text"))).alias("fp"),
+            F.regexp_count(F.col("text"), F.lit(tx.PUNCT_RE)).alias("np"),
+            tx.token_count_ws(F.col("text")).alias("nt"),
+        )
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(NASTY_WS_DOCS, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("d", pdf)
+    want = con.execute(f"""
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(lower(text), '{tx.WS_RE}',
+                   ' ', 'g'), '^ | $', '', 'g')) AS fp,
+               len(regexp_extract_all(text, '{tx.PUNCT_RE}')) AS np,
+               len(list_filter(string_split_regex(text, '{tx.WS_RE}'),
+                   x -> x <> '')) AS nt
+        FROM d ORDER BY doc_id
+    """).df()
+    assert list(got.fp) == list(want.fp)
+    assert list(got.np) == list(want.np)
+    assert list(got.nt) == list(want.nt)
+
+    # 3) line arrays themselves vs DuckDB's oracle formulation
+    lines_spark = {
+        r.doc_id: r.lines for r in df.select(
+            "doc_id",
+            F.filter(
+                F.transform(F.split(F.col("text"), "\n"),
+                            lambda l: F.regexp_replace(
+                                l, tx.LINE_TRIM_RE, "")),
+                lambda l: l != "",
+            ).alias("lines")).collect()
+    }
+    want_lines = con.execute(f"""
+        SELECT doc_id,
+               list_filter(list_transform(string_split(text, chr(10)),
+                           l -> regexp_replace(l, '{tx.LINE_TRIM_RE}',
+                                               '', 'g')),
+                           l -> l <> '') AS lines
+        FROM d ORDER BY doc_id
+    """).fetchall()
+    for doc_id, lines in want_lines:
+        assert lines_spark[doc_id] == lines, doc_id
+    con.close()
+
+
 def test_repetition_flag(spark):
     df = spark.createDataFrame(
         [(0, "spam spam spam spam spam spam spam"), (1, REP_DOCS[1][1])],
