@@ -71,15 +71,44 @@ def _distinct_grams(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+#: Eval-gram count above which the benchmark side is no longer broadcast.
+#: ~1M grams ≈ 60-100 MB serialized — comfortably under executor memory
+#: here but the right order of magnitude for a per-executor broadcast
+#: budget on a shared cluster; a million-DOC eval suite at n=4 word-grams
+#: blows far past it and must shuffle instead.
+BROADCAST_MAX_GRAMS = 1_000_000
+
+
+def _semi_join_guarded(probe: DataFrame, build: DataFrame, key: str,
+                       how: str, max_grams: int) -> DataFrame:
+    """LEFT SEMI / inner join with a counted broadcast guard.
+
+    Broadcasting the benchmark gram set is only correct-by-default while
+    it is executor-memory small.  One early-exit count (LIMIT k+1, so a
+    huge eval side never pays a full count) decides: under the threshold
+    → explicit broadcast hash join (map-side, no shuffle of the corpus
+    grams); over it → plain shuffle join, where Catalyst/AQE pick the
+    strategy for two genuinely large sides.
+    """
+    n_build = build.limit(max_grams + 1).count()
+    if n_build <= max_grams:
+        return probe.join(F.broadcast(build), key, how)
+    return probe.join(build, key, how)
+
+
 def ngram_overlap(train: DataFrame, eval_set: DataFrame, id_col: str,
                   text_col: str, n: int = 13,
-                  count_eval_docs: bool = False) -> DataFrame:
+                  count_eval_docs: bool = False,
+                  broadcast_max_grams: int = BROADCAST_MAX_GRAMS
+                  ) -> DataFrame:
     """Per training document: overlap with the benchmark n-gram set.
 
     Default output (id_col, n_hit_grams): distinct training-doc n-grams
     that appear in ANY eval doc.  The eval side is collapsed to a
-    DISTINCT gram set and the probe is a broadcast LEFT SEMI join, so
-    the join output is bounded by the training gram count no matter how
+    DISTINCT gram set and the probe is a LEFT SEMI join — broadcast
+    while the gram set stays under ``broadcast_max_grams`` (counted
+    guard, see :func:`_semi_join_guarded`), shuffle past it — so the
+    join output is bounded by the training gram count no matter how
     many eval docs share a gram.
 
     ``count_eval_docs=True`` adds ``n_eval_docs`` (distinct eval docs
@@ -92,7 +121,8 @@ def ngram_overlap(train: DataFrame, eval_set: DataFrame, id_col: str,
     tg = _distinct_grams(train, id_col, text_col, n, id_col)
     eg = _distinct_grams(eval_set, id_col, text_col, n, "eval_id")
     if count_eval_docs:
-        hits = tg.join(F.broadcast(eg), "gram")
+        hits = _semi_join_guarded(tg, eg, "gram", "inner",
+                                  broadcast_max_grams)
         return (
             hits.groupBy(id_col)
             .agg(
@@ -101,7 +131,8 @@ def ngram_overlap(train: DataFrame, eval_set: DataFrame, id_col: str,
             )
         )
     eset = eg.select("gram").distinct()
-    hits = tg.join(F.broadcast(eset), "gram", "left_semi")
+    hits = _semi_join_guarded(tg, eset, "gram", "left_semi",
+                              broadcast_max_grams)
     # tg is distinct per (doc, gram) already -> plain count == distinct
     return hits.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_hit_grams"))
@@ -109,12 +140,15 @@ def ngram_overlap(train: DataFrame, eval_set: DataFrame, id_col: str,
 
 def decontaminate(train: DataFrame, eval_set: DataFrame, id_col: str,
                   text_col: str, n: int = 13,
-                  min_hits: int = 1) -> DataFrame:
+                  min_hits: int = 1,
+                  broadcast_max_grams: int = BROADCAST_MAX_GRAMS
+                  ) -> DataFrame:
     """Training rows with fewer than ``min_hits`` benchmark n-gram
     collisions — the kept (clean) corpus, original columns preserved.
     Uses the bounded semi-join overlap (never the pair join)."""
     dirty = (
-        ngram_overlap(train, eval_set, id_col, text_col, n)
+        ngram_overlap(train, eval_set, id_col, text_col, n,
+                      broadcast_max_grams=broadcast_max_grams)
         .filter(F.col("n_hit_grams") >= min_hits)
         .select(id_col)
     )

@@ -315,7 +315,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_k: int = 5,
                       min_jaccard: float = 0.5,
-                      features: DataFrame | None = None) -> DataFrame:
+                      features: DataFrame | None = None,
+                      max_bucket: int = 512) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via banded LSH.
 
     Plan shape: one scan computing signatures + shingles → explode bands
@@ -329,7 +330,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     persisted for the duration of the job when computed inline; at 10^12
     docs pass ``features=`` from a materialized table instead (one text
     scan total, no executor cache footprint).
+
+    Scale bound: a degenerate band key — empty-text docs, boilerplate
+    pages, a hash pileup — makes one bucket's candidate set quadratic at
+    crawl scale, so each (band, key) bucket is capped to its first
+    ``max_bucket`` members in doc-id order (deterministic; same
+    discipline as :func:`simhash_pairs`).  Join cost per bucket is then
+    bounded at max_bucket² regardless of corpus size.  Recall tradeoff:
+    members beyond the cap lose only THIS band's bucket — they can still
+    pair through any of the other ``bands-1`` bands — and every surviving
+    candidate is exact-Jaccard-verified, so precision is unaffected.
     """
+    from pyspark.sql.window import Window
+
     rows_per_band = num_hashes // bands
     feats = features
     if feats is None:
@@ -341,6 +354,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
         "doc_id",
         F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    w = Window.partitionBy("band", "key").orderBy("doc_id")
+    banded = (
+        banded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket)
+        .drop("__rn")
+    )
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "key"])

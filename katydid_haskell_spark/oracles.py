@@ -68,17 +68,26 @@ def _shingle_ctes(shingle_k: int, table: str = "documents",
 
 
 def minhash_pairs_sql(num_hashes: int = 32, bands: int = 8,
-                      shingle_k: int = 3, min_jaccard: float = 0.4) -> str:
+                      shingle_k: int = 3, min_jaccard: float = 0.4,
+                      max_bucket: int = 512) -> str:
+    """Full banded-LSH pipeline in SQL, INCLUDING the deterministic
+    per-(band, key) ``max_bucket`` cap the Spark operator applies (QUALIFY
+    row_number ordered by doc_id — same bucket membership, same order, so
+    the capped candidate sets match; inactive at oracle scale but
+    mirrored so the formulations stay line-for-line comparable).  The
+    oracle keys buckets by the band's signature tuple where Spark keys by
+    ``xxhash64(slice)`` — identical partitions unless xxhash64 collides
+    (P < 1e-12 at test scale)."""
     perms = _perm_params(num_hashes)
     rpb = num_hashes // bands
     sig_exprs = ",\n             ".join(
         f"list_min(list_transform(hh, h -> (h*{a} + {b}) % {_M})) AS s{p}"
         for p, (a, b) in enumerate(perms)
     )
-    band_conds = " OR ".join(
-        "(" + " AND ".join(
-            f"l.s{i} = r.s{i}" for i in range(b * rpb, (b + 1) * rpb)
-        ) + ")"
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"s{i}" for i in range(b * rpb, (b + 1) * rpb))
+        + ") AS key FROM sig"
         for b in range(bands)
     )
     # jaccard is an exact integer ratio evaluated as one double division on
@@ -89,17 +98,31 @@ def minhash_pairs_sql(num_hashes: int = 32, bands: int = 8,
     sig AS (SELECT doc_id, hh,
              {sig_exprs}
             FROM hh),
+    banded AS (
+      {band_rows}
+    ),
+    capped AS (
+      SELECT doc_id, band, key FROM banded
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY band, key
+                                 ORDER BY doc_id) <= {max_bucket}
+    ),
     cand AS (
-      SELECT l.doc_id AS id_a, r.doc_id AS id_b, l.hh AS hh_a, r.hh AS hh_b
-      FROM sig l JOIN sig r
-        ON l.doc_id < r.doc_id AND ({band_conds})
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM capped l JOIN capped r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    withsets AS (
+      SELECT c.id_a, c.id_b, a.hh AS hh_a, b.hh AS hh_b
+      FROM cand c
+      JOIN hh a ON a.doc_id = c.id_a
+      JOIN hh b ON b.doc_id = c.id_b
     )
     SELECT id_a, id_b, jaccard FROM (
       SELECT id_a, id_b,
              CAST(len(list_intersect(hh_a, hh_b)) AS DOUBLE)
                / NULLIF(len(list_distinct(hh_a)) + len(list_distinct(hh_b))
                         - len(list_intersect(hh_a, hh_b)), 0) AS jaccard
-      FROM cand)
+      FROM withsets)
     WHERE jaccard >= {min_jaccard}
     """
 

@@ -47,6 +47,27 @@ def test_minhash_lsh(spark, docs):
     assert not any({3, 4} == {a, b} or {4, 5} == {a, b} for a, b in got)
 
 
+def test_minhash_bucket_cap_bounds_degenerate_corpus(spark):
+    """10k identical-text docs — the degenerate crawl bucket.  Without the
+    per-(band,key) cap the self-join is O(n²) = 50M candidate pairs; with
+    ``max_bucket`` it is bounded at C(max_bucket, 2) per band regardless
+    of corpus size, deterministically keeping the lowest doc ids."""
+    n, cap = 10_000, 20
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page text repeated everywhere")
+        .alias("text"),
+    )
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16,
+                                 bands=4, shingle_k=2, min_jaccard=0.5,
+                                 max_bucket=cap).collect()
+    # identical text → identical signature → every band keeps docs 0..19
+    assert len(pairs) == cap * (cap - 1) // 2
+    ids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert ids == set(range(cap))
+    assert all(r.jaccard == 1.0 for r in pairs)
+
+
 def test_simhash(spark, docs):
     pairs = dd.simhash_pairs(docs, "doc_id", "text", max_hamming=10,
                              shingle_k=2)
@@ -618,6 +639,19 @@ def test_decontam_overlap(spark):
            for r in dc.ngram_overlap(train, ev, "doc_id", "text",
                                      n=3).collect()}
     assert got == {1: 1}                    # only 'alpha beta gamma'
+    # broadcast guard: forcing the eval-gram count over the threshold
+    # takes the shuffle left-semi branch — identical results, and the
+    # logical plan carries no broadcast hint
+    forced = dc.ngram_overlap(train, ev, "doc_id", "text", n=3,
+                              broadcast_max_grams=1)
+    assert {r.doc_id: r.n_hit_grams for r in forced.collect()} == got
+    logical = forced._jdf.queryExecution().logical().toString()
+    assert "broadcast" not in logical.lower()
+    clean_forced = dc.decontaminate(train, ev, "doc_id", "text", n=3,
+                                    broadcast_max_grams=1)
+    clean_bcast = dc.decontaminate(train, ev, "doc_id", "text", n=3)
+    assert ({r.doc_id for r in clean_forced.collect()}
+            == {r.doc_id for r in clean_bcast.collect()} == {2, 3})
     # pair-join audit variant (quadratic on hot vocab — opt-in only)
     full = {r.doc_id: (r.n_hit_grams, r.n_eval_docs)
             for r in dc.ngram_overlap(train, ev, "doc_id", "text", n=3,
