@@ -12,8 +12,11 @@ per-label step a vectorized batch operation:
    conditions — and derivatives never invent new expressions, so the global
    condition set is exactly the NODE exprs reachable in the compiled
    grammar.  Each distinct label in an Arrow batch therefore collapses to a
-   ≤63-bit **symbol bitmask**, computed once per distinct label with
-   vectorized numpy/pandas ops (:class:`CondBatch`).
+   **symbol bitmask**, computed once per distinct label with vectorized
+   numpy/pandas ops (:class:`CondBatch`) — an int64 for ≤63 conditions
+   (the hot layout), an unbounded Python int beyond (each 63-bit word
+   still vectorized; production grammars with 100+ rules stay on the
+   table path).
 
 2. **Transitions key on integers.**  State = interned canonical pattern
    tuple → int id.  Call transition: ``(state, bitmask & state_cond_mask) →
@@ -30,9 +33,12 @@ per-label step a vectorized batch operation:
    — the generalization of ``factorized_map``'s exact-text dedup: corpora
    with all-unique text but shared shape validate in O(distinct shapes).
 
-Fallback: grammars with >63 conditions, or user libs whose conditions the
-vectorizer cannot batch, raise :class:`VpaUnsupported` at construction and
-the caller keeps the per-doc :class:`~.derive.Validator` path.
+Fallback: user libs whose conditions the vectorizer cannot batch run the
+scalar per-distinct-label fallback inside the table path; grammar shapes
+the tables cannot express would raise :class:`VpaUnsupported` at
+construction and keep the per-doc :class:`~.derive.Validator` path (the
+former >63-condition ceiling was lifted — masks widen to multi-word
+Python ints instead).
 """
 
 from __future__ import annotations
@@ -140,7 +146,8 @@ _TY_CODE = {BOOL: 0, INT: 1, UINT: 2, DOUBLE: 3, STRING: 4, BYTES: 5}
 
 class CondBatch:
     """Evaluate every grammar condition over a batch of DISTINCT labels,
-    producing one ≤63-bit symbol bitmask per label.
+    producing one symbol bitmask per label (int64 for ≤63 conditions,
+    Python int beyond — see :meth:`_masks`).
 
     Vectorized paths (numpy object-array ops, C-level loops) cover the
     stdlib's var/const comparisons, string prefix/suffix/contains, regex,
@@ -152,9 +159,6 @@ class CondBatch:
     """
 
     def __init__(self, conds: List[Expr]):
-        if len(conds) > 63:
-            raise VpaUnsupported(
-                f"{len(conds)} conditions exceed the 63-bit symbol mask")
         self.conds = conds
         self._fns = []
         self.needs_fallback = False
@@ -186,10 +190,32 @@ class CondBatch:
         return self._masks(tys, vals, labels)
 
     def _masks(self, tys, vals, labels) -> np.ndarray:
-        out = np.zeros(len(tys), dtype=np.int64)
-        for bit, fn in enumerate(self._fns):
-            b = fn(tys, vals, labels)
-            out |= b.astype(np.int64) << bit
+        """≤63 conditions: int64 bitmask per label (the hot layout —
+        signature arrays stay int64 and hash via tobytes).  Beyond one
+        machine word: unbounded Python-int masks in an object array —
+        each 63-bit word still evaluates vectorized, only the final
+        word-combine loops over the (distinct) labels.  The walker is
+        mask-width agnostic (Python ``&`` / ``>>``)."""
+        n = len(tys)
+        if len(self._fns) <= 63:
+            out = np.zeros(n, dtype=np.int64)
+            for bit, fn in enumerate(self._fns):
+                b = fn(tys, vals, labels)
+                out |= b.astype(np.int64) << bit
+            return out
+        words = []
+        for w0 in range(0, len(self._fns), 63):
+            wout = np.zeros(n, dtype=np.int64)
+            for bit, fn in enumerate(self._fns[w0:w0 + 63]):
+                b = fn(tys, vals, labels)
+                wout |= b.astype(np.int64) << bit
+            words.append(wout.tolist())
+        out = np.empty(n, dtype=object)
+        for i in range(n):
+            acc = words[0][i]
+            for wi in range(1, len(words)):
+                acc |= words[wi][i] << (63 * wi)
+            out[i] = acc
         return out
 
     # -- compilation --
@@ -571,9 +597,6 @@ class TableValidator:
                 # a derivative step minted this expr (leaf-node or/and
                 # merge): register it on the next bit and flag a restart
                 bit = len(self.conds)
-                if bit >= 63:
-                    raise VpaUnsupported(
-                        "minted condition exceeds the 63-bit symbol mask")
                 self.conds.append(cond)
                 self.cond_bit[cond] = bit
                 minted = True
@@ -691,21 +714,26 @@ class TableValidator:
             return out
         # mask-stability retry: a walk can mint a new condition (leaf
         # or/and merge), which re-bits the label masks — recompute and
-        # restart.  Bounded: each restart adds ≥1 condition, ≤63 total.
+        # restart.  Bounded: each restart adds ≥1 condition, and the
+        # reachable mint set is finite (merges of reachable leaf exprs).
         while True:
             labels = it.labels() if self.batch.needs_fallback else None
             label_masks = self.batch.masks_arrays(it.tys, it.vals, labels)
             # sentinel: RETURN events (-1) gather the trailing -1 mask, so
             # one fancy-indexing pass yields the complete signature array
             lm_ext = np.append(label_masks, np.int64(-1))
-            sig_verdict: Dict[bytes, bool] = {}
+            # >63 conditions: masks are Python ints in an object array —
+            # tobytes() is unavailable, so signatures key on the tuple
+            wide = lm_ext.dtype == object
+            sig_verdict: Dict[object, bool] = {}
             try:
                 for di, ev in flat:
                     m = lm_ext[ev]
-                    sig = m.tobytes()
+                    ml = m.tolist()
+                    sig = tuple(ml) if wide else m.tobytes()
                     v = sig_verdict.get(sig)
                     if v is None:
-                        v = self._walk(m.tolist())
+                        v = self._walk(ml)
                         sig_verdict[sig] = v
                     out[di] = v
                 return out
@@ -715,7 +743,7 @@ class TableValidator:
 
 def try_table_validator(g: SGrammar) -> Optional[TableValidator]:
     """A TableValidator for the grammar, or None when its shape needs the
-    per-doc Validator (too many conditions)."""
+    per-doc Validator."""
     try:
         return TableValidator(g)
     except VpaUnsupported:

@@ -133,12 +133,19 @@ def test_vpa_signature_factorization_walks_once():
     assert len(walks) == 2
 
 
-def test_vpa_unsupported_many_conditions():
-    """>63 distinct conditions exceeds the symbol mask → caller keeps the
-    per-doc Validator path."""
+def test_vpa_many_conditions_stays_on_table_path():
+    """>63 distinct conditions used to demote to the per-doc Validator;
+    multi-word masks keep the table path engaged (round 5)."""
     spec = "(" + " | ".join(f'.f{i} == {i}' for i in range(70)) + ")"
     g = compile_grammar(parse_grammar(spec))
-    assert try_table_validator(g) is None
+    tv = try_table_validator(g)
+    assert tv is not None
+    v = Validator(g)
+    docs = [json.dumps({"f64": 64}), json.dumps({"f64": 63}),
+            json.dumps({"f0": 0}), json.dumps({})]
+    want = [_engine_verdict(v, d) for d in docs]
+    assert want == [True, False, True, False]
+    assert list(tv.validate_batch(docs)) == want
 
 
 def test_condbatch_vectorized_matches_scalar_eval():
@@ -248,3 +255,51 @@ def test_vpa_deep_vertical_recursion():
     assert want == [True, False, True, True, False, False]  # hand-derived
     got = list(tv.validate_batch(docs))
     assert got == want
+
+
+def test_vpa_multiword_masks_over_63_conditions():
+    """A 100-branch grammar (200+ distinct conditions: one per field
+    name, one per leaf value) exceeds one machine word — the table path
+    must stay engaged via multi-word Python-int masks and agree with the
+    per-doc engine."""
+    branches = " | ".join(f".a{i} == {i}" for i in range(100))
+    spec = f"#main = ({branches})"
+    g = compile_grammar(parse_grammar(spec))
+    conds = collect_conds(g)
+    assert len(conds) > 63, len(conds)
+    tv = try_table_validator(g)
+    assert tv is not None, "wide grammars must stay on the table path"
+    v = Validator(g)
+    docs = (
+        [json.dumps({f"a{i}": i}) for i in range(0, 100, 7)]    # matches
+        + [json.dumps({f"a{i}": i + 1}) for i in range(0, 100, 13)]  # wrong v
+        + [json.dumps({"b": 1}), json.dumps({}), None, "not json",
+           json.dumps({"a5": 5, "junk": 0})]
+    )
+    want = [_engine_verdict(v, d) for d in docs]
+    got = list(tv.validate_batch(docs))
+    assert got == want
+    assert any(want) and not all(want)
+    # replay: grown tables, second batch, same verdicts
+    assert list(tv.validate_batch(docs)) == want
+
+
+def test_grammar_compile_budget_200_rules():
+    """Driver-side compile cost telemetry: a 200-rule production-scale
+    suite (parse + smart ctors + table build + first batch) must compile
+    in bounded time — the budget gates compile-path regressions."""
+    import time
+
+    refs = "\n".join(
+        f"#r{i} = .f{i} >= {i}" for i in range(1, 200))
+    body = " | ".join(f"@r{i}" for i in range(1, 200))
+    spec = f"#main = ({body})\n{refs}"
+    t0 = time.perf_counter()
+    g = compile_grammar(parse_grammar(spec))
+    tv = try_table_validator(g)
+    assert tv is not None
+    docs = [json.dumps({f"f{i}": i}) for i in range(1, 200, 20)]
+    verdicts = list(tv.validate_batch(docs))
+    dt = time.perf_counter() - t0
+    assert all(verdicts)
+    assert dt < 5.0, f"200-rule compile+first-batch took {dt:.2f}s"
