@@ -1,0 +1,227 @@
+"""Cross-encoding suite — the analogue of the reference's Suite.hs
+mechanism (test/Suite.hs:46-61): ONE grammar run over THREE encodings
+(JSON, XML, protobuf) of the SAME logical tree must yield ONE verdict,
+through every engine that can consume the encoding.
+
+The reference reads the external katydid testsuite corpus
+(Suite.hs:74-77, github.com/katydid/testsuite) which holds json/xml/pb
+renderings of shared trees; that corpus is not vendored here, so this
+module GENERATES the triple encodings from logical trees directly.
+
+Fixture trees live in the encoding-injective subset — the values every
+encoding round-trips to the identical forest:
+
+- nested dicts with int and non-empty, non-integer-looking string leaves
+  (XML re-parses text ``"5"`` as Int and drops empty text, so integer
+  strings / empty strings are genuine cross-encoding divergences of the
+  FORMATS, not engine bugs — excluded by construction);
+- exactly one root field (XML documents have one root element);
+- no arrays (XML has no Int-labeled index nodes — its Int labels only
+  arise from text leaves).
+
+Engines exercised per case:
+- JSON: pure derivative engine + table-VPA (+ the Spark automaton UDF in
+  the Spark test);
+- XML:  pure derivative engine over decode_xml (+ validate_xml_column);
+- PB:   pure derivative engine over decode_protobuf
+  (+ validate_protobuf_column).
+"""
+
+import json
+
+import pytest
+
+from katydid_haskell_spark.relapse import protobuf_source as pb
+from katydid_haskell_spark.relapse.derive import Validator
+from katydid_haskell_spark.relapse.labels import decode_json
+from katydid_haskell_spark.relapse.parser import parse_grammar
+from katydid_haskell_spark.relapse.smart import compile_grammar
+from katydid_haskell_spark.relapse.vpa import try_table_validator
+from katydid_haskell_spark.relapse.xml_source import decode_xml
+
+
+# ---------------------------------------------------------------------------
+# encoders: logical tree (single-root nested dict) → three encodings
+# ---------------------------------------------------------------------------
+
+
+def to_json(tree: dict) -> str:
+    return json.dumps(tree)
+
+
+def _xml_value(name, v):
+    if isinstance(v, dict):
+        inner = "".join(_xml_value(k, c) for k, c in v.items())
+        return f"<{name}>{inner}</{name}>"
+    return f"<{name}>{v}</{name}>"
+
+
+def to_xml(tree: dict) -> str:
+    assert len(tree) == 1, "XML needs exactly one root element"
+    ((root, v),) = tree.items()
+    return _xml_value(root, v)
+
+
+def _pb_desc(tree: dict, name: str, desc: dict) -> None:
+    """Register message descriptors for every dict node (field numbers in
+    key order, types int64 / string / message)."""
+    msg = {}
+    for i, (k, v) in enumerate(tree.items(), start=1):
+        if isinstance(v, dict):
+            sub = f"{name}_{k}"
+            _pb_desc(v, sub, desc)
+            msg[i] = pb.Field(k, "message", message=sub)
+        elif isinstance(v, int) and not isinstance(v, bool):
+            msg[i] = pb.Field(k, "int64")
+        elif isinstance(v, str):
+            msg[i] = pb.Field(k, "string")
+        else:
+            raise TypeError(f"unsupported leaf {v!r}")
+    desc[name] = msg
+
+
+def _pb_encode(tree: dict, name: str, desc: dict) -> bytes:
+    out = b""
+    for i, (k, v) in enumerate(tree.items(), start=1):
+        if isinstance(v, dict):
+            out += pb.encode_message_field(
+                i, _pb_encode(v, f"{name}_{k}", desc))
+        elif isinstance(v, int) and not isinstance(v, bool):
+            out += pb.encode_int64(i, v)
+        else:
+            out += pb.encode_string(i, v)
+    return out
+
+
+def to_protobuf(tree: dict):
+    """→ (descriptor map, root message name, payload bytes)."""
+    desc: dict = {}
+    _pb_desc(tree, "Root", desc)
+    return desc, "Root", _pb_encode(tree, "Root", desc)
+
+
+# ---------------------------------------------------------------------------
+# the suite: (spec, logical tree, hand-derived verdict)
+# ---------------------------------------------------------------------------
+
+DOC = {"doc": {"name": "bob", "n": 5}}
+DEEP = {"doc": {"meta": {"author": {"name": "eve"}}, "n": 17}}
+
+CASES = [
+    # contains + eq, both verdicts
+    ('.doc: .name == "bob"', DOC, True),
+    ('.doc: .name == "alice"', DOC, False),
+    # interleave: unordered field match
+    ('doc: {name: == "bob"; n: == 5}', DOC, True),
+    ('doc: {n: == 5; name: == "bob"}', DOC, True),
+    ('doc: {name: == "bob"; n: == 6}', DOC, False),
+    # concat: ordered fields
+    ('doc: [name: == "bob", n: == 5]', DOC, True),
+    ('doc: [n: == 5, name: == "bob"]', DOC, False),
+    # numeric comparisons + and/or
+    ('.doc: .n >= 5', DOC, True),
+    ('.doc: (.n > 5 | .name ^= "bo")', DOC, True),
+    ('.doc: (.n > 5 & .name ^= "bo")', DOC, False),
+    # not
+    ('doc: !(.name == "eve")', DOC, True),
+    ('doc: !(.name == "bob")', DOC, False),
+    # type guards
+    ('.doc: .n: -> type($int)', DOC, True),
+    ('.doc: .name: -> type($int)', DOC, False),
+    # deep nesting
+    ('.doc: .meta: .author: .name == "eve"', DEEP, True),
+    ('.doc: .meta: .author: .name == "bob"', DEEP, False),
+    ('doc: {meta: author: name: $= "ve"; n: < 20}', DEEP, True),
+    # wildcard name over all fields
+    ("doc: (_: *)*", DOC, True),
+    # string functions through every decoder's text handling
+    ('.doc: .name ~= "^b.b$"', DOC, True),
+    ('.doc: -> eq(toLower($string), "x")', DOC, False),
+]
+
+
+def _verdicts(spec: str, tree: dict) -> dict:
+    """Verdict per (encoding, engine) for one case."""
+    g = compile_grammar(parse_grammar(spec))
+    v = Validator(g)
+    out = {}
+    js = to_json(tree)
+    out["json/derive"] = v.validate(decode_json(js))
+    tv = try_table_validator(g)
+    assert tv is not None, spec
+    out["json/vpa"] = bool(tv.validate_batch([js])[0])
+    out["xml/derive"] = v.validate(decode_xml(to_xml(tree)))
+    desc, root, payload = to_protobuf(tree)
+    out["pb/derive"] = v.validate(pb.decode_protobuf(desc, root, payload))
+    return out
+
+
+@pytest.mark.parametrize("spec,tree,want", CASES)
+def test_one_grammar_three_encodings_one_verdict(spec, tree, want):
+    got = _verdicts(spec, tree)
+    assert set(got.values()) == {want}, (spec, got)
+
+
+def test_encoders_produce_identical_forests():
+    """Stronger than verdict equality: within the injective subset the
+    three decoders must produce the very same forest."""
+    for tree in (DOC, DEEP):
+        jf = decode_json(to_json(tree))
+        xf = decode_xml(to_xml(tree))
+        desc, root, payload = to_protobuf(tree)
+        pf = pb.decode_protobuf(desc, root, payload)
+        assert jf == xf == pf, tree
+
+
+def test_cross_encoding_spark_columns(spark):
+    """The three Spark validation columns (automaton UDF / XML UDF /
+    protobuf UDF) agree on triple-encoded rows — the distributed face of
+    the suite."""
+    from pyspark.sql import functions as F
+
+    from katydid_haskell_spark.relapse.automaton import validate_json_column
+    from katydid_haskell_spark.relapse.protobuf_source import (
+        validate_protobuf_column,
+    )
+    from katydid_haskell_spark.relapse.xml_source import validate_xml_column
+
+    trees = [
+        DOC, DEEP,
+        {"doc": {"name": "alice", "n": 99}},
+        {"doc": {"name": "bob", "n": 4}},
+        {"doc": {"meta": {"author": {"name": "zed"}}, "n": 17}},
+    ]
+    # one shared descriptor shape: all trees encode against their own
+    # descriptor, so pick a spec family that works per-tree via rows
+    spec = '.doc: (.name ^= "b" | .n >= 17)'
+    g = compile_grammar(parse_grammar(spec))
+    v = Validator(g)
+    rows = []
+    for i, t in enumerate(trees):
+        desc, root, payload = to_protobuf(t)
+        rows.append((i, to_json(t), to_xml(t), bytearray(payload)))
+        # descriptor differs per tree only in nesting; the Spark pb column
+        # needs ONE descriptor, so restrict pb rows to the DOC shape below
+    df = spark.createDataFrame(
+        rows, "id long, js string, xm string, pbb binary")
+    out = df.select(
+        "id",
+        validate_json_column(F.col("js"), spec).alias("vj"),
+        validate_xml_column(F.col("xm"), spec).alias("vx"),
+    ).collect()
+    want = {r[0]: v.validate(decode_json(r[1])) for r in rows}
+    for r in out:
+        assert r.vj == r.vx == want[r.id], r.id
+
+    # protobuf column: rows sharing the DOC descriptor
+    flat = [t for t in trees if set(t["doc"].keys()) == {"name", "n"}]
+    desc, root, _ = to_protobuf(flat[0])
+    prows = [(i, bytearray(to_protobuf(t)[2])) for i, t in enumerate(flat)]
+    pdf = spark.createDataFrame(prows, "id long, pbb binary")
+    pout = pdf.select(
+        "id", validate_protobuf_column(F.col("pbb"), spec, desc, root)
+        .alias("vp")).collect()
+    pwant = {i: v.validate(decode_json(to_json(t)))
+             for i, t in enumerate(flat)}
+    for r in pout:
+        assert r.vp == pwant[r.id], r.id
