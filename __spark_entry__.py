@@ -558,6 +558,39 @@ def _q_multimodal_frames(spark, sf_dir):
     return mm.frame_sample_plan(media, every_ms=700)
 
 
+def _q_multimodal_bmp(spark, sf_dir):
+    """REAL codec under the value-hash gate (no fake): a 10x7 RGB image
+    whose pixel bytes are a closed-form function of doc_id is encoded to
+    an actual uncompressed 24-bit BMP (bottom-up rows, BGR, 4-byte row
+    padding — width 10 makes the 30-byte rows pad to 32), then decoded
+    back by the pure-numpy decoder and reduced to integer pixel stats.
+    pos_checksum is position-weighted, so any layout mistake in the
+    encode/decode pair (row flip, channel order, padding) breaks the
+    hash even where the permutation-invariant sums agree.  The oracle
+    re-derives all three stats with the same closed-form integer math."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from katydid_haskell_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    W, H = 10, 7
+
+    @pandas_udf("binary")
+    def make_bmp(doc_id: pd.Series) -> pd.Series:
+        n = W * H * 3
+        idx7 = 7 * np.arange(n, dtype=np.int64)
+        return pd.Series([
+            mm.encode_bmp(((int(d) * 31 + idx7) % 256)
+                          .astype(np.uint8).reshape(H, W, 3))
+            for d in doc_id
+        ])
+
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        make_bmp(F.col("doc_id")).alias("payload"))
+    return mm.bmp_pixel_stats(media)
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     # exact word-3-gram Jaccard within a lang blocking key — the
     # verification-grade dedup operator (candidate sets at scale come
@@ -915,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "protobuf_validate": _q_protobuf_validate,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
+        "multimodal_bmp": _q_multimodal_bmp,
         "corpus_curation": _q_corpus_curation,
         "corpus_curation_full": _q_corpus_curation_full,
         "protobuf_packed": _q_protobuf_packed,
@@ -1255,6 +1289,18 @@ def oracle_sql() -> dict[str, str]:
                               ELSE L // 256 END AS BIGINT) AS out_bytes
         FROM (SELECT doc_id, octet_length(encode(text)) AS L
               FROM documents)
+        """,
+        "multimodal_bmp": """
+        SELECT doc_id AS media_id, 10 AS width, 7 AS height,
+               CAST(list_sum(list_transform(range(0, 210),
+                    i -> (doc_id*31 + 7*i) % 256)) AS BIGINT) AS sum_all,
+               CAST(len(list_filter(range(0, 210),
+                    i -> (doc_id*31 + 7*i) % 256 >= 128)) AS BIGINT)
+                 AS n_bright,
+               CAST(list_sum(list_transform(range(0, 210),
+                    i -> i * ((doc_id*31 + 7*i) % 256))) AS BIGINT)
+                 AS pos_checksum
+        FROM documents
         """,
         "ngram_jaccard": r"""
         WITH capped AS (

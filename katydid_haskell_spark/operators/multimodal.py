@@ -133,6 +133,113 @@ def resize_media(df: DataFrame, width: int, height: int,
         run, out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Real codec: uncompressed 24-bit BMP (pure numpy — no image libraries)
+# ---------------------------------------------------------------------------
+#
+# The one format this sandbox can decode for real: BITMAPFILEHEADER +
+# BITMAPINFOHEADER, BI_RGB, 24bpp, bottom-up rows, 4-byte row padding.
+# Registered through the same `register_decoder` seam a Pillow-backed
+# deployment would use, so one oracled query exercises a NON-fake decode
+# end-to-end (encode → real byte format → decode → integer features the
+# oracle re-derives with closed-form integer math).
+
+import struct as _struct
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """uint8[h, w, 3] RGB → uncompressed 24-bit BMP bytes."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError("encode_bmp needs uint8[h, w, 3]")
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    pad = b"\x00" * (row_size - w * 3)
+    # bottom-up row order, BGR channel order — the classic BMP layout
+    body = b"".join(
+        pixels[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1)
+    )
+    header = _struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                        2835, 2835, 0, 0)
+    return header + info + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP bytes → uint8[h, w, 3] RGB."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = _struct.unpack_from("<I", payload, 10)[0]
+    w, h_signed = _struct.unpack_from("<ii", payload, 18)
+    bpp = _struct.unpack_from("<H", payload, 28)[0]
+    comp = _struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("only 24-bit BI_RGB supported")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    row_size = (w * 3 + 3) & ~3
+    if offset + row_size * h > len(payload):
+        raise ValueError("truncated BMP body")
+    arr = np.frombuffer(payload, np.uint8, count=row_size * h, offset=offset)
+    arr = arr.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)[..., ::-1]
+    if not top_down:
+        arr = arr[::-1]
+    return np.ascontiguousarray(arr)
+
+
+def bmp_unit_features(payload: bytes, mime: str) -> np.ndarray:
+    """A REAL registered decoder (see register_decoder): decode the BMP,
+    take a FEATURE_DIM-bin intensity histogram, L2-normalize."""
+    px = decode_bmp(payload)
+    hist = np.bincount(
+        (px.reshape(-1).astype(np.int64) * FEATURE_DIM) // 256,
+        minlength=FEATURE_DIM)[:FEATURE_DIM].astype(np.float64)
+    n = np.linalg.norm(hist)
+    return (hist / n if n > 0 else hist).astype(np.float32)
+
+
+def bmp_pixel_stats(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "media_id") -> DataFrame:
+    """Integer pixel statistics through the REAL BMP decode, Arrow-batched.
+
+    Output per row: (media_id, width, height, sum_all, n_bright,
+    pos_checksum) — pos_checksum is Σ flat_index·value over the decoded
+    (row-major y, x, channel) order, so a decoder that mis-handles
+    bottom-up rows, BGR order or row padding produces a different value
+    even when the permutation-invariant sums agree.  All integers → the
+    DuckDB oracle re-derives them exactly.
+    """
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_all", T.LongType()),
+        T.StructField("n_bright", T.LongType()),
+        T.StructField("pos_checksum", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx_cache: dict = {}
+        for b in batches:
+            rows = []
+            for mid, p in zip(b[id_col], b[payload_col]):
+                px = decode_bmp(bytes(p))
+                h, w, _ = px.shape
+                flat = px.reshape(-1).astype(np.int64)
+                idx = idx_cache.get(flat.size)
+                if idx is None:
+                    idx = np.arange(flat.size, dtype=np.int64)
+                    idx_cache[flat.size] = idx
+                rows.append((int(mid), w, h, int(flat.sum()),
+                             int((flat >= 128).sum()),
+                             int((idx * flat).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "sum_all", "n_bright",
+                "pos_checksum"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms).
 
