@@ -305,6 +305,19 @@ def _q_minhash_pairs(spark, sf_dir):
                                 bands=8, shingle_k=3, min_jaccard=0.4)
 
 
+def _q_minhash_verify(spark, sf_dir):
+    """The production dedup recipe END-TO-END under the value-hash gate:
+    banded-MinHash candidate generation piped into exact word-3-gram
+    Jaccard verification (dedup.minhash_verified_pairs) — the full
+    signature math AND the verification gram math re-derived in SQL.
+    jaccard is an integer-ratio division: bit-identical, NOT rounded."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    return dd.minhash_verified_pairs(docs, "doc_id", "text", num_hashes=32,
+                                     bands=8, shingle_k=3, k=3,
+                                     min_jaccard=0.3)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
@@ -940,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": _q_exact_dup_groups,
         "ann_topk_brute": _q_ann_topk_brute,
         "minhash_pairs": _q_minhash_pairs,
+        "minhash_verify": _q_minhash_verify,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_clusters_star": _q_dedup_clusters_star,
         "heavy_hitter_langs": _q_heavy_hitter_langs,
@@ -1242,6 +1256,8 @@ def oracle_sql() -> dict[str, str]:
         # Seeded-hash pipelines: full math re-derived in SQL (oracles.py).
         "minhash_pairs": orc.minhash_pairs_sql(
             num_hashes=32, bands=8, shingle_k=3, min_jaccard=0.4),
+        "minhash_verify": orc.minhash_verify_sql(
+            num_hashes=32, bands=8, shingle_k=3, k=3, min_jaccard=0.3),
         "stream_doc_violations": """
         SELECT doc_id, 'text_nonempty' AS rule_id FROM documents
         WHERE text IS NULL OR length(text) = 0

@@ -311,6 +311,39 @@ def minhash_features(df: DataFrame, id_col: str, text_col: str,
     ).select("doc_id", F.col("f.hh").alias("hh"), F.col("f.sig").alias("sig"))
 
 
+def _lsh_candidates(feats: DataFrame, bands: int, rows_per_band: int,
+                    max_bucket: int) -> DataFrame:
+    """(id_a < id_b) candidate pairs from banded-LSH bucketing.
+
+    Only (doc_id, band, key) travels through the LSH shuffle — the
+    signatures and shingle sets stay behind.  Each (band, key) bucket is
+    capped to its first ``max_bucket`` members in doc-id order
+    (deterministic), bounding the self-join at max_bucket² per bucket
+    no matter how degenerate the key distribution gets at crawl scale.
+    """
+    from pyspark.sql.window import Window
+
+    banded = feats.select(
+        "doc_id",
+        F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    w = Window.partitionBy("band", "key").orderBy("doc_id")
+    banded = (
+        banded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_bucket)
+        .drop("__rn")
+    )
+    return (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "key"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("id_a"),
+                F.col("r.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 64, bands: int = 16,
                       shingle_k: int = 5,
@@ -341,32 +374,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     pair through any of the other ``bands-1`` bands — and every surviving
     candidate is exact-Jaccard-verified, so precision is unaffected.
     """
-    from pyspark.sql.window import Window
-
-    rows_per_band = num_hashes // bands
     feats = features
     if feats is None:
         feats = minhash_features(df, id_col, text_col, num_hashes, shingle_k
                                  ).persist()
-    # Only (doc_id, band, key) travels through the LSH shuffle — the
-    # signatures and shingle sets stay behind.
-    banded = feats.select(
-        "doc_id",
-        F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    w = Window.partitionBy("band", "key").orderBy("doc_id")
-    banded = (
-        banded.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= max_bucket)
-        .drop("__rn")
-    )
-    cand = (
-        banded.alias("l")
-        .join(banded.alias("r"), ["band", "key"])
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _lsh_candidates(feats, bands, num_hashes // bands, max_bucket)
     # Verification: shuffle-join the candidates back for exact Jaccard over
     # shingle-hash sets.  Both joins key on a doc id, so the shingle side
     # shuffles once per side regardless of how many pairs the corpus
@@ -531,6 +543,47 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             F.col("r.doc_id").alias("id_b"),
             jaccard_distinct(F.col("l.sh"), F.col("r.sh")).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def minhash_verified_pairs(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 64, bands: int = 16,
+                           shingle_k: int = 5, k: int = 3,
+                           min_jaccard: float = 0.5,
+                           max_bucket: int = 512) -> DataFrame:
+    """The production dedup recipe END-TO-END: banded-MinHash candidate
+    generation → exact word-``k``-gram Jaccard verification, one plan.
+
+    minhash_lsh_pairs verifies on shingle-HASH sets (cheap, already
+    shipped with the signatures); this composition re-verifies on the
+    actual word k-grams — the higher-precision final arbiter — while
+    still touching only LSH candidates, never all pairs.  Plan shape:
+    one text scan for signatures, the capped (band, key) bucket
+    self-join (see :func:`_lsh_candidates`), then ONE more text scan for
+    the verification gram sets joined to candidates by doc id — both
+    joins key on ids, so raw text never crosses the candidate shuffle.
+    """
+    from .decontam import distinct_ngrams_udf
+
+    feats = minhash_features(df, id_col, text_col, num_hashes, shingle_k
+                             ).persist()
+    cand = _lsh_candidates(feats, bands, num_hashes // bands, max_bucket)
+    gr = df.select(
+        F.col(id_col).alias("doc_id"),
+        distinct_ngrams_udf(k, short_fallback=True)(
+            F.col(text_col)).alias("sh"),
+    )
+    pairs = (
+        gr.join(cand, gr.doc_id == cand.id_a)
+        .select("id_a", "id_b", F.col("sh").alias("sh_a"))
+        .join(gr.alias("g2"), F.col("id_b") == F.col("g2.doc_id"))
+        .select("id_a", "id_b", "sh_a", F.col("g2.sh").alias("sh_b"))
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b",
+            jaccard_distinct(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
 

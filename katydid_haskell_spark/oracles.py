@@ -67,15 +67,15 @@ def _shingle_ctes(shingle_k: int, table: str = "documents",
     )"""
 
 
-def minhash_pairs_sql(num_hashes: int = 32, bands: int = 8,
-                      shingle_k: int = 3, min_jaccard: float = 0.4,
-                      max_bucket: int = 512) -> str:
-    """Full banded-LSH pipeline in SQL, INCLUDING the deterministic
-    per-(band, key) ``max_bucket`` cap the Spark operator applies (QUALIFY
-    row_number ordered by doc_id — same bucket membership, same order, so
-    the capped candidate sets match; inactive at oracle scale but
-    mirrored so the formulations stay line-for-line comparable).  The
-    oracle keys buckets by the band's signature tuple where Spark keys by
+def _minhash_cand_ctes(num_hashes: int, bands: int, shingle_k: int,
+                       max_bucket: int) -> str:
+    """CTE chain ``wh → hh → sig → banded → capped → cand`` mirroring
+    minhash_features + dedup._lsh_candidates, INCLUDING the deterministic
+    per-(band, key) ``max_bucket`` cap (QUALIFY row_number ordered by
+    doc_id — same bucket membership, same order, so the capped candidate
+    sets match; inactive at oracle scale but mirrored so the
+    formulations stay line-for-line comparable).  The oracle keys
+    buckets by the band's signature tuple where Spark keys by
     ``xxhash64(slice)`` — identical partitions unless xxhash64 collides
     (P < 1e-12 at test scale)."""
     perms = _perm_params(num_hashes)
@@ -90,11 +90,7 @@ def minhash_pairs_sql(num_hashes: int = 32, bands: int = 8,
         + ") AS key FROM sig"
         for b in range(bands)
     )
-    # jaccard is an exact integer ratio evaluated as one double division on
-    # both sides — bit-identical, deliberately NOT rounded (ROUND itself can
-    # differ between engines at half-ulp boundaries).
-    return f"""
-    WITH {_shingle_ctes(shingle_k)},
+    return f"""{_shingle_ctes(shingle_k)},
     sig AS (SELECT doc_id, hh,
              {sig_exprs}
             FROM hh),
@@ -110,7 +106,18 @@ def minhash_pairs_sql(num_hashes: int = 32, bands: int = 8,
       SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       FROM capped l JOIN capped r
         ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
-    ),
+    )"""
+
+
+def minhash_pairs_sql(num_hashes: int = 32, bands: int = 8,
+                      shingle_k: int = 3, min_jaccard: float = 0.4,
+                      max_bucket: int = 512) -> str:
+    """Full banded-LSH pipeline in SQL (see :func:`_minhash_cand_ctes`)."""
+    # jaccard is an exact integer ratio evaluated as one double division on
+    # both sides — bit-identical, deliberately NOT rounded (ROUND itself can
+    # differ between engines at half-ulp boundaries).
+    return f"""
+    WITH {_minhash_cand_ctes(num_hashes, bands, shingle_k, max_bucket)},
     withsets AS (
       SELECT c.id_a, c.id_b, a.hh AS hh_a, b.hh AS hh_b
       FROM cand c
@@ -123,6 +130,45 @@ def minhash_pairs_sql(num_hashes: int = 32, bands: int = 8,
                / NULLIF(len(list_distinct(hh_a)) + len(list_distinct(hh_b))
                         - len(list_intersect(hh_a, hh_b)), 0) AS jaccard
       FROM withsets)
+    WHERE jaccard >= {min_jaccard}
+    """
+
+
+def minhash_verify_sql(num_hashes: int = 32, bands: int = 8,
+                       shingle_k: int = 3, k: int = 3,
+                       min_jaccard: float = 0.3,
+                       max_bucket: int = 512) -> str:
+    """The end-to-end production recipe in SQL: banded-LSH candidates
+    (full signature math, capped buckets) verified by exact word-k-gram
+    Jaccard — mirrors dedup.minhash_verified_pairs, including the
+    ``short_fallback`` whole-text gram for docs shorter than k words."""
+    gram_expr = (
+        f"list_distinct(CASE WHEN len(ws) >= {k} "
+        f"THEN [array_to_string(ws[i:i+{k - 1}], ' ') "
+        f"for i in range(1, len(ws)-{k - 2})] "
+        "ELSE [array_to_string(ws, ' ')] END)"
+    )
+    return f"""
+    WITH {_minhash_cand_ctes(num_hashes, bands, shingle_k, max_bucket)},
+    ws_t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text),
+                         '[^a-zA-Z0-9'']+'), w -> w != '') AS ws
+      FROM documents
+    ),
+    gr AS (SELECT doc_id, {gram_expr} AS sh FROM ws_t),
+    verif AS (
+      SELECT c.id_a, c.id_b, a.sh AS sh_a, b.sh AS sh_b
+      FROM cand c
+      JOIN gr a ON a.doc_id = c.id_a
+      JOIN gr b ON b.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+               / NULLIF(len(sh_a) + len(sh_b)
+                        - len(list_intersect(sh_a, sh_b)), 0) AS jaccard
+      FROM verif)
     WHERE jaccard >= {min_jaccard}
     """
 

@@ -47,6 +47,24 @@ def test_minhash_lsh(spark, docs):
     assert not any({3, 4} == {a, b} or {4, 5} == {a, b} for a, b in got)
 
 
+def test_minhash_verified_pairs(spark, docs):
+    """LSH candidates re-verified on exact word n-grams: exact dups score
+    1.0, near-dups land between, unrelated docs never become candidates."""
+    pairs = dd.minhash_verified_pairs(docs, "doc_id", "text",
+                                      num_hashes=32, bands=16, shingle_k=2,
+                                      k=2, min_jaccard=0.3)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 6)] == 1.0
+    assert (0, 2) in got and 0.3 <= got[(0, 2)] < 1.0
+    assert not any({3, 4} == {a, b} or {4, 5} == {a, b} for a, b in got)
+    # verification can only shrink the LSH candidate set
+    lsh = {(r.id_a, r.id_b) for r in dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=16, shingle_k=2,
+        min_jaccard=0.0).collect()}
+    assert set(got) <= lsh
+
+
 def test_minhash_bucket_cap_bounds_degenerate_corpus(spark):
     """10k identical-text docs — the degenerate crawl bucket.  Without the
     per-(band,key) cap the self-join is O(n²) = 50M candidate pairs; with
