@@ -64,6 +64,15 @@ def heavy_hitters(df: DataFrame, key: Column, min_fraction: float = 0.01,
     threshold are lost), so keys within that slack of the threshold may be
     missed.  That is the standard sketch trade-off — use it to drive
     salting decisions, not for exact frequency reporting.
+
+    Precise bound: a global-share-≥f key is always a CANDIDATE; it
+    survives the final filter iff its mass in the batches where it is
+    locally ≥ f/2 is itself ≥ f·N.  That holds whenever batches are
+    statistically alike (hash-shuffled input) and can only fail under
+    adversarial per-batch skew that straddles the f/2 line.  Property
+    test at 100k Zipf rows × two partitionings:
+    ``test_heavy_hitters_approx_property_zipf_100k`` (completeness +
+    per-key lower-bound soundness).
     """
     if not approx:
         # key is cast to string in both paths (the approx path's Arrow

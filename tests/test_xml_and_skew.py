@@ -131,3 +131,43 @@ def test_xml_column_sees_attributes(spark):
         validate_xml_column(F.col("doc"), "p: .id == 7",
                             attrs=False).alias("m")).collect()]
     assert got0 == [False, False, False]
+
+
+def test_heavy_hitters_approx_property_zipf_100k(spark):
+    """Property gate for the approx (candidate pre-filter) mode at scale:
+    on 100k Zipf-distributed host keys, across partitionings and seeds,
+    (a) every true >= min_fraction key is reported, and (b) every
+    reported count is a LOWER BOUND of the exact count (contributions
+    from batches where the key fell under the local threshold are lost).
+
+    (a) is guaranteed at the CANDIDATE level by the weighted-average
+    argument (global share >= f implies local share >= f in some batch >
+    the f/2 local threshold); surviving the final count filter
+    additionally needs the key's mass in its locally-heavy batches to
+    stay >= f*N — which holds whenever batches are statistically alike,
+    the regime this fixture pins (hash-shuffled Zipf, no adversarial
+    batch skew).
+    """
+    import numpy as np
+    import pandas as pd
+
+    min_fraction = 0.01
+    for seed, parts in [(42, 8), (7, 32)]:
+        rng = np.random.default_rng(seed)
+        z = np.minimum(rng.zipf(1.3, size=100_000), 5000)
+        pdf = pd.DataFrame({"host": [f"h{v}" for v in z]})
+        exact_counts = pdf["host"].value_counts()
+        true_heavy = set(
+            exact_counts[exact_counts >= min_fraction * len(pdf)].index)
+        assert len(true_heavy) >= 5  # the fixture must exercise the path
+
+        df = spark.createDataFrame(pdf).repartition(parts)
+        got = {r.key: r.cnt for r in skew.heavy_hitters(
+            df, F.col("host"), min_fraction=min_fraction,
+            approx=True).collect()}
+        # (a) completeness on this distribution family
+        missing = true_heavy - set(got)
+        assert not missing, f"seed={seed} parts={parts} missed {missing}"
+        # (b) lower-bound soundness — always, for every reported key
+        for k, cnt in got.items():
+            assert cnt <= int(exact_counts.get(k, 0)), (seed, parts, k)
