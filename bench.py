@@ -67,6 +67,8 @@ HEADLINE = [
     "doc_fingerprint",
     "ann_topk_brute",
     "minhash_pairs",
+    "minhash_verify",
+    "multimodal_bmp",
     "dedup_clusters",
     "simhash_pairs",
     "lsh_topk",
@@ -260,6 +262,7 @@ def run_bench() -> dict:
         "pages_rows": n_pages,
         "unique_json_docs_per_sec": round(n_unique / uq_sec),
         "unique_json_rows": n_unique,
+        "ambient_load1": _load1(),
     }
     spark.stop()
     return out
@@ -347,8 +350,45 @@ def scaling_child(cores: int, path: str) -> None:
                       "sec": round(sec, 3), "rows": n_pages}))
 
 
+def _pin_prefix(cores: int) -> list:
+    """CPU-affinity prefix for a measurement child: pin the whole process
+    tree (JVM executor threads included) to cores 0..cores-1 so the OS
+    cannot spread a local[N] JVM over all 32 CPUs — unpinned, small-N
+    children borrow idle cores for GC/compiler/shuffle threads, which
+    inflates the N side of every N-vs-4N ratio and couples the
+    measurement to ambient host load (the ±30-50% spread in
+    BENCH/HISTORY.jsonl).  No-op when taskset is unavailable."""
+    import shutil
+
+    if shutil.which("taskset"):
+        return ["taskset", "-c", f"0-{cores - 1}"]
+    return []
+
+
+def _load1() -> float:
+    """1-minute load average — the ambient-contention probe annotated
+    onto every scaling sample (samples taken under high ambient load are
+    flagged, not silently averaged in)."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return -1.0
+
+
+def _scaling_child_run(cores: int, tmp: str, pinned: bool) -> dict:
+    cmd = (_pin_prefix(cores) if pinned else []) + [
+        sys.executable, __file__, "--scaling-child", str(cores), tmp]
+    load_before = _load1()
+    p = subprocess.run(cmd, capture_output=True, text=True,
+                       cwd=os.path.dirname(__file__) or ".")
+    line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    out["load1_before"] = load_before
+    out["pinned"] = pinned and bool(_pin_prefix(cores))
+    return out
+
+
 def run_scaling() -> None:
-    import statistics
     import tempfile
 
     n_rows = int(os.environ.get("BENCH_SCALING_ROWS", "12000000"))
@@ -360,20 +400,27 @@ def run_scaling() -> None:
     assert any(l.startswith("{") for l in gen.stdout.splitlines()), gen.stderr[-2000:]
     results = {}
     for cores in (1, 2, 4, 8, 32):
-        p = subprocess.run(
-            [sys.executable, __file__, "--scaling-child", str(cores), tmp],
-            capture_output=True, text=True, cwd=os.path.dirname(__file__) or ".",
-        )
-        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
+        results[cores] = _scaling_child_run(cores, tmp, pinned=True)
+    # interleaved second (2, 8) pair: the gate ratio measured twice with
+    # other work in between — the spread between the two samples IS the
+    # noise bar a single reading carries
+    second = {c: _scaling_child_run(c, tmp, pinned=True) for c in (2, 8)}
     eff_1_4 = results[4]["docs_per_sec"] / (4 * results[1]["docs_per_sec"])
     eff_2_8 = results[8]["docs_per_sec"] / (4 * results[2]["docs_per_sec"])
+    eff_2_8_b = second[8]["docs_per_sec"] / (4 * second[2]["docs_per_sec"])
+    spread_2_8 = abs(eff_2_8 - eff_2_8_b) / ((eff_2_8 + eff_2_8_b) / 2)
     eff_8_32 = results[32]["docs_per_sec"] / (4 * results[8]["docs_per_sec"])
     os.makedirs("BENCH", exist_ok=True)
     rows_tbl = "\n".join(
         f"| local[{c}] | {results[c]['rows']} | {results[c]['sec']} | "
-        f"{results[c]['docs_per_sec']} |"
+        f"{results[c]['docs_per_sec']} | {results[c]['load1_before']} | "
+        f"{results[c]['pinned']} |"
         for c in (1, 2, 4, 8, 32)
+    ) + "\n" + "\n".join(
+        f"| local[{c}] (2nd) | {second[c]['rows']} | {second[c]['sec']} | "
+        f"{second[c]['docs_per_sec']} | {second[c]['load1_before']} | "
+        f"{second[c]['pinned']} |"
+        for c in (2, 8)
     )
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — scaling efficiency (north rule: >= 0.8 from N to 4N)
@@ -388,21 +435,29 @@ url/warc_ts/text/lang/bucket), at three parallelism levels.  This sandbox
 has no multi-node cluster, so per BASELINE.md the two-cluster-size
 criterion is evidenced as N vs 4N local cores.
 
-Methodology: each measurement is a fresh process; one untimed warm-up
-pass (JVM JIT + codegen dominate a single cold run — measured up to 3x),
-then the MEDIAN of three timed passes, each scanning the parquet table
-(the north-rule metric is docs/sec validated over a table; a deployment
-scans storage).  Only the core count varies: shuffle partitions fixed at
-32, AQE off (its per-stage re-planning barriers add constant driver
-latency that swamps second-scale local stages; on a real cluster with
+Methodology: each measurement is a fresh process PINNED with
+``taskset -c 0-(N-1)`` (round 5: unpinned local[N] JVMs spread
+GC/compiler/shuffle threads over all 32 CPUs, inflating the N side of
+every ratio and coupling it to ambient load); one untimed warm-up pass
+(JVM JIT + codegen dominate a single cold run — measured up to 3x), then
+the MEDIAN of three timed passes, each scanning the parquet table (the
+north-rule metric is docs/sec validated over a table; a deployment scans
+storage).  Each sample is annotated with the 1-minute load average taken
+just before launch (the ambient-contention flag), and the gate pair
+(2 -> 8) is measured TWICE, interleaved with the other configs — the
+spread between the two readings is the noise bar a single sample
+carries.  Only the core count varies: shuffle partitions fixed at 32,
+AQE off (its per-stage re-planning barriers add constant driver latency
+that swamps second-scale local stages; on a real cluster with
 minute-scale stages AQE stays on — see session.py).
 
-| config | rows | sec | docs/sec |
-|---|---|---|---|
+| config | rows | sec | docs/sec | load1 before | pinned |
+|---|---|---|---|---|---|
 {rows_tbl}
 
 **Scaling efficiency (N=1 -> 4N=4): {eff_1_4:.3f}**
-**Scaling efficiency (N=2 -> 4N=8): {eff_2_8:.3f}**
+**Scaling efficiency (N=2 -> 4N=8): {eff_2_8:.3f}** (second interleaved
+sample: {eff_2_8_b:.3f}; spread {spread_2_8:.1%})
 Scaling efficiency 8 -> 32 cores: {eff_8_32:.3f}
 
 (1 -> 4 above 1.0 is not magic: at local[1] the driver's scheduling work
@@ -440,9 +495,12 @@ read that before judging a single sample against the 0.8 gate.
     out = {
         "scaling_efficiency": round(eff_2_8, 3),
         "scaling_efficiency_1_4": round(eff_1_4, 3),
+        "scaling_efficiency_2_8_second": round(eff_2_8_b, 3),
+        "scaling_spread_2_8": round(spread_2_8, 3),
         "scaling_efficiency_8_32": round(eff_8_32, 3),
         "local1": results[1], "local2": results[2], "local4": results[4],
         "local8": results[8], "local32": results[32],
+        "second_2": second[2], "second_8": second[8],
     }
     # BASELINE.md is REWRITTEN per run; the measurement history (which the
     # reproducibility analysis needs — this box's host noise swings
