@@ -180,6 +180,7 @@ def unique_json_throughput(spark, n_rows: int) -> float:
 
 
 def run_bench() -> dict:
+    load_at_start = _load1()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -262,7 +263,10 @@ def run_bench() -> dict:
         "pages_rows": n_pages,
         "unique_json_docs_per_sec": round(n_unique / uq_sec),
         "unique_json_rows": n_unique,
-        "ambient_load1": _load1(),
+        # ambient probe taken BEFORE the first job (the bench itself
+        # drives load1 to ~20 by the end — an end-of-run sample would
+        # only ever measure ourselves)
+        "ambient_load1": load_at_start,
     }
     spark.stop()
     return out
