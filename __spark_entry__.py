@@ -604,6 +604,34 @@ def _q_multimodal_bmp(spark, sf_dir):
     return mm.bmp_pixel_stats(media)
 
 
+def _q_multimodal_wav(spark, sf_dir):
+    """The audio sibling of multimodal_bmp: a 256-sample 16-bit PCM
+    signal derived from doc_id is encoded to a REAL RIFF/WAVE payload,
+    decoded back by the chunk-walking pure-numpy reader, and reduced to
+    integer PCM stats the oracle re-derives with closed-form integer
+    math (pos_checksum catches byte-order / chunk-offset bugs)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from katydid_haskell_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    N = 256
+
+    @pandas_udf("binary")
+    def make_wav(doc_id: pd.Series) -> pd.Series:
+        idx5 = 5 * np.arange(N, dtype=np.int64)
+        return pd.Series([
+            mm.encode_wav((((int(d) * 13 + idx5) % 65536) - 32768)
+                          .astype(np.int16), rate=16000)
+            for d in doc_id
+        ])
+
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        make_wav(F.col("doc_id")).alias("payload"))
+    return mm.wav_sample_stats(media)
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     # exact word-3-gram Jaccard within a lang blocking key — the
     # verification-grade dedup operator (candidate sets at scale come
@@ -963,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_bmp": _q_multimodal_bmp,
+        "multimodal_wav": _q_multimodal_wav,
         "corpus_curation": _q_corpus_curation,
         "corpus_curation_full": _q_corpus_curation_full,
         "protobuf_packed": _q_protobuf_packed,
@@ -1315,6 +1344,20 @@ def oracle_sql() -> dict[str, str]:
                  AS n_bright,
                CAST(list_sum(list_transform(range(0, 210),
                     i -> i * ((doc_id*31 + 7*i) % 256))) AS BIGINT)
+                 AS pos_checksum
+        FROM documents
+        """,
+        "multimodal_wav": """
+        SELECT doc_id AS media_id, 16000 AS rate,
+               CAST(256 AS BIGINT) AS n_samples,
+               CAST(list_sum(list_transform(range(0, 256),
+                    i -> (doc_id*13 + 5*i) % 65536 - 32768)) AS BIGINT)
+                 AS sum_s,
+               CAST(len(list_filter(range(0, 256),
+                    i -> (doc_id*13 + 5*i) % 65536 > 32768)) AS BIGINT)
+                 AS n_pos,
+               CAST(list_sum(list_transform(range(0, 256),
+                    i -> i * ((doc_id*13 + 5*i) % 65536 - 32768))) AS BIGINT)
                  AS pos_checksum
         FROM documents
         """,

@@ -240,6 +240,86 @@ def bmp_pixel_stats(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Real codec #2: WAV (RIFF header + 16-bit PCM — pure struct/numpy)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16[n] mono PCM → RIFF/WAVE bytes (fmt chunk + data chunk)."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav needs int16[n] mono")
+    data = samples.tobytes()  # little-endian on all supported platforms
+    fmt = _struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    out = (b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE"
+           + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+           + b"data" + _struct.pack("<I", len(data)) + data)
+    return out
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE bytes → (sample_rate, int16[n]).  PCM16 mono/stereo
+    only; walks the chunk list (extra chunks like LIST are skipped, as a
+    real reader must)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        ln = _struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = _struct.unpack_from(
+                "<HHIIHH", body, 0)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    if channels and channels > 1:
+        samples = samples.reshape(-1, channels)
+    return rate, samples
+
+
+def wav_sample_stats(df: DataFrame, payload_col: str = "payload",
+                     id_col: str = "media_id") -> DataFrame:
+    """Integer PCM statistics through the REAL WAV decode, Arrow-batched:
+    (media_id, rate, n_samples, sum_s, n_pos, pos_checksum) — the audio
+    sibling of :func:`bmp_pixel_stats`, with the same position-weighted
+    checksum discipline (byte-order or chunk-walk bugs break the hash)."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_s", T.LongType()),
+        T.StructField("n_pos", T.LongType()),
+        T.StructField("pos_checksum", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx_cache: dict = {}
+        for b in batches:
+            rows = []
+            for mid, p in zip(b[id_col], b[payload_col]):
+                rate, s = decode_wav(bytes(p))
+                s = s.reshape(-1).astype(np.int64)
+                idx = idx_cache.get(s.size)
+                if idx is None:
+                    idx = np.arange(s.size, dtype=np.int64)
+                    idx_cache[s.size] = idx
+                rows.append((int(mid), rate, s.size, int(s.sum()),
+                             int((s > 0).sum()), int((idx * s).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "rate", "n_samples", "sum_s", "n_pos",
+                "pos_checksum"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms).
 

@@ -259,6 +259,54 @@ def test_bmp_pixel_stats_matches_integer_math(spark):
         assert r.pos_checksum == int((np.arange(n) * flat).sum())
 
 
+def test_wav_codec_roundtrip_and_chunks():
+    """WAV codec: encode→decode roundtrip, chunk-walking past extra
+    chunks (LIST before data, as real files have), word-alignment of
+    odd-length chunks, and hand-assembled reference bytes."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    s = rng.integers(-32768, 32768, size=300, dtype=np.int16)
+    rate, got = mm.decode_wav(mm.encode_wav(s, rate=22050))
+    assert rate == 22050
+    assert np.array_equal(got, s)
+    # hand-built minimal file: two samples 1, -2 little-endian
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    listc = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd+pad
+    data = struct.pack("<hh", 1, -2)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + listc + b"data" + struct.pack("<I", len(data)) + data)
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, got = mm.decode_wav(raw)
+    assert rate == 8000 and got.tolist() == [1, -2]
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFFxxxxAIFF")
+
+
+def test_wav_sample_stats_matches_integer_math(spark):
+    """wav_sample_stats through the real encode/decode equals the
+    closed-form integer math the DuckDB oracle uses."""
+    import numpy as np
+
+    N = 256
+    rows = []
+    for d in (0, 1, 17, 5040):
+        s = (((d * 13 + 5 * np.arange(N, dtype=np.int64)) % 65536)
+             - 32768).astype(np.int16)
+        rows.append((d, bytearray(mm.encode_wav(s, rate=16000))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in mm.wav_sample_stats(df).collect()}
+    for d, _ in rows:
+        s = (((d * 13 + 5 * np.arange(N, dtype=np.int64)) % 65536) - 32768)
+        r = got[d]
+        assert (r.rate, r.n_samples) == (16000, N)
+        assert r.sum_s == int(s.sum())
+        assert r.n_pos == int((s > 0).sum())
+        assert r.pos_checksum == int((np.arange(N) * s).sum())
+
+
 def test_multimodal_stats_and_frames(spark):
     media = mm.synthetic_media_df(spark, 30)
     stats = {r.kind: r.n for r in mm.media_stats(media).collect()}
