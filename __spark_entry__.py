@@ -571,6 +571,58 @@ def _q_multimodal_frames(spark, sf_dir):
     return mm.frame_sample_plan(media, every_ms=700)
 
 
+def _q_q3_shipping(spark, sf_dir):
+    """TPC-H Q3 (shipping priority), adapted to the testdata schema (no
+    o_shippriority column).  Plan shape: filters pushed to all three
+    scans, the small filtered customer dim broadcast, one shuffle for
+    the (orderkey, orderdate) aggregation; deterministic LIMIT via
+    (rounded revenue DESC, o_orderdate, l_orderkey) on both sides."""
+    cutoff = F.to_timestamp(F.lit("1996-03-15"))
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey))
+    # DECIMAL(18,4) sum: exact and associative, so Spark's and DuckDB's
+    # different summation orders cannot produce half-ulp ROUND flips
+    # (each row's double product is bit-identical across engines and
+    # rounds to an unambiguous 4-decimal value)
+    rev = F.round(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(18,4)")),
+        2).cast("double")  # HALF_UP on the exact decimal sum, both engines
+    agg = j.groupBy("l_orderkey", "o_orderdate").agg(rev.alias("revenue"))
+    return (agg.orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+            .limit(10)
+            .select("l_orderkey", "revenue", "o_orderdate"))
+
+
+def _q_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting), adapted: top-20 customers by
+    revenue lost to returns in 1996Q1.  nation broadcast; one customer-
+    grain aggregation shuffle; deterministic LIMIT tiebreak."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01"))))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey))
+    rev = F.round(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(18,4)")),
+        2).cast("double")  # see q3 note
+    agg = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        rev.alias("revenue"))
+    return (agg.orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20)
+            .select("c_custkey", "c_name", "revenue",
+                    F.round("c_acctbal", 2).alias("acctbal"), "n_name"))
+
+
 def _q_multimodal_bmp(spark, sf_dir):
     """REAL codec under the value-hash gate (no fake): a 10x7 RGB image
     whose pixel bytes are a closed-form function of doc_id is encoded to
@@ -1007,6 +1059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize_events,
         "gopher_quality": _q_gopher_quality,
         "decontam_overlap": _q_decontam_overlap,
+        "q3_shipping_priority": _q_q3_shipping,
+        "q10_returned_items": _q_q10_returned_items,
         "q4_order_priority": _q_q4_order_priority,
         "q13_cust_distribution": _q_q13_cust_distribution,
         "pii_scan": _q_pii_scan,
@@ -1477,6 +1531,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_hit_grams
         FROM t WHERE gram IN (SELECT gram FROM e) GROUP BY 1
+        """,
+        "q3_shipping_priority": """
+        SELECT l_orderkey,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+               o_orderdate
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1996-03-15'
+          AND l_shipdate > TIMESTAMP '1996-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+        """,
+        "q10_returned_items": """
+        SELECT c_custkey, c_name,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+               ROUND(c_acctbal, 2) AS acctbal, n_name
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
         """,
         "q4_order_priority": """
         SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late

@@ -81,7 +81,9 @@ HEADLINE = [
     "quantile_profile",
     "corpus_curation_full",
     "url_normalize",
+    "q3_shipping_priority",
     "q4_order_priority",
+    "q10_returned_items",
     "q13_cust_distribution",
     "q6_revenue",
     "rollup_lineitem",
