@@ -571,6 +571,35 @@ def _q_multimodal_frames(spark, sf_dir):
     return mm.frame_sample_plan(media, every_ms=700)
 
 
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) document sketches under the value-hash gate:
+    md5-word-hash shingles → sliding-window minima, full selection math
+    re-derived in SQL (oracles.winnow_fingerprints_sql)."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    return dd.winnow_fingerprint_table(docs, "doc_id", "text",
+                                       shingle_k=3, window=4)
+
+
+def _q_boilerplate_removal(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal under the value-hash
+    gate.  The documents fixture is single-line, so the multi-line
+    payload is CONSTRUCTED from raw columns (the pii_scan pattern): a
+    per-lang header and a doc_id%3-rotating footer are injected around
+    the unique text line; with min_docs=5 within the lang group, the
+    injected lines are boilerplate (shared by >=5 docs) and the real
+    content line survives — the oracle re-derives removal from the same
+    construction."""
+    docs = _t(spark, sf_dir, "documents")
+    t2 = F.concat(F.lit("Header "), F.col("lang"), F.lit("\n"),
+                  F.col("text"), F.lit("\nFooter "),
+                  (F.col("doc_id") % 3).cast("string"))
+    staged = docs.select("doc_id", "lang", t2.alias("t2"))
+    out = tx.remove_boilerplate(staged, "doc_id", "t2", "lang", min_docs=5)
+    return out.select("doc_id", F.md5("clean_text").alias("clean_fp"),
+                      "n_kept", "n_removed")
+
+
 def _q_q3_shipping(spark, sf_dir):
     """TPC-H Q3 (shipping priority), adapted to the testdata schema (no
     o_shippriority column).  Plan shape: filters pushed to all three
@@ -1059,6 +1088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": _q_sessionize_events,
         "gopher_quality": _q_gopher_quality,
         "decontam_overlap": _q_decontam_overlap,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "boilerplate_removal": _q_boilerplate_removal,
         "q3_shipping_priority": _q_q3_shipping,
         "q10_returned_items": _q_q10_returned_items,
         "q4_order_priority": _q_q4_order_priority,
@@ -1339,6 +1370,8 @@ def oracle_sql() -> dict[str, str]:
         # Seeded-hash pipelines: full math re-derived in SQL (oracles.py).
         "minhash_pairs": orc.minhash_pairs_sql(
             num_hashes=32, bands=8, shingle_k=3, min_jaccard=0.4),
+        "winnow_fingerprints": orc.winnow_fingerprints_sql(
+            shingle_k=3, window=4),
         "minhash_verify": orc.minhash_verify_sql(
             num_hashes=32, bands=8, shingle_k=3, k=3, min_jaccard=0.3),
         "stream_doc_violations": """
@@ -1531,6 +1564,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_hit_grams
         FROM t WHERE gram IN (SELECT gram FROM e) GROUP BY 1
+        """,
+        "boilerplate_removal": f"""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 'Header ' || lang || chr(10) || text || chr(10)
+                 || 'Footer ' || CAST(doc_id % 3 AS VARCHAR) AS t2
+          FROM documents
+        ), ls AS (
+          SELECT doc_id, lang,
+                 unnest(string_split(t2, chr(10))) AS raw,
+                 unnest(range(1, len(string_split(t2, chr(10))) + 1))
+                   AS pos
+          FROM d
+        ), lines AS (
+          SELECT doc_id, lang AS grp, pos,
+                 regexp_replace(raw, '{tx.LINE_TRIM_RE}', '', 'g') AS line
+          FROM ls
+          WHERE regexp_replace(raw, '{tx.LINE_TRIM_RE}', '', 'g') <> ''
+        ), bp AS (
+          SELECT grp, line
+          FROM (SELECT DISTINCT doc_id, grp, line FROM lines)
+          GROUP BY grp, line HAVING COUNT(*) >= 5
+        ), kept AS (
+          SELECT l.doc_id, l.pos, l.line
+          FROM lines l ANTI JOIN bp b
+            ON l.grp = b.grp AND l.line = b.line
+        ), rebuilt AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                 CAST(COUNT(*) AS BIGINT) AS n_kept
+          FROM kept GROUP BY doc_id
+        ), totals AS (
+          SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               md5(COALESCE(r.clean_text, '')) AS clean_fp,
+               CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(COALESCE(t.n_lines, 0) - COALESCE(r.n_kept, 0)
+                    AS BIGINT) AS n_removed
+        FROM d
+        LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        LEFT JOIN totals t ON d.doc_id = t.doc_id
         """,
         "q3_shipping_priority": """
         SELECT l_orderkey,

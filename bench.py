@@ -81,6 +81,8 @@ HEADLINE = [
     "quantile_profile",
     "corpus_curation_full",
     "url_normalize",
+    "boilerplate_removal",
+    "winnow_fingerprints",
     "q3_shipping_priority",
     "q4_order_priority",
     "q10_returned_items",

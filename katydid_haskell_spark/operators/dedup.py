@@ -235,6 +235,51 @@ def minhash_features_udf(num_hashes: int = 64, shingle_k: int = 5):
     return feats
 
 
+def winnow_fingerprints_udf(shingle_k: int = 5, window: int = 4):
+    """pandas UDF: text → sorted distinct window-min shingle hashes — the
+    winnowing document sketch (Schleimer et al., SIGMOD 2003 / MOSS).
+
+    Guarantee: any shared word run of ≥ window+shingle_k-1 words between
+    two documents yields at least one shared fingerprint, while the
+    sketch keeps only ~1/window of the shingle hashes — the
+    local-sampling property plain min-hash lacks.  Uses the md5 word
+    hashes so the DuckDB oracle re-derives identical sketches.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    @pandas_udf("array<long>")
+    def fps(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            hh = _shingle_hash_arr(t or "", shingle_k)
+            if len(hh) <= window:
+                out.append([int(hh.min())])
+            else:
+                mins = sliding_window_view(hh, window).min(axis=1)
+                out.append(sorted(set(mins.tolist())))
+        return pd.Series(out)
+
+    return fps
+
+
+def winnow_fingerprint_table(df: DataFrame, id_col: str, text_col: str,
+                             shingle_k: int = 5,
+                             window: int = 4) -> DataFrame:
+    """(doc_id, fp) rows: the exploded winnowing sketch — the join-ready
+    staged table for substring-level dedup (two docs sharing a ≥
+    window+shingle_k-1-word run are guaranteed ≥1 common fp, so a
+    groupBy(fp) finds them with one shuffle of (fp, id) pairs, never
+    text)."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            winnow_fingerprints_udf(shingle_k, window)(
+                F.col(text_col)).alias("fps"),
+        )
+        .select("doc_id", F.explode("fps").alias("fp"))
+    )
+
+
 def simhash_udf(bits: int = 64, shingle_k: int = 2):
     """pandas UDF: text → 64-bit SimHash (vectorized sign-sum)."""
     shifts = np.arange(bits, dtype=np.uint64)

@@ -363,6 +363,96 @@ def fingerprint(col: Column) -> Column:
     return F.xxhash64(normalize_ws(col))
 
 
+# ---------------------------------------------------------------------------
+# CCNet-style line-level boilerplate removal
+# ---------------------------------------------------------------------------
+
+
+def _doc_lines(df: DataFrame, id_col: str, text_col: str,
+               group_col: str) -> DataFrame:
+    """(grp, doc_id, pos, line): trimmed non-empty lines with their
+    original position.  Explicit trim set (LINE_TRIM_RE) so the DuckDB
+    oracle re-derives the identical lines on CRLF/tab text."""
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n"))
+            .alias("pos", "raw"),
+        )
+        .select(
+            "grp", "doc_id", "pos",
+            F.regexp_replace(F.col("raw"), LINE_TRIM_RE, "").alias("line"))
+        .filter(F.col("line") != "")
+    )
+
+
+def boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
+                      group_col: str, min_docs: int = 3) -> DataFrame:
+    """Lines appearing in ≥ ``min_docs`` DISTINCT documents within a
+    group — the CCNet-style boilerplate signal (nav menus, cookie
+    banners, footers repeat across a host's pages; real content doesn't).
+
+    Returns (grp, line, n_docs).  Plan: explode lines → per-(doc, grp,
+    line) distinct → one count shuffle keyed (grp, line).  The group
+    column is the blocking key (host at crawl scale); nothing compares
+    lines ACROSS groups, so the shuffle partitions by (grp, line) and
+    hot boilerplate cannot concentrate a single reducer beyond one
+    line's count rows.
+    """
+    lines = _doc_lines(df, id_col, text_col, group_col)
+    return (
+        lines.select("grp", "doc_id", "line").distinct()
+        .groupBy("grp", "line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(df: DataFrame, id_col: str, text_col: str,
+                       group_col: str, min_docs: int = 3) -> DataFrame:
+    """Per document: text with the group's boilerplate lines removed.
+
+    Returns (doc_id, clean_text, n_kept, n_removed) for EVERY input
+    document (a fully-boilerplate document keeps an empty clean_text).
+    clean_text is normalized to trimmed non-empty lines joined by \\n in
+    original order — the same line semantics as the Gopher repetition
+    features.  Plan: the boilerplate set joins back on (grp, line)
+    (left anti), then ONE reassembly shuffle keyed by doc groups the
+    surviving (pos, line) pairs; lines (not whole documents) are the
+    largest payload any shuffle carries.
+    """
+    lines = _doc_lines(df, id_col, text_col, group_col)
+    bp = boilerplate_lines(df, id_col, text_col, group_col, min_docs)
+    kept = lines.join(bp.select("grp", "line"), ["grp", "line"],
+                      "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.getField("line"),
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"))
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.coalesce("n_lines", F.lit(0))
+             - F.coalesce("n_kept", F.lit(0))).cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def shingles(col: Column, k: int = 5) -> Column:
     """Array of k-word shingles (strings) from normalized text."""
     ws = words(col)

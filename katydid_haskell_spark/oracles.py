@@ -173,6 +173,26 @@ def minhash_verify_sql(num_hashes: int = 32, bands: int = 8,
     """
 
 
+def winnow_fingerprints_sql(shingle_k: int = 5, window: int = 4) -> str:
+    """Winnowing sketch in SQL: same wh→hh chain, then the window-min
+    selection (list comprehension over sliding windows) with the same
+    ≤window whole-min fallback as the UDF."""
+    w = window
+    return f"""
+    WITH {_shingle_ctes(shingle_k)},
+    fps AS (
+      SELECT doc_id,
+             CASE WHEN len(hh) <= {w} THEN [list_min(hh)]
+                  ELSE list_sort(list_distinct(
+                       [list_min(hh[i:i+{w - 1}])
+                        for i in range(1, len(hh)-{w}+2)]))
+             END AS fp
+      FROM hh
+    )
+    SELECT doc_id, CAST(unnest(fp) AS BIGINT) AS fp FROM fps
+    """
+
+
 def simhash_pairs_sql(max_hamming: int = 8, shingle_k: int = 2) -> str:
     """Full simhash pipeline in SQL.  The Spark operator's ``max_bucket``
     cap (512) cannot bind at oracle scale (sf0.01 = 500 docs), so it is

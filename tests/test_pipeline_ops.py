@@ -47,6 +47,36 @@ def test_minhash_lsh(spark, docs):
     assert not any({3, 4} == {a, b} or {4, 5} == {a, b} for a, b in got)
 
 
+def test_winnowing_guarantee(spark):
+    """The winnowing property: documents sharing a word run of length >=
+    window+k-1 MUST share at least one fingerprint; the sketch keeps a
+    fraction of the shingle hashes; unrelated docs share nothing."""
+    k, w = 3, 4
+    shared = "the quick brown fox jumps over seventeen lazy dogs tonight"
+    rows = [
+        (0, f"intro words here {shared} and a tail"),
+        (1, f"{shared} completely different ending text"),
+        (2, "unrelated content about database query planning internals"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in dd.winnow_fingerprint_table(df, "doc_id", "text",
+                                         shingle_k=k, window=w).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[0] & fps[1], "shared run must share a fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+    # sketch is a strict subsample of the shingle set for long docs
+    from katydid_haskell_spark.operators.dedup import _shingle_hash_arr
+    n_shingles = len(_shingle_hash_arr(rows[0][1], k))
+    assert len(fps[0]) < n_shingles
+    # short doc (< window shingles): single whole-min fingerprint
+    short = spark.createDataFrame([(9, "two words")],
+                                  "doc_id long, text string")
+    got = dd.winnow_fingerprint_table(short, "doc_id", "text",
+                                      shingle_k=k, window=w).collect()
+    assert len(got) == 1
+
+
 def test_minhash_verified_pairs(spark, docs):
     """LSH candidates re-verified on exact word n-grams: exact dups score
     1.0, near-dups land between, unrelated docs never become candidates."""
@@ -760,6 +790,40 @@ def test_whitespace_parity_crlf_tab_vt(spark):
     for doc_id, lines in want_lines:
         assert lines_spark[doc_id] == lines, doc_id
     con.close()
+
+
+def test_boilerplate_removal(spark):
+    """CCNet-style line dedup: lines shared by >= min_docs docs within a
+    group are stripped; unique content, order and all-boilerplate docs
+    behave as specified."""
+    rows = [
+        (0, "h1", "Cookie banner\nreal content zero\nFooter"),
+        (1, "h1", "Cookie banner\nreal content one\nFooter"),
+        (2, "h1", "Cookie banner\nreal content two\n  Footer  "),  # pad
+        (3, "h1", "Cookie banner\nFooter"),            # all boilerplate
+        (4, "h2", "Cookie banner\nother host keeps it"),  # diff group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    bp = {(r.grp, r.line): r.n_docs for r in tx.boilerplate_lines(
+        df, "doc_id", "text", "host", min_docs=3).collect()}
+    assert bp == {("h1", "Cookie banner"): 4, ("h1", "Footer"): 4}
+    out = {r.doc_id: r for r in tx.remove_boilerplate(
+        df, "doc_id", "text", "host", min_docs=3).collect()}
+    assert len(out) == 5
+    assert out[0].clean_text == "real content zero"
+    assert (out[0].n_kept, out[0].n_removed) == (1, 2)
+    assert out[3].clean_text == "" and out[3].n_kept == 0
+    assert out[3].n_removed == 2
+    # h2 is its own group: below min_docs, nothing removed
+    assert out[4].clean_text == "Cookie banner\nother host keeps it"
+    # multi-line order preserved
+    df2 = spark.createDataFrame(
+        [(0, "h", "bp\nalpha\nbeta\ngamma"), (1, "h", "bp\nx"),
+         (2, "h", "bp\ny")],
+        "doc_id long, host string, text string")
+    out2 = {r.doc_id: r.clean_text for r in tx.remove_boilerplate(
+        df2, "doc_id", "text", "host", min_docs=3).collect()}
+    assert out2[0] == "alpha\nbeta\ngamma"
 
 
 def test_repetition_flag(spark):
