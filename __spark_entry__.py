@@ -389,6 +389,53 @@ def _q_stream_doc_violations(spark, sf_dir):
         F.col("url").cast("bigint").alias("doc_id"), "rule_id")
 
 
+def _q_stream_windowed_verdicts(spark, sf_dir):
+    """Watermarked event-time WINDOWED aggregation over a stream — the
+    second streaming surface under the value-hash gate (the first,
+    stream_doc_violations, is append-mode per-row).  File stream over
+    the events table -> withWatermark + 1-hour window pass-rate rollup
+    (streaming/windowed_verdicts) -> complete-mode memory sink, one
+    availableNow pass.  Complete mode emits every window, so the result
+    is batch-equal and the oracle is a plain hour-bucket GROUP BY; the
+    watermark/late-data behaviors stay in test_streaming."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from katydid_haskell_spark.plans.checkplan import CheckPlan, RowRule
+    from katydid_haskell_spark.streaming.stream_checks import (
+        windowed_verdicts,
+    )
+
+    tag = hashlib.md5((sf_dir + ":events").encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(sch).parquet(d)
+    # parquet ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP.  The
+    # session timezone is UTC (session.py), so the cast preserves wall
+    # clock and hour windows line up with DuckDB's naive DATE_TRUNC.
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = CheckPlan(row_rules=[
+        RowRule("value_pos", ".value: -> gt($double, double(0.0))"),
+        RowRule("type_known",
+                '.event_type *= []string{"click","view","purchase"}'),
+    ])
+    out = windowed_verdicts(stream, plan, ts_col="ts", window="1 hour",
+                            watermark="2 hours")
+    name = "stream_win_" + uuid.uuid4().hex[:12]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        "window_start", "window_end", "rows_checked",
+        "pass_value_pos", "pass_type_known")
+
+
 def _q_xml_validate(spark, sf_dir):
     """XML source under the value-hash gate: XML is CONSTRUCTED in-query
     from table columns, so the oracle re-derives the verdict from the raw
@@ -1067,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": _q_dedup_clusters_star,
         "heavy_hitter_langs": _q_heavy_hitter_langs,
         "stream_doc_violations": _q_stream_doc_violations,
+        "stream_windowed_verdicts": _q_stream_windowed_verdicts,
         "xml_validate": _q_xml_validate,
         "protobuf_validate": _q_protobuf_validate,
         "multimodal_resize": _q_multimodal_resize,
@@ -1380,6 +1428,17 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT doc_id, 'lang_known' AS rule_id FROM documents
         WHERE lang IS NULL OR lang NOT IN ('en','de','fr','es')
+        """,
+        "stream_windowed_verdicts": """
+        SELECT DATE_TRUNC('hour', ts) AS window_start,
+               DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               CAST(COUNT(*) AS BIGINT) AS rows_checked,
+               CAST(SUM(CASE WHEN COALESCE(value > 0.0, FALSE)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS pass_value_pos,
+               CAST(SUM(CASE WHEN COALESCE(event_type IN
+                        ('click','view','purchase'), FALSE)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS pass_type_known
+        FROM events GROUP BY 1
         """,
         "xml_validate": """
         SELECT doc_id,

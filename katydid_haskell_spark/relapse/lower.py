@@ -146,7 +146,7 @@ def label_type_of(dt: T.DataType) -> Optional[str]:
     ty = _ATOMIC.get(type(dt))
     if ty is not None:
         return ty
-    if isinstance(dt, T.TimestampType):
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return INT  # exposed as epoch seconds ($int)
     if isinstance(dt, T.DateType):
         return STRING  # exposed as ISO yyyy-MM-dd ($string)
@@ -157,7 +157,7 @@ def label_type_of(dt: T.DataType) -> Optional[str]:
 
 def scalar_column(col: Column, dt: T.DataType) -> Column:
     """The column as its label-typed value."""
-    if isinstance(dt, T.TimestampType):
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         return col.cast("long")
     if isinstance(dt, T.DateType):
         return col.cast("string")

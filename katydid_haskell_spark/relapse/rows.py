@@ -21,7 +21,7 @@ from .lower import label_type_of
 
 
 def _scalar_label(value: Any, dt: T.DataType, ty: str) -> Label:
-    if isinstance(dt, T.TimestampType):
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
         if isinstance(value, _dt.datetime):
             epoch = _dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
             value = int((value - epoch).total_seconds())
