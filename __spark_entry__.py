@@ -436,6 +436,42 @@ def _q_stream_windowed_verdicts(spark, sf_dir):
         "pass_value_pos", "pass_type_known")
 
 
+def _q_stream_monotonic(spark, sf_dir):
+    """applyInPandasWithState custom stateful check under the value-hash
+    gate — the third streaming surface (append per-row, windowed agg,
+    now arbitrary per-key state).  Per user, event_id must be
+    non-decreasing in (ts, event_id) order; violations emit
+    (user_id, prev_seq = running max, seq).  sort_within_batch makes the
+    single availableNow batch exactly batch-equal to a running-max
+    window, which is the oracle's form."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from katydid_haskell_spark.streaming.stream_checks import (
+        monotonic_check,
+    )
+
+    tag = hashlib.md5((sf_dir + ":events").encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    sch = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (spark.readStream.schema(sch).parquet(d)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = monotonic_check(stream, key_col="user_id", seq_col="event_id",
+                          ts_col="ts", watermark="2 hours",
+                          sort_within_batch=True)
+    name = "stream_mono_" + uuid.uuid4().hex[:12]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select("user_id", "prev_seq", "seq")
+
+
 def _q_xml_validate(spark, sf_dir):
     """XML source under the value-hash gate: XML is CONSTRUCTED in-query
     from table columns, so the oracle re-derives the verdict from the raw
@@ -1115,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_langs": _q_heavy_hitter_langs,
         "stream_doc_violations": _q_stream_doc_violations,
         "stream_windowed_verdicts": _q_stream_windowed_verdicts,
+        "stream_monotonic": _q_stream_monotonic,
         "xml_validate": _q_xml_validate,
         "protobuf_validate": _q_protobuf_validate,
         "multimodal_resize": _q_multimodal_resize,
@@ -1439,6 +1476,18 @@ def oracle_sql() -> dict[str, str]:
                         ('click','view','purchase'), FALSE)
                         THEN 1 ELSE 0 END) AS BIGINT) AS pass_type_known
         FROM events GROUP BY 1
+        """,
+        "stream_monotonic": """
+        WITH ordered AS (
+          SELECT user_id, event_id,
+                 MAX(event_id) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_max
+          FROM events
+        )
+        SELECT user_id, prev_max AS prev_seq, event_id AS seq
+        FROM ordered WHERE event_id < prev_max
         """,
         "xml_validate": """
         SELECT doc_id,

@@ -71,11 +71,21 @@ def windowed_verdicts(stream: DataFrame, plan: CheckPlan, ts_col: str,
 
 
 def monotonic_check(stream: DataFrame, key_col: str, seq_col: str,
-                    ts_col: str, watermark: str = "2 minutes") -> DataFrame:
+                    ts_col: str, watermark: str = "2 minutes",
+                    sort_within_batch: bool = False) -> DataFrame:
     """Custom stateful rule: per key, seq values must be non-decreasing.
 
-    Emits one row per violation (key, prev_seq, seq).  State = last seen
-    seq per key, managed by applyInPandasWithState.
+    Emits one row per violation (key, prev_seq, seq) where prev_seq is
+    the running maximum seen so far.  State = last seen max per key,
+    managed by applyInPandasWithState.
+
+    ``sort_within_batch=True`` orders each micro-batch's group rows by
+    (ts, seq) before scanning — arrival order within a group is not
+    deterministic across runs, so this is what makes the check
+    REPLAYABLE (and, for a single availableNow batch, exactly
+    batch-equal to a running-max window over (ts, seq) order — the
+    DuckDB-oracled form).  It materializes one group's micro-batch rows
+    at a time; state across batches stays one long per key either way.
     """
     out_schema = f"{key_col} long, prev_seq long, seq long"
     state_schema = "last long"
@@ -83,7 +93,12 @@ def monotonic_check(stream: DataFrame, key_col: str, seq_col: str,
     def fn(key, pdfs, state: GroupState):
         last = state.get[0] if state.exists else None
         rows = []
-        for pdf in pdfs:
+        if sort_within_batch:
+            pdf = pd.concat(list(pdfs), ignore_index=True)
+            chunks = [pdf.sort_values([ts_col, seq_col])]
+        else:
+            chunks = pdfs
+        for pdf in chunks:
             for s in pdf[seq_col].tolist():
                 if last is not None and s < last:
                     rows.append((key[0], last, s))
