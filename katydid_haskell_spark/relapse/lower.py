@@ -157,8 +157,13 @@ def label_type_of(dt: T.DataType) -> Optional[str]:
 
 def scalar_column(col: Column, dt: T.DataType) -> Column:
     """The column as its label-typed value."""
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+    if isinstance(dt, T.TimestampType):
         return col.cast("long")
+    if isinstance(dt, T.TimestampNTZType):
+        # NTZ has no direct long cast; via TIMESTAMP under the UTC
+        # session (session.py) the wall clock becomes epoch seconds —
+        # the same value rows.py computes for a naive datetime
+        return col.cast("timestamp").cast("long")
     if isinstance(dt, T.DateType):
         return col.cast("string")
     if isinstance(dt, T.DecimalType):

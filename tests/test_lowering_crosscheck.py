@@ -180,3 +180,27 @@ def test_applicative_or_error_propagation(spark):
     auto = [r["m"] for r in
             jdf.select(validate_json_column(F.col("doc"), spec).alias("m")).collect()]
     assert auto == want_json == [False, False]
+
+
+def test_timestamp_ntz_lowers_as_epoch_int(spark):
+    """TIMESTAMP and TIMESTAMP_NTZ columns both expose as $int epoch
+    seconds in the lowering AND the row-to-forest engine path (parquet
+    event tables carry NTZ; round 5)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from katydid_haskell_spark.relapse.rows import row_to_forest
+
+    spec = ".ts >= 1000000000"
+    g = compile_grammar(parse_grammar(spec))
+    for ts_type in (T.TimestampType(), T.TimestampNTZType()):
+        schema = T.StructType([T.StructField("ts", ts_type)])
+        rows = [(dt.datetime(2010, 1, 1),), (dt.datetime(1980, 1, 1),),
+                (None,)]
+        sdf = spark.createDataFrame(rows, schema)
+        lowered = [r["m"] for r in sdf.select(
+            compile_to_column(g, schema).alias("m")).collect()]
+        pure = [Validator(g).validate(
+            row_to_forest({"ts": r[0]}, schema)) for r in rows]
+        assert lowered == pure == [True, False, False], ts_type
