@@ -139,6 +139,31 @@ CASES = [
     ('.doc: -> eq(toLower($string), "x")', DOC, False),
 ]
 
+FIVE = {"a": {"b": {"c": {"d": {"e": "leaf", "n": 7}}}}}
+MIXED = {"rec": {"title": "Spark Rules", "year": 2024,
+                 "author": {"first": "ada", "last": "byron"}}}
+
+CASES += [
+    # 5-level nesting, both verdicts
+    ('.a: .b: .c: .d: .e == "leaf"', FIVE, True),
+    ('.a: .b: .c: .d: .e == "wrong"', FIVE, False),
+    ('.a: .b: .c: .d: {e: *; n: >= 7}', FIVE, True),
+    # length + substring + suffix through each decoder's text handling
+    ('.rec: .title: -> eq(length($string), 11)', MIXED, True),
+    ('.rec: .title *= "ark R"', MIXED, True),
+    ('.rec: .author: .last $= "ron"', MIXED, True),
+    ('.rec: .author: .last ^= "by"', MIXED, True),
+    ('.rec: .author: .first $= "ron"', MIXED, False),
+    # int leaf through XML's text re-parse and protobuf varint
+    ('.rec: (.year > 2020 & .year < 2030)', MIXED, True),
+    ('.rec: .year: -> type($string)', MIXED, False),
+    # negation over a deep path
+    ('rec: !(.author: .first == "ada")', MIXED, False),
+    # concat at depth: author fields are ordered (first, last)
+    ('.rec: .author: [first: *, last: *]', MIXED, True),
+    ('.rec: .author: [last: *, first: *]', MIXED, False),
+]
+
 
 def _verdicts(spec: str, tree: dict) -> dict:
     """Verdict per (encoding, engine) for one case."""
