@@ -389,8 +389,10 @@ def _scaling_child_run(cores: int, tmp: str, pinned: bool) -> dict:
     load_before = _load1()
     p = subprocess.run(cmd, capture_output=True, text=True,
                        cwd=os.path.dirname(__file__) or ".")
-    line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-    out = json.loads(line)
+    lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+    assert lines, (f"scaling child (cores={cores}, pinned={pinned}) "
+                   f"emitted no JSON; stderr: {p.stderr[-2000:]}")
+    out = json.loads(lines[-1])
     out["load1_before"] = load_before
     out["pinned"] = pinned and bool(_pin_prefix(cores))
     return out

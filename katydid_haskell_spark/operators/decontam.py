@@ -88,16 +88,17 @@ def _semi_join_guarded(probe: DataFrame, build: DataFrame, key: str,
     huge eval side never pays a full count) decides: under the threshold
     → explicit broadcast hash join (map-side, no shuffle of the corpus
     grams); over it → plain shuffle join, where Catalyst/AQE pick the
-    strategy for two genuinely large sides.  The build side is persisted
-    across probe + join so the guard costs one small count JOB, not a
-    recompute of the gram pipeline; in the over-threshold branch the
-    (large) cache is dropped again and the shuffle join recomputes.
+    strategy for two genuinely large sides.  The guard counts BUILD ROWS
+    — the actual broadcast payload — which on the left-semi path (build
+    already collapsed to DISTINCT grams) equals the distinct gram count,
+    and on the inner path ((gram, eval_id) rows) is the conservative
+    upper bound on it.  Deliberately NOT persisted: the probe costs one
+    recompute of the (small, eval-side) gram pipeline instead of leaking
+    a session-lifetime cache entry per call.
     """
-    build = build.persist()
     n_build = build.limit(max_grams + 1).count()
     if n_build <= max_grams:
         return probe.join(F.broadcast(build), key, how)
-    build.unpersist()
     return probe.join(build, key, how)
 
 

@@ -152,7 +152,7 @@ def minhash_verify_sql(num_hashes: int = 32, bands: int = 8,
     WITH {_minhash_cand_ctes(num_hashes, bands, shingle_k, max_bucket)},
     ws_t AS (
       SELECT doc_id,
-             list_filter(string_split_regex(lower(text),
+             list_filter(string_split_regex(lower(COALESCE(text, '')),
                          '[^a-zA-Z0-9'']+'), w -> w != '') AS ws
       FROM documents
     ),
