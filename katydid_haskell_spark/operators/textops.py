@@ -53,6 +53,23 @@ def words(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), _WORD_SPLIT), lambda w: w != "")
 
 
+def line_array(col: Column) -> Column:
+    """Trimmed non-empty lines in original order, as ONE array column.
+
+    The canonical line semantics shared by the Gopher repetition
+    features, boilerplate removal and their DuckDB oracles: split on
+    ``\\n``, trim each line with the explicit set (NOT ``F.trim``, which
+    is space-only — CRLF and tab-padded crawl text must trim identically
+    here, in the Arrow UDF ``str.strip(LINE_STRIP_CHARS)`` and in the
+    oracle SQL), drop empties.  Null text yields an empty array.
+    """
+    return F.filter(
+        F.transform(F.split(F.coalesce(col, F.lit("")), "\n"),
+                    lambda l: F.regexp_replace(l, LINE_TRIM_RE, "")),
+        lambda l: l != "",
+    )
+
+
 def token_count_ws(col: Column) -> Column:
     """Whitespace token count."""
     return F.size(F.filter(F.split(col, WS_RE), lambda w: w != ""))
@@ -252,14 +269,7 @@ def repetition_features(col: Column) -> Column:
     element (measured ~8ms/doc).  Production uses
     :func:`repetition_features_udf` (bit-identical, parity-tested).
     """
-    lines = F.filter(
-        # explicit trim set (NOT F.trim, which is space-only): CRLF and
-        # tab-padded crawl text must trim identically here, in the Arrow
-        # UDF (str.strip(LINE_STRIP_CHARS)) and in the DuckDB oracle
-        F.transform(F.split(col, "\n"),
-                    lambda l: F.regexp_replace(l, LINE_TRIM_RE, "")),
-        lambda l: l != "",
-    )
+    lines = line_array(col)
     n_lines = F.size(lines)
     n_bullet = F.size(F.filter(lines, lambda l: l.rlike("^[-*•]")))
     n_ellipsis = F.size(
@@ -409,47 +419,78 @@ def boilerplate_lines(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+#: Boilerplate (grp, line-hash) rows above which the per-group hash
+#: arrays fall back from broadcast to a shuffle join in
+#: :func:`remove_boilerplate` — same guarded-broadcast discipline as
+#: ``decontam.BROADCAST_MAX_GRAMS`` (~2M 8-byte hashes + group keys is
+#: tens of MB, comfortably inside a per-executor broadcast budget).
+BP_BROADCAST_MAX = 2_000_000
+
+
 def remove_boilerplate(df: DataFrame, id_col: str, text_col: str,
-                       group_col: str, min_docs: int = 3) -> DataFrame:
+                       group_col: str, min_docs: int = 3,
+                       broadcast_max: int = BP_BROADCAST_MAX) -> DataFrame:
     """Per document: text with the group's boilerplate lines removed.
 
     Returns (doc_id, clean_text, n_kept, n_removed) for EVERY input
     document (a fully-boilerplate document keeps an empty clean_text).
     clean_text is normalized to trimmed non-empty lines joined by \\n in
     original order — the same line semantics as the Gopher repetition
-    features.  Plan: the boilerplate set joins back on (grp, line)
-    (left anti), then ONE reassembly shuffle keyed by doc groups the
-    surviving (pos, line) pairs; lines (not whole documents) are the
-    largest payload any shuffle carries.
+    features (shared :func:`line_array`).
+
+    Plan — NO text-bearing shuffle (the curation-family invariant):
+
+    1. Count on ``xxhash64(line)`` (8 bytes), never line text: per-doc
+       distinct hashes map-side (``array_distinct``), then ONE shuffle
+       keyed (grp, h) with map-side partial counts → the boilerplate
+       set, ``localCheckpoint``-ed (it is small — only lines repeated
+       ≥ min_docs survive — and the checkpoint makes the broadcast
+       guard's count free instead of a second corpus pass).
+    2. Collapse to one (grp, array<hash>) row per group — bounded by
+       distinct repeated lines per group — and join it back to the
+       documents: broadcast under ``broadcast_max`` total (grp, h) rows
+       (the common case; guarded count decides), else one shuffle join
+       on grp where the per-group array, not exploded lines, is the
+       joined payload.
+    3. Rebuild MAP-SIDE: re-split the text in place and drop lines
+       whose hash is in the group's array — document text never crosses
+       an exchange in either branch.
+
+    A 64-bit hash collision between a boilerplate and a content line
+    within one group would drop the content line; at 10^12 docs the
+    within-group birthday bound (groups are hosts, ≤~10^6 distinct
+    lines) keeps the per-group collision odds < 10^-7.
     """
-    lines = _doc_lines(df, id_col, text_col, group_col)
-    bp = boilerplate_lines(df, id_col, text_col, group_col, min_docs)
-    kept = lines.join(bp.select("grp", "line"), ["grp", "line"],
-                      "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s.getField("line"),
-            ),
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    totals = lines.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_lines"))
-    base = df.select(F.col(id_col).alias("doc_id"))
-    return (
-        base.join(totals, "doc_id", "left")
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            (F.coalesce("n_lines", F.lit(0))
-             - F.coalesce("n_kept", F.lit(0))).cast("long")
-            .alias("n_removed"),
+    lines_arr = line_array(F.col(text_col))
+    hashes = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(lines_arr, lambda l: F.xxhash64(l)))
+            ).alias("h"),
         )
+        .groupBy("grp", "h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("grp", "h")
+    ).localCheckpoint(eager=True)
+    bp_by_grp = hashes.groupBy("grp").agg(
+        F.collect_list("h").alias("_bp_hs"))
+    if hashes.count() <= broadcast_max:
+        bp_by_grp = F.broadcast(bp_by_grp)
+    joined = df.join(
+        bp_by_grp, F.col(group_col) == bp_by_grp["grp"], "left")
+    keep = lambda l: (  # noqa: E731 — HOF predicate, shared below
+        F.col("_bp_hs").isNull()
+        | ~F.array_contains(F.col("_bp_hs"), F.xxhash64(l)))
+    kept_arr = F.filter(lines_arr, keep)
+    return joined.select(
+        F.col(id_col).alias("doc_id"),
+        F.concat_ws("\n", kept_arr).alias("clean_text"),
+        F.size(kept_arr).cast("long").alias("n_kept"),
+        (F.size(lines_arr) - F.size(kept_arr)).cast("long")
+        .alias("n_removed"),
     )
 
 

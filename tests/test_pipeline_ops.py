@@ -942,6 +942,30 @@ def test_normalize_url_hand_checked(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_boilerplate_plan_no_text_shuffle(spark):
+    """Round-6 scale fix guard: remove_boilerplate must never put line
+    or document TEXT through an exchange — counting is on xxhash64(line)
+    and the rebuild is map-side behind a broadcast of per-group hash
+    arrays (the guarded default at test scale)."""
+    df = spark.createDataFrame(
+        [(i, "h%d" % (i % 2), "bp line\ncontent %d" % i)
+         for i in range(12)],
+        "doc_id long, host string, text string")
+    out = tx.remove_boilerplate(df, "doc_id", "text", "host", min_docs=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    ex_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert ex_lines, "expected the per-group hash-array exchange"
+    for l in ex_lines:
+        assert "text" not in l, f"text column crosses an exchange: {l}"
+    # shuffle-join fallback branch (broadcast_max=0) must agree exactly
+    base = sorted(out.collect())
+    fb = sorted(tx.remove_boilerplate(
+        df, "doc_id", "text", "host", min_docs=3,
+        broadcast_max=0).collect())
+    assert fb == base
+
+
 def test_decontam_plan_is_semi_join(spark):
     """Regression guard for the round-4 scale fix: the default overlap
     must probe a broadcast DISTINCT gram set with a LEFT SEMI join (join
