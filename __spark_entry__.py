@@ -768,6 +768,41 @@ def _q_multimodal_bmp(spark, sf_dir):
     return mm.bmp_pixel_stats(media)
 
 
+def _q_multimodal_png(spark, sf_dir):
+    """REAL compressed codec under the value-hash gate: a 6x5 RGBA image
+    whose pixel bytes are a closed-form function of doc_id is encoded to
+    an actual PNG (stdlib zlib DEFLATE, CRC'd chunks, per-row filter
+    cycle 0-4 — height 5 uses every scanline filter exactly once), then
+    decoded back by the pure stdlib+numpy decoder (inflate + CRC verify
+    + unfilter) and reduced to integer pixel stats.  pos_checksum is
+    position-weighted over the decoded (y, x, channel) order, so a
+    filter, palette or channel mistake breaks the hash even where the
+    permutation-invariant sums agree.  The oracle re-derives all stats
+    with the same closed-form integer math — the compression round-trip
+    must be exact for the hashes to meet."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from katydid_haskell_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    W, H, C = 6, 5, 4
+
+    @pandas_udf("binary")
+    def make_png(doc_id: pd.Series) -> pd.Series:
+        n = W * H * C
+        idx3 = 3 * np.arange(n, dtype=np.int64)
+        return pd.Series([
+            mm.encode_png(((int(d) * 17 + idx3) % 256)
+                          .astype(np.uint8).reshape(H, W, C))
+            for d in doc_id
+        ])
+
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        make_png(F.col("doc_id")).alias("payload"))
+    return mm.png_pixel_stats(media)
+
+
 def _q_multimodal_wav(spark, sf_dir):
     """The audio sibling of multimodal_bmp: a 256-sample 16-bit PCM
     signal derived from doc_id is encoded to a REAL RIFF/WAVE payload,
@@ -1157,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_bmp": _q_multimodal_bmp,
+        "multimodal_png": _q_multimodal_png,
         "multimodal_wav": _q_multimodal_wav,
         "corpus_curation": _q_corpus_curation,
         "corpus_curation_full": _q_corpus_curation_full,
@@ -1539,6 +1575,19 @@ def oracle_sql() -> dict[str, str]:
                  AS n_bright,
                CAST(list_sum(list_transform(range(0, 210),
                     i -> i * ((doc_id*31 + 7*i) % 256))) AS BIGINT)
+                 AS pos_checksum
+        FROM documents
+        """,
+        "multimodal_png": """
+        SELECT doc_id AS media_id, 6 AS width, 5 AS height,
+               4 AS channels,
+               CAST(list_sum(list_transform(range(0, 120),
+                    i -> (doc_id*17 + 3*i) % 256)) AS BIGINT) AS sum_all,
+               CAST(len(list_filter(range(0, 120),
+                    i -> (doc_id*17 + 3*i) % 256 >= 128)) AS BIGINT)
+                 AS n_bright,
+               CAST(list_sum(list_transform(range(0, 120),
+                    i -> i * ((doc_id*17 + 3*i) % 256))) AS BIGINT)
                  AS pos_checksum
         FROM documents
         """,

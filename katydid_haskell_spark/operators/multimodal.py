@@ -1,10 +1,12 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schemas, batch iteration, partition sizing, UDF
-signatures) is real and tested; the codec step is STUBBED — this container
-has no image/audio libraries, so decoding dispatches to a deterministic fake
-(`_fake_decode`) unless a real decoder is registered.  Swap in Pillow/librosa
-by calling :func:`register_decoder`.
+signatures) is real and tested.  Codecs: PNG (stdlib zlib inflate + the
+five scanline filters), uncompressed 24-bit BMP, and RIFF/PCM16 WAV are
+decoded FOR REAL in pure stdlib+numpy; `_default_decode` signature-sniffs
+payloads and only falls back to the deterministic fake (`_fake_decode`)
+for formats this container has no library for (JPEG, MP4, ...).  Swap in
+Pillow/librosa by calling :func:`register_decoder`.
 
 Design points for 100 TB of media:
 - `mapInPandas` (Arrow batches) so each Python worker sees columnar chunks,
@@ -72,7 +74,7 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        decode = _DECODER or _fake_decode
+        decode = _DECODER or _default_decode
         for b in batches:
             feats = [
                 decode(p if p is not None else b"", m).tolist()
@@ -316,6 +318,235 @@ def wav_sample_stats(df: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame(rows, columns=[
                 "media_id", "rate", "n_samples", "sum_s", "n_pos",
                 "pos_checksum"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Real codec #3: PNG (pure stdlib zlib + numpy — no image libraries)
+# ---------------------------------------------------------------------------
+#
+# PNG is the one *compressed* crawl image format this sandbox can decode
+# for real: the DEFLATE stream is stdlib `zlib`, and the rest is chunk
+# parsing (CRC-verified) plus the five scanline filters.  Scope: 8-bit
+# depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
+# non-interlaced — the overwhelmingly common subset.  The encoder cycles
+# filter types per row (y % 5), so a round-trip exercises every unfilter
+# algorithm, and `_default_decode` signature-sniffs payloads so a real
+# PNG never reaches the fake decoder.
+
+import zlib as _zlib
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_CTYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (_struct.pack(">I", len(data)) + typ + data
+            + _struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, elementwise over int16 arrays (PNG spec 9.4)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray, filter_mode: str = "cycle") -> bytes:
+    """uint8[h, w] / [h, w, c] (c ∈ 1..4) → PNG bytes.
+
+    ``filter_mode="cycle"`` picks scanline filter y % 5 so all five
+    filter types appear in any image with ≥5 rows; ``"none"`` emits
+    filter 0 everywhere.  Filtering is vectorized per row (the encoder
+    predicts from ORIGINAL pixels, which decode reconstructs exactly).
+    """
+    if pixels.dtype != np.uint8 or pixels.ndim not in (2, 3):
+        raise ValueError("encode_png needs uint8[h, w(, c)]")
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    if c not in _PNG_CTYPE:
+        raise ValueError("1..4 channels only")
+    zero = np.zeros((1, c), np.int16)
+    raw = pixels.astype(np.int16)
+    prev = np.zeros((w, c), np.int16)
+    out = bytearray()
+    for y in range(h):
+        row = raw[y]
+        f = y % 5 if filter_mode == "cycle" else 0
+        left = np.vstack([zero, row[:-1]])
+        upleft = np.vstack([zero, prev[:-1]])
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - ((left + prev) >> 1)
+        else:
+            filt = row - _paeth(left, prev, upleft)
+        out.append(f)
+        out += (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = row
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, _PNG_CTYPE[c], 0, 0, 0)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _zlib.compress(bytes(out), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → uint8[h, w, c].  Chunk CRCs are verified, IDAT may be
+    split across chunks, ancillary chunks are skipped — the walk a real
+    reader must do.  Unfiltering: None/Up vectorize whole-row; Sub/
+    Average/Paeth are inherently sequential in x (each pixel depends on
+    the reconstructed left neighbour) and loop per pixel, vectorized
+    over channels."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte, trns = 8, None, bytearray(), None, None
+    while pos + 12 <= len(payload):
+        ln, typ = _struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = _struct.unpack_from(">I", payload, pos + 8 + ln)
+        if _zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = _struct.unpack(">IIBBBBB", body)
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    w, h, depth, ctype, comp, fmethod, interlace = ihdr
+    if depth != 8 or comp != 0 or fmethod != 0 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    c = 1 if ctype == 3 else _PNG_CHANNELS.get(ctype)
+    if c is None:
+        raise ValueError(f"unsupported color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette image missing PLTE chunk")
+    raw = _zlib.decompress(bytes(idat))
+    stride = w * c
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("truncated PNG pixel data")
+    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int16).reshape(h, w, c)
+    out = np.zeros((h, w, c), np.int16)
+    zero = np.zeros(c, np.int16)
+    prev = np.zeros((w, c), np.int16)
+    for y in range(h):
+        f, row = int(ftypes[y]), rows[y]
+        if f == 0:
+            rec = row.copy()
+        elif f == 2:
+            rec = (row + prev) & 0xFF
+        elif f in (1, 3, 4):
+            rec = np.zeros((w, c), np.int16)
+            for x in range(w):
+                a = rec[x - 1] if x else zero
+                if f == 1:
+                    rec[x] = (row[x] + a) & 0xFF
+                elif f == 3:
+                    rec[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
+                else:
+                    cc = prev[x - 1] if x else zero
+                    rec[x] = (row[x] + _paeth(a, prev[x], cc)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {f}")
+        out[y] = rec
+        prev = rec
+    out8 = out.astype(np.uint8)
+    if ctype == 3:
+        idx = out8[:, :, 0]
+        if idx.max() >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[: len(trns)] = trns
+            return np.ascontiguousarray(
+                np.dstack([rgb, alpha[idx]]))
+        return np.ascontiguousarray(rgb)
+    return out8
+
+
+def png_unit_features(payload: bytes, mime: str) -> np.ndarray:
+    """A REAL registered decoder for PNG payloads: decode, histogram the
+    intensities into FEATURE_DIM bins, L2-normalize (the PNG sibling of
+    :func:`bmp_unit_features`)."""
+    px = decode_png(payload)
+    hist = np.bincount(
+        (px.reshape(-1).astype(np.int64) * FEATURE_DIM) // 256,
+        minlength=FEATURE_DIM)[:FEATURE_DIM].astype(np.float64)
+    n = np.linalg.norm(hist)
+    return (hist / n if n > 0 else hist).astype(np.float32)
+
+
+def _default_decode(payload: bytes, mime: str) -> np.ndarray:
+    """Signature-sniffing default decoder: REAL codecs for the formats
+    this sandbox can decode without external libs (PNG, BMP, WAV); the
+    deterministic fake only for payloads no real reader could parse.
+    A genuine image/png payload therefore never reaches the fake path."""
+    if payload[:8] == PNG_SIG:
+        return png_unit_features(payload, mime)
+    if payload[:2] == b"BM":
+        return bmp_unit_features(payload, mime)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, s = decode_wav(payload)
+        s = s.reshape(-1).astype(np.int64)
+        hist = np.bincount(
+            ((s + 32768) * FEATURE_DIM) // 65536,
+            minlength=FEATURE_DIM)[:FEATURE_DIM].astype(np.float64)
+        n = np.linalg.norm(hist)
+        return (hist / n if n > 0 else hist).astype(np.float32)
+    return _fake_decode(payload, mime)
+
+
+def png_pixel_stats(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "media_id") -> DataFrame:
+    """Integer pixel statistics through the REAL PNG decode (inflate +
+    CRC + unfilter), Arrow-batched: (media_id, width, height, channels,
+    sum_all, n_bright, pos_checksum) — pos_checksum is Σ flat_index·value
+    over the decoded (y, x, channel) order, so filter-type or channel
+    mistakes break the hash even when the sums agree."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sum_all", T.LongType()),
+        T.StructField("n_bright", T.LongType()),
+        T.StructField("pos_checksum", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx_cache: dict = {}
+        for b in batches:
+            rows = []
+            for mid, p in zip(b[id_col], b[payload_col]):
+                px = decode_png(bytes(p))
+                h, w, c = px.shape
+                flat = px.reshape(-1).astype(np.int64)
+                idx = idx_cache.get(flat.size)
+                if idx is None:
+                    idx = np.arange(flat.size, dtype=np.int64)
+                    idx_cache[flat.size] = idx
+                rows.append((int(mid), w, h, c, int(flat.sum()),
+                             int((flat >= 128).sum()),
+                             int((idx * flat).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "channels", "sum_all",
+                "n_bright", "pos_checksum"])
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
 
