@@ -190,12 +190,15 @@ class CondBatch:
         return self._masks(tys, vals, labels)
 
     def _masks(self, tys, vals, labels) -> np.ndarray:
-        """≤63 conditions: int64 bitmask per label (the hot layout —
+        """≤63 conditions: 1D int64 bitmask per label (the hot layout —
         signature arrays stay int64 and hash via tobytes).  Beyond one
-        machine word: unbounded Python-int masks in an object array —
-        each 63-bit word still evaluates vectorized, only the final
-        word-combine loops over the (distinct) labels.  The walker is
-        mask-width agnostic (Python ``&`` / ``>>``)."""
+        machine word: a 2D int64 array [n_labels, n_words], word w
+        holding condition bits 63w..63w+62 — every word evaluates in
+        numpy lanes, NOTHING drops to Python-int object arrays here
+        (round-6 fix: the object layout cost ~3x).  Rows combine into
+        the walker's unbounded Python-int masks only at signature-cache
+        MISSES (:func:`_combine_words`), so the per-label cost stays
+        vectorized.  The walker is mask-width agnostic (``&``/``>>``)."""
         n = len(tys)
         if len(self._fns) <= 63:
             out = np.zeros(n, dtype=np.int64)
@@ -203,19 +206,13 @@ class CondBatch:
                 b = fn(tys, vals, labels)
                 out |= b.astype(np.int64) << bit
             return out
-        words = []
-        for w0 in range(0, len(self._fns), 63):
-            wout = np.zeros(n, dtype=np.int64)
-            for bit, fn in enumerate(self._fns[w0:w0 + 63]):
+        k = (len(self._fns) + 62) // 63
+        out = np.zeros((n, k), dtype=np.int64)
+        for wi in range(k):
+            col = out[:, wi]
+            for bit, fn in enumerate(self._fns[wi * 63:(wi + 1) * 63]):
                 b = fn(tys, vals, labels)
-                wout |= b.astype(np.int64) << bit
-            words.append(wout.tolist())
-        out = np.empty(n, dtype=object)
-        for i in range(n):
-            acc = words[0][i]
-            for wi in range(1, len(words)):
-                acc |= words[wi][i] << (63 * wi)
-            out[i] = acc
+                col |= b.astype(np.int64) << bit
         return out
 
     # -- compilation --
@@ -467,21 +464,46 @@ class _LabelIntern:
 
 
 def _flatten_json(v, ev: list, it: _LabelIntern) -> None:
-    """Flatten a parsed JSON value into the event list ``ev``."""
+    """Flatten a parsed JSON value into the event list ``ev``.
+
+    The two overwhelmingly common leaf types under a field (str, int)
+    are interned INLINE in the dict/list loops — on web-doc shapes the
+    recursion-per-leaf call overhead was the single largest cost of the
+    whole batch path (profiled: ~40% of validate_batch)."""
     if v is None:
         return
     t = type(v)
     if t is dict:
-        ids = it.strs
+        strs, ints = it.strs, it.ints
+        tys, vals = it.tys, it.vals
         for k, val in v.items():
-            li = ids.get(k)
+            li = strs.get(k)
             if li is None:
-                li = len(it.tys)
-                ids[k] = li
-                it.tys.append(4)  # STRING
-                it.vals.append(k)
+                li = len(tys)
+                strs[k] = li
+                tys.append(4)  # STRING
+                vals.append(k)
             ev.append(li)
-            if val is not None:
+            vt = type(val)
+            if vt is str:
+                lv = strs.get(val)
+                if lv is None:
+                    lv = len(tys)
+                    strs[val] = lv
+                    tys.append(4)
+                    vals.append(val)
+                ev.append(lv)
+                ev.append(RET_EV)
+            elif vt is int:  # type() is exact: bools do NOT land here
+                lv = ints.get(val)
+                if lv is None:
+                    lv = len(tys)
+                    ints[val] = lv
+                    tys.append(1)
+                    vals.append(val)
+                ev.append(lv)
+                ev.append(RET_EV)
+            elif val is not None:
                 _flatten_json(val, ev, it)
             ev.append(RET_EV)
         return
@@ -522,6 +544,25 @@ def _flatten_json(v, ev: list, it: _LabelIntern) -> None:
         it.vals.append(v)
     ev.append(li)
     ev.append(RET_EV)
+
+
+def _combine_words(m: np.ndarray) -> List[int]:
+    """(n_events, k) int64 word rows → the walker's Python-int masks.
+
+    Word w carries condition bits 63w..63w+62, so every word is ≥ 0 for
+    a label row; the RETURN sentinel row is all -1 words, and Python's
+    arbitrary-precision ``-1 | x == -1`` keeps it exactly -1 through the
+    combine — the walker's marker.  Called only on signature-cache
+    misses (distinct walks), never per document."""
+    cols = m.T.tolist()
+    out = cols[0]
+    for wi in range(1, len(cols)):
+        shift = 63 * wi
+        col = cols[wi]
+        for j, w in enumerate(col):
+            if w:
+                out[j] |= w << shift
+    return out
 
 
 def _compute_skips(m: List[int]) -> List[int]:
@@ -695,7 +736,11 @@ class TableValidator:
         out = np.zeros(n, dtype=bool)
         it = _LabelIntern()
         loads = _loads
-        flat = []  # (doc_idx, np.int32 event array)
+        # ONE growing event buffer + (doc, start, end) spans: the label
+        # gather below is a single fancy-index over the whole batch
+        # instead of one small gather per document (round-6 hot-loop fix)
+        buf: list = []
+        spans = []
         for di in range(n):
             s = docs[di]
             if s is None:
@@ -704,14 +749,16 @@ class TableValidator:
                 v = loads(s)
             except Exception:
                 continue
-            ev: list = []
+            start = len(buf)
             try:
-                _flatten_json(v, ev, it)
+                _flatten_json(v, buf, it)
             except TypeError:
+                del buf[start:]
                 continue
-            flat.append((di, np.asarray(ev, dtype=np.int32)))
-        if not flat:
+            spans.append((di, start, len(buf)))
+        if not spans:
             return out
+        all_ev = np.asarray(buf, dtype=np.int32)
         # mask-stability retry: a walk can mint a new condition (leaf
         # or/and merge), which re-bits the label masks — recompute and
         # restart.  Bounded: each restart adds ≥1 condition, and the
@@ -719,20 +766,27 @@ class TableValidator:
         while True:
             labels = it.labels() if self.batch.needs_fallback else None
             label_masks = self.batch.masks_arrays(it.tys, it.vals, labels)
-            # sentinel: RETURN events (-1) gather the trailing -1 mask, so
-            # one fancy-indexing pass yields the complete signature array
-            lm_ext = np.append(label_masks, np.int64(-1))
-            # >63 conditions: masks are Python ints in an object array —
-            # tobytes() is unavailable, so signatures key on the tuple
-            wide = lm_ext.dtype == object
-            sig_verdict: Dict[object, bool] = {}
+            # sentinel: RETURN events (-1) gather the trailing all-ones
+            # mask, so one fancy-indexing pass yields the complete
+            # signature array.  Wide (>63 conds) masks are 2D int64
+            # [label, word] — tobytes() works on both layouts, and the
+            # word→Python-int combine happens only on cache MISSES.
+            wide = label_masks.ndim == 2
+            if wide:
+                lm_ext = np.vstack([
+                    label_masks,
+                    np.full((1, label_masks.shape[1]), -1, np.int64)])
+            else:
+                lm_ext = np.append(label_masks, np.int64(-1))
+            gathered = lm_ext[all_ev]
+            sig_verdict: Dict[bytes, bool] = {}
             try:
-                for di, ev in flat:
-                    m = lm_ext[ev]
-                    ml = m.tolist()
-                    sig = tuple(ml) if wide else m.tobytes()
+                for di, s0, s1 in spans:
+                    m = gathered[s0:s1]
+                    sig = m.tobytes()
                     v = sig_verdict.get(sig)
                     if v is None:
+                        ml = _combine_words(m) if wide else m.tolist()
                         v = self._walk(ml)
                         sig_verdict[sig] = v
                     out[di] = v
