@@ -37,7 +37,7 @@ from .derive import Validator
 from .labels import decode_json
 from .parser import parse_grammar
 from .smart import compile_grammar
-from .vpa import VpaUnsupported, try_table_validator
+from .vpa import try_table_validator
 
 # per-process (executor) cache: spec source → Validator with warm memo tables
 _VALIDATORS: dict = {}
@@ -136,15 +136,10 @@ def json_matches_udf(spec_source: str, user_lib=None) -> Callable[[Column], Colu
         if tv is not None:
             # int-table VPA: vectorized condition eval over distinct
             # labels + signature-factorized walks (vpa.py) — the
-            # unique-doc fast path
-            try:
-                return pd.Series(tv.validate_batch(docs.tolist()))
-            except VpaUnsupported:
-                # dynamically minted conditions overflowed the symbol
-                # mask: demote this spec to the per-doc engine for the
-                # rest of the process lifetime
-                _TABLE_VALIDATORS[(spec_source,
-                                   _lib_cache_key(user_lib))] = False
+            # unique-doc fast path.  No demotion catch: VpaUnsupported
+            # was retired (round-6 soak, scripts/vpa_soak.py) — a batch
+            # failure here is a bug and must propagate.
+            return pd.Series(tv.validate_batch(docs.tolist()))
         v = _validator_for(spec_source, user_lib)
 
         def one(doc: Optional[str]) -> bool:
