@@ -164,6 +164,41 @@ CASES += [
     ('.rec: .author: [last: *, first: *]', MIXED, False),
 ]
 
+# round 6: testsuite-family shapes the 33-case set sampled thinly —
+# vertical recursion over every encoding, name choices, ZAny concat
+# segments over dict children, Contains nested under interleave, Not at
+# depth, and int-vs-string leaf typing (XML re-parses "2024" text as Int,
+# so a string-literal compare against an int leaf must be False through
+# EVERY decoder, not just JSON's)
+REC = {"doc": {"v": "aa", "next": {"v": "bb", "next": {"v": "cc"}}}}
+REC_BAD = {"doc": {"v": "aa", "next": {"v": "bb", "next": {"v": 3}}}}
+ONE = {"doc": {"v": "x"}}
+_CHAIN_STR = ('#main = .doc: @chain\n'
+              '#chain = {v: -> type($string); (next: (@chain)?)?}')
+
+CASES += [
+    # vertical recursion (Smart.hs:46-47 parity) through all 3 decoders
+    (_CHAIN_STR, REC, True),
+    (_CHAIN_STR, REC_BAD, False),   # deepest leaf is an int
+    ('#main = .doc: @chain\n#chain = {v: *; (next: (@chain)?)?}',
+     ONE, True),                    # recursion base case
+    # name-choice patterns
+    ('.doc: .(name|title) == "bob"', DOC, True),
+    ('.doc: .(title|subtitle) == "bob"', DOC, False),
+    # ZAny segment inside ordered children
+    ('doc: [*, n: == 5]', DOC, True),
+    ('doc: [*, name: == "bob"]', DOC, False),  # name is first, not last
+    # Contains nested under an interleave branch
+    ('doc: {meta: .author: .name $= "ve"; n: *}', DEEP, True),
+    ('doc: {meta: .author: .name $= "xx"; n: *}', DEEP, False),
+    # int leaf vs int literal vs string literal
+    ('.rec: .year == 2024', MIXED, True),
+    ('.rec: .year == "2024"', MIXED, False),
+    # Not at depth 4
+    ('.a: .b: .c: .d: !(.e == "leaf")', FIVE, False),
+    ('.a: .b: .c: .d: !(.e == "nope")', FIVE, True),
+]
+
 
 def _verdicts(spec: str, tree: dict) -> dict:
     """Verdict per (encoding, engine) for one case."""
