@@ -53,16 +53,29 @@ def _metric_col(metric: str, c: str) -> Column:
     p = _parse_percentile_metric(metric)
     if p is not None:
         fn, q = p
+        if fn == "kll":
+            # approx percentiles ride a DataSketches KLL sketch — the
+            # MERGEABLE estimator (round 6): per-bucket partials roll up
+            # (checkplan), and this single-agg form keeps the unfused
+            # path on the same estimator family.  Spark dedups the twin
+            # kll_sketch_agg aggregates; the get_n guard returns NULL on
+            # an all-null column (empty sketch) like approx_percentile.
+            s = f"kll_sketch_agg_double(CAST(`{c}` AS DOUBLE))"
+            return F.expr(
+                f"CASE WHEN kll_sketch_get_n_double({s}) = 0 "
+                f"THEN CAST(NULL AS DOUBLE) "
+                f"ELSE kll_sketch_get_quantile_double({s}, {q!r}) END")
         return F.expr(f"{fn}(`{c}`, {q!r})")
     raise ValueError(f"unknown stat metric: {metric}")
 
 
 def _parse_percentile_metric(metric: str):
-    """``p95`` / ``p99.9`` → exact percentile; ``approx_p95`` →
-    approx_percentile (GK sketch).  Returns (sql_fn, prob) or None."""
+    """``p95`` / ``p99.9`` → exact percentile; ``approx_p95`` → the
+    mergeable KLL sketch path (tag ``"kll"``).  Returns (tag, prob) or
+    None."""
     fn = "percentile"
     if metric.startswith("approx_p"):
-        fn, metric = "approx_percentile", metric[len("approx_"):]
+        fn, metric = "kll", metric[len("approx_"):]
     if not metric.startswith("p"):
         return None
     try:

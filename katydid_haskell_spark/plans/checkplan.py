@@ -344,7 +344,8 @@ def run_plan_fused(df: DataFrame, plan: CheckPlan,
     # effect scales with the dropped column's width).
     VALUE_METRICS = {"min", "max", "mean", "approx_distinct"}
     value_cols = {r.column for r in plan.stat_rules
-                  if r.metric in VALUE_METRICS}
+                  if r.metric in VALUE_METRICS
+                  or r.metric.startswith("approx_p")}  # KLL rides rollup
     nullbit_cols = sorted(
         {r.column for r in plan.stat_rules
          if r.metric in ("null_rate", "count")} - value_cols)
@@ -387,14 +388,18 @@ def run_plan_fused(df: DataFrame, plan: CheckPlan,
             aggs.append(F.count(c).alias(f"st_n_{i}"))
         elif r.metric == "approx_distinct":
             aggs.append(F.hll_sketch_agg(c).alias(f"st_hll_{i}"))
+        elif r.metric.startswith("approx_p"):
+            # mergeable approx percentiles (round 6): per-bucket KLL
+            # partial sketches ride THIS rollup and merge in the
+            # finalizer — no extra full-table pass, unlike exact p*
+            aggs.append(
+                F.expr(f"kll_sketch_agg_double(CAST(`{c}` AS DOUBLE))")
+                .alias(f"st_kll_{i}"))
         elif (r.metric == "distinct"
               or stats_ops._parse_percentile_metric(r.metric) is not None):
             # not mergeable from per-bucket partials: exact distinct needs
-            # the full key set, EXACT percentiles the full distribution.
-            # approx_p* (GK sketch) IS mergeable in principle, but Spark
-            # exposes no partial-sketch value to roll up, so it is routed
-            # through the same ONE combined extra global pass below for
-            # simplicity — revisit if SQL ever exposes GK partials.
+            # the full key set, EXACT percentiles the full distribution —
+            # both share ONE combined extra global pass below.
             exact_rules.append((i, r))
         else:
             raise ValueError(f"unknown stat metric: {r.metric}")
@@ -436,6 +441,16 @@ def run_plan_fused(df: DataFrame, plan: CheckPlan,
         elif r.metric == "approx_distinct":
             fin.append(F.hll_sketch_estimate(
                 F.hll_union_agg(f"st_hll_{i}")).alias(f"f_{i}"))
+        elif r.metric.startswith("approx_p"):
+            _, q = stats_ops._parse_percentile_metric(r.metric)
+            merged = f"kll_merge_agg_double(`st_kll_{i}`)"
+            # get_n guard: an all-null column yields empty sketches whose
+            # merge has no quantiles — return NULL like approx_percentile
+            fin.append(F.expr(
+                f"CASE WHEN kll_sketch_get_n_double({merged}) = 0 "
+                f"THEN CAST(NULL AS DOUBLE) "
+                f"ELSE kll_sketch_get_quantile_double({merged}, {q!r}) "
+                f"END").alias(f"f_{i}"))
     for i, _ in enumerate(plan.ref_rules):
         fin.append(F.sum(f"orphans_{i}").alias(f"ref_{i}"))
     table_wide = rolled.agg(*fin)

@@ -234,8 +234,23 @@ def test_percentile_stat_rules_fused_parity(spark):
           for r in a.verdicts.collect()}
     vb = {(r.bucket_id, r.rule_id): (r["pass"], r.metric)
           for r in b.verdicts.collect()}
-    assert va == vb
+    assert set(va) == set(vb)
+    for k in va:
+        if k[1] == "len_p95_approx":
+            # approx_p* is the second allowed estimator delta (after
+            # approx_distinct): fused merges per-bucket KLL partials,
+            # unfused builds one KLL sketch — merge order may shift the
+            # estimate within sketch error
+            assert abs(va[k][1] - vb[k][1]) / max(abs(vb[k][1]), 1) < 0.05
+            continue
+        assert va[k] == vb[k], f"{k}: fused={va[k]} unfused={vb[k]}"
     assert all(p for p, _ in va.values())
     # exact p50 really is the median of the column
     med = df.agg(F.expr("percentile(text_len, 0.5)")).collect()[0][0]
     assert va[(-1, "len_p50_floor")][1] == med
+    # KLL estimate lands within rank error of the exact p95: the
+    # empirical rank of the returned value stays inside [0.90, 1.0]
+    kll_v = va[(-1, "len_p95_approx")][1]
+    n_tot = df.count()
+    rank = df.where(F.col("text_len") <= kll_v).count() / n_tot
+    assert 0.90 <= rank <= 1.0, (kll_v, rank)
