@@ -69,6 +69,7 @@ HEADLINE = [
     "minhash_pairs",
     "minhash_verify",
     "multimodal_bmp",
+    "multimodal_png",
     "dedup_clusters",
     "simhash_pairs",
     "lsh_topk",
