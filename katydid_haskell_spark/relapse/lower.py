@@ -711,10 +711,14 @@ class Lowerer:
         return out
 
     def _elem_cond(self, p: LP, elem: Column, elem_dt: T.DataType,
-                   index: Optional[int]):
+                   index: Union[int, Column, None]):
         """Does one element node match the one-node pattern ``p``?
 
         Element node label is its Int index; children are the value forest.
+        ``index`` is a concrete position (collapse the name predicate at
+        compile time), a symbolic index Column (lower it — the
+        two-argument higher-order-function form), or None (only
+        wildcard names are expressible).
         """
         if p.kind != NODE:
             if _is_zany(p):
@@ -725,17 +729,20 @@ class Lowerer:
                 f"array element pattern too complex: {p.kind}"
             )
         name_expr = p.expr
-        if index is not None:
+        name_sym: BExpr = True
+        if isinstance(index, int):
             name_ok = eval_bool_or_false(name_expr, Label(INT, index))
             if not name_ok:
                 return False
         elif const_bool_value(name_expr) is not True:
-            raise LoweringUnsupported(
-                "index-dependent element names need the automaton path"
-            )
+            if index is None:
+                raise LoweringUnsupported(
+                    "index-dependent element names need the automaton path"
+                )
+            name_sym = lower_pred_root(name_expr, index, INT)
         child = p.pats[0]
         nulls = self.match_children([child], elem, elem_dt)
-        return nulls[0]
+        return band(name_sym, nulls[0])
 
     def _match_array_pattern(self, p: LP, col: Column,
                              elem_dt: T.DataType) -> BExpr:
@@ -772,9 +779,19 @@ class Lowerer:
             return F.coalesce(cond, F.lit(False))
         if p.kind == CONTAINS:
             inner = p.pats[0]
-            cond = F.exists(
-                col, lambda e: to_col(self._elem_cond(inner, e, elem_dt, None))
-            )
+            try:
+                cond = F.exists(
+                    col,
+                    lambda e: to_col(self._elem_cond(inner, e, elem_dt, None)),
+                )
+            except LoweringUnsupported:
+                # index-dependent element name (`.2 == "c"`, `.!(0)`,
+                # `.(0|2)`): the two-argument filter lambda exposes the
+                # 0-based index, which IS the element node's label
+                cond = F.size(F.filter(
+                    col,
+                    lambda e, i: to_col(self._elem_cond(inner, e, elem_dt, i)),
+                )) > 0
             return F.coalesce(cond, F.lit(False))
         if p.kind == NODE:
             # single element array (F.get: 0-based, NULL-safe out of bounds)
