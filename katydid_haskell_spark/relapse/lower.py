@@ -773,9 +773,22 @@ class Lowerer:
             )
         if p.kind == ZERO_OR_MORE:
             inner = p.pats[0]
-            cond = F.forall(
-                col, lambda e: to_col(self._elem_cond(inner, e, elem_dt, None))
-            )
+            try:
+                cond = F.forall(
+                    col,
+                    lambda e: to_col(self._elem_cond(inner, e, elem_dt, None)),
+                )
+            except LoweringUnsupported:
+                # index-dependent element name: every element must match,
+                # and an erroring/null element condition is a violation
+                # (error-as-false), so count non-matches explicitly
+                cond = F.size(F.filter(
+                    col,
+                    lambda e, i: ~F.coalesce(
+                        to_col(self._elem_cond(inner, e, elem_dt, i)),
+                        F.lit(False),
+                    ),
+                )) == 0
             return F.coalesce(cond, F.lit(False))
         if p.kind == CONTAINS:
             inner = p.pats[0]

@@ -77,7 +77,17 @@ def pred_comp(depth=2):
 
 
 def leaf_spec():
-    kind = rng.randrange(12)
+    kind = rng.randrange(15)
+    if kind == 12:
+        # constant-index Contains (two-arg filter-lambda lowering)
+        return f'.tags: .{rng.randrange(0, 4)} == "{rng.choice(["t1", "x"])}"'
+    if kind == 13:
+        # anyname-except / name-choice over array indices
+        name = rng.choice(["!(0)", "(0|2)", "!(1)", "(1|3)"])
+        return f'.tags: .{name} == "{rng.choice(["t2", "", "x"])}"'
+    if kind == 14:
+        # star of an index-named node (only [] or length-1-at-index match)
+        return f'.tags: ({rng.randrange(0, 2)}: == "t1")*'
     if kind == 9:
         return f'.tags: (_: ^= "{rng.choice(["t", "x"])}")*'
     if kind == 10:
