@@ -41,6 +41,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import array_regex as RX
 from .exprs import (
     BOOL,
     BYTES,
@@ -702,12 +703,21 @@ class Lowerer:
         - ``.elem``    → ``F.exists``      (Contains of a one-node pattern)
         - ``[e1,..,en]`` of one-node patterns → size == n ∧ positional checks
 
-        Anything else raises LoweringUnsupported (→ automaton path).
+        Shapes beyond the templates (two star segments, variable-length
+        interleave branches, star of a group, optional chains) fall back
+        to :meth:`_match_array_dfa` — a compile-time Brzozowski DFA over
+        the element alphabet, executed as a codegen'd transform+aggregate
+        fold.  Only when THAT fails (atom/state caps, symbolic
+        conditionals, recursion, unlowerable element predicates) does
+        LoweringUnsupported propagate (→ automaton path).
         """
         elem_dt = dtype.elementType
         out: List[BExpr] = []
         for p in childps:
-            out.append(self._match_array_pattern(p, col, elem_dt))
+            try:
+                out.append(self._match_array_pattern(p, col, elem_dt))
+            except LoweringUnsupported:
+                out.append(self._match_array_dfa(p, col, elem_dt))
         return out
 
     def _elem_cond(self, p: LP, elem: Column, elem_dt: T.DataType,
@@ -994,6 +1004,123 @@ class Lowerer:
                 f"concat over arrays must be a sequence of nodes or "
                 f"star/optional/ZAny segments, got {p.kind}"
             )
+
+    # DFA fallback caps: the literal transition table has
+    # 2**atoms × states int entries — bound the TABLE, not the state
+    # count, so few-atom shuffles (32 symbols) may spend more states
+    # (a 5-way distinct-atom interleave needs 407) while wide-alphabet
+    # patterns stay small.  16384 ints ≈ 64 KiB plan literal.
+    _DFA_MAX_ATOMS = 6
+    _DFA_MAX_TABLE = 16384
+
+    def _match_array_dfa(self, p: LP, col: Column,
+                         elem_dt: T.DataType) -> BExpr:
+        """General array-content match as a compile-time Brzozowski DFA.
+
+        Array content is a regular language over element nodes
+        (Json.hs:49-52: index-labeled, value-children), so any
+        concat/star/optional/interleave/not/and/or combination of
+        one-node patterns — including the nondeterministic shapes the
+        positional templates refuse (two star segments, variable-length
+        interleave branches, star of a group) — compiles to a DFA whose
+        alphabet is the truth vector of the distinct element-atom
+        predicates.  Execution is pure Catalyst:
+
+        - ``F.transform(col, (e, i) -> sym)`` evaluates each atom's
+          predicate once per element (error-as-false coalesced) and packs
+          them into an int bitvector; the two-arg lambda exposes the
+          element index, which IS the node's label, so index-dependent
+          names lower too;
+        - ``F.aggregate(syms, 0, (s, v) -> element_at(table, ...))`` runs
+          the DFA over one flat literal int array;
+        - accept ⟺ final state is nullable.
+
+        Caps (atoms, states) and non-static symbolic conditionals raise
+        LoweringUnsupported → automaton path.
+        """
+        atoms: List[LP] = []
+
+        def atom_id(node: LP) -> int:
+            for i, a in enumerate(atoms):
+                if _same(a, node):
+                    return i
+            if len(atoms) >= self._DFA_MAX_ATOMS:
+                raise LoweringUnsupported(
+                    f"array DFA needs more than {self._DFA_MAX_ATOMS} "
+                    f"distinct element atoms")
+            atoms.append(node)
+            return len(atoms) - 1
+
+        def rx(q: LP, depth: int) -> RX.Rx:
+            if _is_zany(q):
+                return RX.star(RX.ANY)
+            if _is_empty_set(q):
+                return RX.NULL
+            if q.kind == EMPTY:
+                return RX.EPS
+            if q.kind == NODE:
+                if (const_bool_value(q.expr) is True
+                        and _is_zany(q.pats[0])):
+                    return RX.ANY  # wildcard element: no predicate bit
+                return ("atom", atom_id(q))
+            if q.kind == CONCAT:
+                return RX.cat(rx(q.pats[0], depth), rx(q.pats[1], depth))
+            if q.kind == INTERLEAVE:
+                return RX.shuf(*[rx(c, depth) for c in q.pats])
+            if q.kind == ZERO_OR_MORE:
+                return RX.star(rx(q.pats[0], depth))
+            if q.kind == OPTIONAL:
+                return RX.alt(RX.EPS, rx(q.pats[0], depth))
+            if q.kind == OR:
+                return RX.alt(*[rx(c, depth) for c in q.pats])
+            if q.kind == AND:
+                return RX.rand(*[rx(c, depth) for c in q.pats])
+            if q.kind == NOT:
+                return RX.rnot(rx(q.pats[0], depth))
+            if q.kind == CONTAINS:
+                # Contains(p) ≡ ZAny · p · ZAny (Smart.hs contains)
+                return RX.cat(RX.star(RX.ANY),
+                              RX.cat(rx(q.pats[0], depth),
+                                     RX.star(RX.ANY)))
+            if q.kind == REF:
+                if depth > 8:
+                    raise LoweringUnsupported(
+                        "recursive array pattern needs the automaton path")
+                return rx(self.lift(self.g.lookup(q.ref)), depth + 1)
+            # SYM_EMPTY / SYM_ANY with a non-static condition: the regex
+            # alphabet is element-level, a row-level symbolic conditional
+            # doesn't fit the table
+            raise LoweringUnsupported(
+                f"array DFA pattern shape: {q.kind}")
+
+        r = rx(p, 0)
+        max_states = self._DFA_MAX_TABLE >> len(atoms)
+        try:
+            table, accepting, n_sym = RX.build_dfa(
+                r, len(atoms), max_states)
+        except RX.DfaTooBig as e:
+            raise LoweringUnsupported(str(e)) from None
+        n_states = len(table) // n_sym
+        if not accepting:
+            return False
+        if len(accepting) == n_states:
+            return True
+
+        def sym_expr(e: Column, i: Column) -> Column:
+            s: Column = F.lit(0)
+            for b, a in enumerate(atoms):
+                c = F.coalesce(
+                    to_col(self._elem_cond(a, e, elem_dt, i)),
+                    F.lit(False))
+                s = s + F.when(c, F.lit(1 << b)).otherwise(F.lit(0))
+            return s
+
+        syms = F.transform(col, lambda e, i: sym_expr(e, i))
+        tbl = F.lit(table)
+        final = F.aggregate(
+            syms, F.lit(0),
+            lambda s, v: F.element_at(tbl, s * n_sym + v + 1))
+        return F.coalesce(final.isin(accepting), F.lit(False))
 
 
 def compile_to_column(g: SGrammar, schema: T.StructType,

@@ -34,19 +34,16 @@ AUTOMATON_ONLY = {
     # since round 4 (name-feasibility matching enumeration: disjoint
     # constant index names prune the assignment space below the 24-term
     # cap regardless of branch count)
-    "concat_backtrack",        # two star segments → nondeterministic split
-    "concat_star_star_long",   # two star segments, long arrays
-    "concat_of_interleaves",   # interleave segments inside concat
-    "interleave_concat_mix",   # concat branch inside interleave
-    "interleave_opt_star",     # variable-length interleave branches
-    "interleave_wild5",        # 5 wildcard branches → 120 matchings > cap
-    "star_of_concat",          # star of multi-element group
-    "optional_chain",          # three optional segments → multi-variable
-                               # concat split beyond the single-segment
-                               # lowering
-    "concat_opt_star_tail",    # optional + star segments → multi-variable
-    "star_of_optional",        # (p?)* — star of a nullable non-node
-                               # pattern (smart ctors keep it as-is)
+    # The final 10 nondeterministic array shapes lower since round 6 via
+    # the compile-time Brzozowski DFA (lower.py _match_array_dfa,
+    # array_regex.py): concat_backtrack, concat_star_star_long,
+    # concat_of_interleaves, interleave_concat_mix, interleave_opt_star,
+    # interleave_wild5 (407-state shuffle DFA), star_of_concat,
+    # optional_chain, concat_opt_star_tail, star_of_optional — executed
+    # as a codegen'd transform+aggregate fold over a literal transition
+    # table.  The set is empty: every corpus shape is Catalyst-lowered;
+    # the automaton/VPA engines remain exercised by the cross-check
+    # suites, which force-run all engines on every case.
 }
 
 
