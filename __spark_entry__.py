@@ -134,6 +134,28 @@ def _q_relapse_props_json_automaton(spark, sf_dir):
     )
 
 
+def _q_relapse_array_dfa(spark, sf_dir):
+    # Round-6 array-DFA lowering (lower.py _match_array_dfa): both specs
+    # are shapes the positional templates refuse — a two-star-segment
+    # concat and a variable-length interleave — compiled at lowering
+    # time to a Brzozowski DFA and run as a pure Catalyst
+    # transform+aggregate fold.  Construct-in-query discipline: the
+    # array is a closed-form function of doc_id so the oracle re-derives
+    # the verdicts from raw columns (sorted-partition check for the
+    # two-star spec; exactly-one-zero + rest>=5 for the interleave).
+    docs = _t(spark, sf_dir, "documents")
+    vals = F.transform(
+        F.sequence(F.lit(0), F.pmod(F.col("doc_id"), F.lit(7)).cast("int")),
+        lambda i: F.pmod(F.col("doc_id") * 31 + i * i * 7, F.lit(10)))
+    aug = docs.select("doc_id", "lang", vals.alias("vals"))
+    m_two_star = _relapse_col('.vals: [(_: < 5)*, (_: >= 5)*]', aug.schema)
+    m_shuffle = _relapse_col('.vals: {(_: >= 5)*; _: == 0}', aug.schema)
+    return aug.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(m_two_star.cast("long")).alias("n_two_star"),
+        F.sum(m_shuffle.cast("long")).alias("n_shuffle"))
+
+
 def _q_stats_orders_profile(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.agg(
@@ -1178,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_skew_report": _q_host_skew_report,
         "pages_verdicts": _q_pages_verdicts,
         # changed in round 6 (rewrite / new / oracle or engine touched)
+        "relapse_array_dfa": _q_relapse_array_dfa,
         "boilerplate_removal": _q_boilerplate_removal,
         "multimodal_png": _q_multimodal_png,
         "minhash_verify": _q_minhash_verify,
@@ -1285,6 +1308,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(SUM(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
             FROM documents GROUP BY lang
+        """,
+        "relapse_array_dfa": """
+            WITH t AS (
+              SELECT lang,
+                     list_transform(range(0, doc_id % 7 + 1),
+                                    i -> (doc_id * 31 + i * i * 7) % 10) AS vals
+              FROM documents
+            )
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN list_transform(vals, x -> CASE WHEN x >= 5 THEN 1 ELSE 0 END)
+                               = list_sort(list_transform(vals, x -> CASE WHEN x >= 5 THEN 1 ELSE 0 END))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_two_star,
+                   CAST(SUM(CASE WHEN len(list_filter(vals, x -> x = 0)) = 1
+                               AND len(list_filter(vals, x -> x >= 5)) = len(vals) - 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_shuffle
+            FROM t GROUP BY lang
         """,
         "relapse_props_json": """
             SELECT event_type,

@@ -53,6 +53,7 @@ HEADLINE = [
     "relapse_filter_docs",
     "relapse_validate_rate",
     "relapse_props_json",
+    "relapse_array_dfa",
     "stats_orders_profile",
     "unique_dup_custkeys",
     "referential_orphans",
