@@ -134,6 +134,46 @@ def _q_relapse_props_json_automaton(spark, sf_dir):
     )
 
 
+def _q_stream_dedup(spark, sf_dir):
+    """Fourth streaming surface under the value-hash gate: streaming
+    exact dedup via ``dropDuplicatesWithinWatermark`` (state bounded by
+    the watermark horizon, unlike plain dropDuplicates).  File stream
+    over documents -> derived event time -> normalized-text fingerprint
+    dedup (the same textops.fingerprint the batch dedup family uses) ->
+    append-mode memory sink, one availableNow pass.  WHICH duplicate
+    survives is arrival-order-dependent, so the result projects only
+    md5(normalized text) — identical for every member of a duplicate
+    group — making the output the deterministic SET of distinct
+    normalized texts; the oracle is a plain SELECT DISTINCT."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from katydid_haskell_spark.streaming.stream_checks import (
+        stream_dedup_normalized,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    sch = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (spark.readStream.schema(sch).parquet(d)
+              .withColumn("ts", F.timestamp_seconds(
+                  F.lit(1700000000) + F.col("doc_id"))))
+    out = stream_dedup_normalized(stream, "text", "ts",
+                                  watermark="10 minutes")
+    name = "stream_dedup_" + uuid.uuid4().hex[:12]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.md5(tx.normalize_ws(F.col("text"))).alias("fp"))
+
+
 def _q_relapse_array_dfa(spark, sf_dir):
     # Round-6 array-DFA lowering (lower.py _match_array_dfa): both specs
     # are shapes the positional templates refuse — a two-star-segment
@@ -1201,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_verdicts": _q_pages_verdicts,
         # changed in round 6 (rewrite / new / oracle or engine touched)
         "relapse_array_dfa": _q_relapse_array_dfa,
+        "stream_dedup": _q_stream_dedup,
         "boilerplate_removal": _q_boilerplate_removal,
         "multimodal_png": _q_multimodal_png,
         "minhash_verify": _q_minhash_verify,
@@ -1308,6 +1349,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs,
                    CAST(SUM(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
             FROM documents GROUP BY lang
+        """,
+        "stream_dedup": f"""
+            SELECT DISTINCT md5(regexp_replace(regexp_replace(lower(text),
+                   '{tx.WS_RE}', ' ', 'g'), '^ | $', '', 'g')) AS fp
+            FROM documents
         """,
         "relapse_array_dfa": """
             WITH t AS (
