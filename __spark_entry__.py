@@ -772,6 +772,79 @@ def _q_q3_shipping(spark, sf_dir):
             .select("l_orderkey", "revenue", "o_orderdate"))
 
 
+def _q_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume), adapted to the testdata schema:
+    revenue per nation in ASIA for 1996 orders where the supplying
+    nation equals the customer nation.  Plan: date filter pushed to the
+    orders scan, region->nation and supplier broadcast (both tiny at any
+    SF -- nation is 25 rows forever), the only shuffles are the two big
+    fact joins and one (n_name) aggregation."""
+    lo = F.to_timestamp(F.lit("1996-01-01"))
+    hi = F.to_timestamp(F.lit("1997-01-01"))
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"))
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    li = _t(spark, sf_dir, "lineitem")
+    j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(supp),
+               (F.col("l_suppkey") == F.col("s_suppkey"))
+               & (F.col("c_nationkey") == F.col("s_nationkey")))
+         .join(F.broadcast(nation),
+               F.col("s_nationkey") == F.col("n_nationkey")))
+    rev = F.round(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(18,4)")),
+        2).cast("double")
+    return j.groupBy("n_name").agg(rev.alias("revenue"))
+
+
+def _q_q12_late_shipments(spark, sf_dir):
+    """TPC-H Q12 (shipping-mode priority), adapted: the testdata
+    lineitem has no shipmode/commit/receipt columns, so 'late' is
+    shipped more than 60 days after the order date, and the split is
+    high (1-URGENT/2-HIGH) vs low order priority per l_linestatus.
+    Plan: one fact-fact shuffle join + one tiny aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate")
+                    >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return late.groupBy("l_linestatus").agg(
+        F.sum(high.cast("long")).alias("high_line_count"),
+        F.sum((~high).cast("long")).alias("low_line_count"))
+
+
+def _q_q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): promo revenue share for one ship
+    month.  Exact-decimal discipline: both sums are DECIMAL(18,4)
+    (associative, order-independent), cast to double BEFORE the
+    division so both engines divide bit-identical doubles; ROUND(_,4)
+    then acts on the same value on both sides.  Plan: ship-date filter
+    pushed to the lineitem scan, part broadcast, single-row agg."""
+    lo = F.to_timestamp(F.lit("1996-09-01"))
+    hi = F.to_timestamp(F.lit("1996-10-01"))
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    drev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    promo = F.sum(F.when(F.col("p_type").startswith("PROMO"), drev)
+                  .otherwise(zero)).cast("double")
+    total = F.sum(drev).cast("double")
+    return j.agg(
+        F.round(F.lit(100.0) * promo / total, 4).alias("promo_revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"))
+
+
 def _q_q10_returned_items(spark, sf_dir):
     """TPC-H Q10 (returned-item reporting), adapted: top-20 customers by
     revenue lost to returns in 1996Q1.  nation broadcast; one customer-
@@ -1242,6 +1315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed in round 6 (rewrite / new / oracle or engine touched)
         "relapse_array_dfa": _q_relapse_array_dfa,
         "stream_dedup": _q_stream_dedup,
+        "q5_local_supplier": _q_q5_local_supplier,
+        "q12_late_shipments": _q_q12_late_shipments,
+        "q14_promo_effect": _q_q14_promo_effect,
         "boilerplate_removal": _q_boilerplate_removal,
         "multimodal_png": _q_multimodal_png,
         "minhash_verify": _q_minhash_verify,
@@ -1877,6 +1953,48 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l_orderkey, o_orderdate
         ORDER BY revenue DESC, o_orderdate, l_orderkey
         LIMIT 10
+        """,
+        "q5_local_supplier": """
+        SELECT n_name,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        """,
+        "q12_late_shipments": """
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        GROUP BY l_linestatus
+        """,
+        "q14_promo_effect": """
+        SELECT CAST(ROUND(100.0
+                 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                            THEN CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))) AS DOUBLE), 4) AS DOUBLE)
+               AS promo_revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
         """,
         "q10_returned_items": """
         SELECT c_custkey, c_name,

@@ -89,6 +89,9 @@ HEADLINE = [
     "q4_order_priority",
     "q10_returned_items",
     "q13_cust_distribution",
+    "q5_local_supplier",
+    "q12_late_shipments",
+    "q14_promo_effect",
     "q6_revenue",
     "rollup_lineitem",
     "top10_customers",
