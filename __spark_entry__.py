@@ -174,6 +174,36 @@ def _q_stream_dedup(spark, sf_dir):
         F.md5(tx.normalize_ws(F.col("text"))).alias("fp"))
 
 
+def _q_sampled_validation(spark, sf_dir):
+    """Sampled validation (operators/sampling.py): decide violation-rate
+    thresholds from a deterministic 1-in-3 hash slice with Wilson 95%
+    bounds — the 100-TB shape where rule evaluation, shuffle state and
+    verdict logic touch only the slice.  The slice predicate is the
+    PORTABLE doc_id modulus (the decontam eval-slice precedent) so the
+    oracle selects the identical rows; the Wilson arithmetic is a fixed
+    tree of correctly-rounded double ops over the same (viol, n)
+    integers, hence bit-identical across engines and deliberately NOT
+    rounded (the jaccard discipline).  Rules are relapse row rules
+    compiled through the standard checkplan path."""
+    from katydid_haskell_spark.operators.sampling import (
+        sampled_violation_report,
+        systematic_slice,
+    )
+    from katydid_haskell_spark.plans.checkplan import CheckPlan, RowRule
+
+    docs = _t(spark, sf_dir, "documents")
+    plan = CheckPlan(row_rules=[
+        RowRule("text_nonempty", ".text: -> gt(length($string), 0)"),
+        RowRule("lang_shape", '.lang ~= "^[a-z]{2}$"'),
+        RowRule("n_chars_cap", ".n_chars: < 350"),
+        RowRule("n_chars_tail", ".n_chars: < 460"),
+    ])
+    cols = plan.compile_row_columns(docs.schema)
+    return sampled_violation_report(
+        docs, cols, systematic_slice(F.col("doc_id"), 3, portable=True),
+        threshold=0.05)
+
+
 def _q_relapse_array_dfa(spark, sf_dir):
     # Round-6 array-DFA lowering (lower.py _match_array_dfa): both specs
     # are shapes the positional templates refuse — a two-star-segment
@@ -1315,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed in round 6 (rewrite / new / oracle or engine touched)
         "relapse_array_dfa": _q_relapse_array_dfa,
         "stream_dedup": _q_stream_dedup,
+        "sampled_validation": _q_sampled_validation,
         "q5_local_supplier": _q_q5_local_supplier,
         "q12_late_shipments": _q_q12_late_shipments,
         "q14_promo_effect": _q_q14_promo_effect,
@@ -1414,7 +1445,56 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, '{lang}' AS lang, hits_{lang} AS h FROM hits"
         for lang in _LANG_PROFILES_SQL
     )
+    def _wilson_sql(v, n):
+        # mirrors operators/sampling.py:wilson_bounds op-for-op: same
+        # expression tree over the same integers -> bit-identical doubles
+        # on both engines (deliberately unrounded, the jaccard discipline)
+        z = "1.959963984540054"
+        nd = f"CAST({n} AS DOUBLE)"
+        p = f"(CAST({v} AS DOUBLE) / {nd})"
+        z2 = f"({z} * {z})"
+        center = f"({p} + {z2} / (2.0 * {nd}))"
+        margin = (f"({z} * SQRT({p} * (1.0 - {p}) / {nd} + "
+                  f"{z2} / (4.0 * {nd} * {nd})))")
+        den = f"(1.0 + {z2} / {nd})"
+        lo = f"GREATEST(({center} - {margin}) / {den}, 0.0)"
+        hi = f"LEAST(({center} + {margin}) / {den}, 1.0)"
+        return p, lo, hi
+
+    _SAMPLED_RULES = {
+        "text_nonempty": "length(text) > 0",
+        "lang_shape": "regexp_matches(lang, '^[a-z]{2}$')",
+        "n_chars_cap": "n_chars < 350",
+        "n_chars_tail": "n_chars < 460",
+    }
+    _p, _lo, _hi = _wilson_sql("n_viol", "n_sampled")
+    sampled_viols = ",\n              ".join(
+        f"CAST(SUM(CASE WHEN NOT COALESCE({expr}, FALSE) THEN 1 ELSE 0 "
+        f"END) AS BIGINT) AS v_{rid}"
+        for rid, expr in _SAMPLED_RULES.items())
+    sampled_union = "\n              UNION ALL ".join(
+        f"SELECT '{rid}' AS rule_id, n AS n_sampled, v_{rid} AS n_viol "
+        f"FROM c"
+        for rid in _SAMPLED_RULES)
+
     return {
+        "sampled_validation": f"""
+            WITH s AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+            c AS (
+              SELECT COUNT(*) AS n,
+              {sampled_viols}
+              FROM s),
+            u AS (
+              {sampled_union})
+            SELECT rule_id, n_sampled, n_viol,
+                   {_p} AS rate,
+                   {_lo} AS rate_lo,
+                   {_hi} AS rate_hi,
+                   CASE WHEN {_hi} < CAST(0.05 AS DOUBLE) THEN 'pass'
+                        WHEN {_lo} > CAST(0.05 AS DOUBLE) THEN 'fail'
+                        ELSE 'inconclusive' END AS verdict
+            FROM u WHERE n_sampled > 0
+        """,
         "relapse_filter_docs": """
             SELECT doc_id, lang, n_chars FROM documents
             WHERE lang IN ('en','de','fr') AND n_chars >= 200

@@ -89,6 +89,7 @@ HEADLINE = [
     "q4_order_priority",
     "q10_returned_items",
     "q13_cust_distribution",
+    "sampled_validation",
     "q5_local_supplier",
     "q12_late_shipments",
     "q14_promo_effect",
