@@ -28,3 +28,49 @@ def test_parquet_snapshot_roundtrip(spark, tmp_path):
     snap3 = write_bucketed(with_bucket(pages_df(spark, 600), buckets=4),
                            target3, buckets=4)
     assert snap3 != snap
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located join: two tables bucketed on the same key with the
+    same bucket count sort-merge-join with ZERO shuffle exchanges and
+    (thanks to sortBy) zero Sort nodes -- the 100-TB fact-fact join
+    shape.  Row parity vs the plain shuffled join is asserted too."""
+    from pyspark.sql import functions as F
+
+    from katydid_haskell_spark.sources.tables import write_bucketed_table
+
+    a = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 20_000, 3).select(
+        F.col("id").alias("k"), (F.col("id") + 1).alias("vb"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed_table(a, "bj_a", "k", 8, str(tmp_path / "a"))
+        write_bucketed_table(b, "bj_b", "k", 8, str(tmp_path / "b"))
+        j = spark.table("bj_a").join(spark.table("bj_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        got = j.count()
+        want = a.join(b, "k").count()
+        assert got == want == 6_667
+        # single-bucket pruning on a key lookup: the scan reads 1 of 8
+        # bucket files (SelectedBucketsCount).  The planner's
+        # autoBucketedScan heuristic skips bucketed reads for plain
+        # filters (no exchange to save), so force it for the lookup.
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+            "false")
+        try:
+            one = spark.table("bj_a").filter(F.col("k") == 12_345)
+            p1 = one._jdf.queryExecution().executedPlan().toString()
+            assert "1 out of 8" in p1, p1
+            assert one.count() == 1
+        finally:
+            spark.conf.unset(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bj_a")
+        spark.sql("DROP TABLE IF EXISTS bj_b")
