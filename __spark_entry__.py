@@ -1178,6 +1178,34 @@ def _q_decontam_overlap(spark, sf_dir):
     return dc.ngram_overlap(train, eval_set, "doc_id", "text", n=3)
 
 
+def _q_duplicate_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (the Lee et al. 2021 ExactSubstr
+    family): maximal word runs whose every 5-gram occurs in >=2 distinct
+    documents, merged gaps-and-islands style.  Construct-in-query: a
+    shared 11-word sentence is appended to every 5th doc so known
+    cross-document spans exist at any SF; gram keys are md5 digests
+    derived map-side (text never crosses a shuffle) and the oracle
+    re-derives bit-identical keys with DuckDB md5."""
+    from katydid_haskell_spark.operators import spans as sp
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit(" " + _SHARED_SPAN_SENTENCE)).otherwise(F.lit("")))
+    d = docs.select("doc_id", payload.alias("text"))
+    return sp.duplicate_spans(d, "doc_id", "text", n=5, min_docs=2,
+                              min_words=8)
+
+
+#: appended to every 5th document in duplicate_spans (11 words — long
+#: enough that 7 interior 5-grams survive per doc regardless of the
+#: doc-dependent words preceding the splice point).
+_SHARED_SPAN_SENTENCE = (
+    "shared boilerplate sentence repeated verbatim across many "
+    "documents for span detection")
+
+
 def _q_q4_order_priority(spark, sf_dir):
     """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with a
     non-equi extra condition (late shipment >90 days after order)."""
@@ -1343,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_skew_report": _q_host_skew_report,
         "pages_verdicts": _q_pages_verdicts,
         # changed in round 6 (rewrite / new / oracle or engine touched)
+        "duplicate_spans": _q_duplicate_spans,
         "relapse_array_dfa": _q_relapse_array_dfa,
         "stream_dedup": _q_stream_dedup,
         "sampled_validation": _q_sampled_validation,
@@ -1364,7 +1393,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_orphans": _q_referential_orphans,
         "drift_psi_events": _q_drift_psi_events,
         "doc_quality": _q_doc_quality,
-        "exact_dup_groups": _q_exact_dup_groups,
         "ann_topk_brute": _q_ann_topk_brute,
         "minhash_pairs": _q_minhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
@@ -1404,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "dedup_clusters_star": _q_dedup_clusters_star,
+        "exact_dup_groups": _q_exact_dup_groups,
     }
 
 
@@ -1958,6 +1987,44 @@ def oracle_sql() -> dict[str, str]:
                (dup_line_frac > 0.30 OR top_bigram_frac > 0.20
                 OR dup_trigram_frac > 0.30) AS flagged
         FROM feats
+        """,
+        "duplicate_spans": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 5 = 0
+                              THEN ' {_SHARED_SPAN_SENTENCE}'
+                              ELSE '' END AS text
+          FROM documents
+        ), w AS (
+          SELECT doc_id, {_WORDS_SQL} AS ws FROM d
+        ), g AS (
+          SELECT doc_id,
+                 unnest(range(0, len(ws) - 4)) AS pos,
+                 unnest([md5(array_to_string(ws[i+1:i+5], ' '))
+                         for i in range(0, len(ws) - 4)]) AS h
+          FROM w WHERE len(ws) >= 5
+        ), dup AS (
+          SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+        ), p AS (
+          SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)
+        ), pr AS (
+          SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM p
+        ), isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN prev IS NULL OR pos > prev + 5
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM pr
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+               CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_words,
+               CAST(COUNT(*) AS BIGINT) AS n_grams
+        FROM isl GROUP BY doc_id, island
+        HAVING MAX(pos) - MIN(pos) + 5 >= 8
         """,
         "decontam_overlap": f"""
         WITH w AS (

@@ -72,6 +72,7 @@ HEADLINE = [
     "multimodal_bmp",
     "multimodal_png",
     "dedup_clusters",
+    "duplicate_spans",
     "simhash_pairs",
     "lsh_topk",
     "ann_topk_ivf",
