@@ -834,6 +834,79 @@ def _q_q5_local_supplier(spark, sf_dir):
     return j.groupBy("n_name").agg(rev.alias("revenue"))
 
 
+def _q_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 (volume shipping between two nations), adapted: revenue
+    by (supp_nation, cust_nation, ship year) for the NATION_1/NATION_2
+    pair in either direction.  Scale plan: the nation filter is pushed
+    BELOW the fact joins — supplier and customer are each pre-joined to
+    the 2-row filtered nation dim (broadcast), so the two big joins see
+    only ~2/25ths of each side; the pair-disjunction runs after, on two
+    already-small name columns."""
+    nations = ("NATION_1", "NATION_2")
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*nations))
+    n1 = nation.select(F.col("n_nationkey").alias("n1_key"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("n2_key"),
+                       F.col("n_name").alias("cust_nation"))
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (li.join(F.broadcast(supp),
+                 F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+         .filter(((F.col("supp_nation") == nations[0])
+                  & (F.col("cust_nation") == nations[1]))
+                 | ((F.col("supp_nation") == nations[1])
+                    & (F.col("cust_nation") == nations[0]))))
+    rev = F.round(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(18,4)")),
+        2).cast("double")
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("long").alias("yr"))
+            .agg(rev.alias("revenue")))
+
+
+def _q_q19_brand_revenue(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue, disjunctive predicates), adapted
+    to the testdata schema (no container/shipmode): three
+    (brand, size-range, quantity-range) disjuncts.  The brand/size half
+    of each disjunct filters the broadcast part side BEFORE the join —
+    the join build side carries only candidate parts at any SF — and
+    the full tri-clause disjunction evaluates post-join in codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_side = ((F.col("p_brand") == "Brand#12")
+                 & F.col("p_size").between(1, 5)) | \
+                ((F.col("p_brand") == "Brand#23")
+                 & F.col("p_size").between(1, 10)) | \
+                ((F.col("p_brand") == "Brand#34")
+                 & F.col("p_size").between(1, 15))
+    part = _t(spark, sf_dir, "part").filter(part_side)
+    cond = (((F.col("p_brand") == "Brand#12")
+             & F.col("p_size").between(1, 5)
+             & F.col("l_quantity").between(1, 11))
+            | ((F.col("p_brand") == "Brand#23")
+               & F.col("p_size").between(1, 10)
+               & F.col("l_quantity").between(10, 20))
+            | ((F.col("p_brand") == "Brand#34")
+               & F.col("p_size").between(1, 15)
+               & F.col("l_quantity").between(20, 30)))
+    j = (li.join(F.broadcast(part),
+                 F.col("l_partkey") == F.col("p_partkey"))
+         .filter(cond))
+    rev = F.round(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(18,4)")),
+        2).cast("double")
+    return j.agg(rev.alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines"))
+
+
 def _q_q12_late_shipments(spark, sf_dir):
     """TPC-H Q12 (shipping-mode priority), adapted: the testdata
     lineitem has no shipmode/commit/receipt columns, so 'late' is
@@ -1198,6 +1271,25 @@ def _q_duplicate_spans(spark, sf_dir):
                               min_words=8)
 
 
+def _q_span_removal(spark, sf_dir):
+    """remove_duplicate_spans end-to-end: the detected duplicated spans
+    are cut out of each document map-side and the survivor re-joined
+    from the canonical word split (normalized text — same unit as the
+    gram math).  Same construct-in-query payload as duplicate_spans;
+    the oracle rebuilds the cleaned text with DuckDB's indexed
+    list_filter over the identical word list."""
+    from katydid_haskell_spark.operators import spans as sp
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit(" " + _SHARED_SPAN_SENTENCE)).otherwise(F.lit("")))
+    d = docs.select("doc_id", payload.alias("text"))
+    return sp.remove_duplicate_spans(d, "doc_id", "text", n=5,
+                                     min_docs=2, min_words=8)
+
+
 #: appended to every 5th document in duplicate_spans (11 words — long
 #: enough that 7 interior 5-grams survive per doc regardless of the
 #: doc-dependent words preceding the splice point).
@@ -1372,10 +1464,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_verdicts": _q_pages_verdicts,
         # changed in round 6 (rewrite / new / oracle or engine touched)
         "duplicate_spans": _q_duplicate_spans,
+        "span_removal": _q_span_removal,
         "relapse_array_dfa": _q_relapse_array_dfa,
         "stream_dedup": _q_stream_dedup,
         "sampled_validation": _q_sampled_validation,
         "q5_local_supplier": _q_q5_local_supplier,
+        "q7_nation_volume": _q_q7_nation_volume,
+        "q19_brand_revenue": _q_q19_brand_revenue,
         "q12_late_shipments": _q_q12_late_shipments,
         "q14_promo_effect": _q_q14_promo_effect,
         "boilerplate_removal": _q_boilerplate_removal,
@@ -2026,6 +2121,53 @@ def oracle_sql() -> dict[str, str]:
         FROM isl GROUP BY doc_id, island
         HAVING MAX(pos) - MIN(pos) + 5 >= 8
         """,
+        "span_removal": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 text || CASE WHEN doc_id % 5 = 0
+                              THEN ' {_SHARED_SPAN_SENTENCE}'
+                              ELSE '' END AS text
+          FROM documents
+        ), w AS (
+          SELECT doc_id, {_WORDS_SQL} AS ws FROM d
+        ), g AS (
+          SELECT doc_id,
+                 unnest(range(0, len(ws) - 4)) AS pos,
+                 unnest([md5(array_to_string(ws[i+1:i+5], ' '))
+                         for i in range(0, len(ws) - 4)]) AS h
+          FROM w WHERE len(ws) >= 5
+        ), dup AS (
+          SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+        ), p AS (
+          SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)
+        ), pr AS (
+          SELECT doc_id, pos,
+                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM p
+        ), isl AS (
+          SELECT doc_id, pos,
+                 SUM(CASE WHEN prev IS NULL OR pos > prev + 5
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM pr
+        ), sp2 AS (
+          SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+          FROM isl GROUP BY doc_id, island
+          HAVING MAX(pos) - MIN(pos) + 5 >= 8
+        ), dr AS (
+          SELECT doc_id, list(i) AS dl
+          FROM (SELECT doc_id, unnest(range(s, e + 1)) AS i FROM sp2)
+          GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               COALESCE(array_to_string(
+                 CASE WHEN dr.dl IS NULL THEN w.ws
+                      ELSE list_filter(
+                        w.ws, (x, i) -> NOT list_contains(dr.dl, i - 1))
+                 END, ' '), '') AS clean_text,
+               CAST(COALESCE(len(dr.dl), 0) AS BIGINT) AS n_removed_words
+        FROM w LEFT JOIN dr ON w.doc_id = dr.doc_id
+        """,
         "decontam_overlap": f"""
         WITH w AS (
           SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
@@ -2116,6 +2258,36 @@ def oracle_sql() -> dict[str, str]:
           AND o_orderdate >= TIMESTAMP '1996-01-01'
           AND o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n_name
+        """,
+        "q7_nation_volume": """
+        SELECT supp_nation, cust_nation, yr,
+               CAST(ROUND(SUM(CAST(volume AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS BIGINT) AS yr,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        ) GROUP BY supp_nation, cust_nation, yr
+        """,
+        "q19_brand_revenue": """
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
         """,
         "q12_late_shipments": """
         SELECT l_linestatus,
