@@ -1290,6 +1290,36 @@ def _q_span_removal(spark, sf_dir):
                                      min_docs=2, min_words=8)
 
 
+def _q_quota_sample(spark, sf_dir):
+    """Deterministic data-mixing quota sampler: first-N-per-language in
+    seeded md5 order.  Quotas are ACTIVE caps at sf0.01 (every language
+    has more rows than its quota) and partially active at sf0.001
+    (undersized groups are kept whole — exercised both ways).  The
+    oracle re-derives the identical seeded hex order with DuckDB md5 +
+    QUALIFY row_number."""
+    from katydid_haskell_spark.operators import mixing as mx
+
+    docs = _t(spark, sf_dir, "documents")
+    return mx.quota_sample_ids(
+        docs, "lang", "doc_id", _MIX_QUOTAS, seed="mix-v1")
+
+
+#: language quotas for quota_sample — shared with the oracle's VALUES list
+_MIX_QUOTAS = {"en": 100, "de": 40, "fr": 40, "es": 40, "zh": 25}
+
+
+def _q_doc_chunks(spark, sf_dir):
+    """Training-sequence chunking: 64-word windows, 16-word overlap
+    (stride 48), canonical curation word split.  Pure Catalyst — the
+    whole operator is a generator expansion of the scan, zero shuffles,
+    zero Python."""
+    from katydid_haskell_spark.operators import chunking as ck
+
+    docs = _t(spark, sf_dir, "documents")
+    return ck.chunk_documents(docs, "doc_id", "text",
+                              chunk_words=64, overlap=16)
+
+
 #: appended to every 5th document in duplicate_spans (11 words — long
 #: enough that 7 interior 5-grams survive per doc regardless of the
 #: doc-dependent words preceding the splice point).
@@ -1465,6 +1495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed in round 6 (rewrite / new / oracle or engine touched)
         "duplicate_spans": _q_duplicate_spans,
         "span_removal": _q_span_removal,
+        "quota_sample": _q_quota_sample,
+        "doc_chunks": _q_doc_chunks,
         "relapse_array_dfa": _q_relapse_array_dfa,
         "stream_dedup": _q_stream_dedup,
         "sampled_validation": _q_sampled_validation,
@@ -2167,6 +2199,31 @@ def oracle_sql() -> dict[str, str]:
                  END, ' '), '') AS clean_text,
                CAST(COALESCE(len(dr.dl), 0) AS BIGINT) AS n_removed_words
         FROM w LEFT JOIN dr ON w.doc_id = dr.doc_id
+        """,
+        "quota_sample": """
+        WITH q(lang, quota) AS (VALUES
+          ('en', 100), ('de', 40), ('fr', 40), ('es', 40), ('zh', 25))
+        SELECT d.lang, d.doc_id
+        FROM documents d JOIN q ON d.lang = q.lang
+        QUALIFY row_number() OVER (
+          PARTITION BY d.lang
+          ORDER BY md5('mix-v1' || chr(31)
+                       || CAST(d.doc_id AS VARCHAR)), d.doc_id
+        ) <= q.quota
+        """,
+        "doc_chunks": f"""
+        WITH w AS (
+          SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+        ), s AS (
+          SELECT doc_id, ws,
+                 unnest(range(0, len(ws), 48)) AS start
+          FROM w WHERE len(ws) > 0
+        )
+        SELECT doc_id,
+               CAST(start // 48 AS BIGINT) AS chunk_id,
+               array_to_string(ws[start+1 : start+64], ' ') AS chunk_text,
+               CAST(least(64, len(ws) - start) AS BIGINT) AS n_words
+        FROM s
         """,
         "decontam_overlap": f"""
         WITH w AS (

@@ -1,0 +1,79 @@
+"""Deterministic data-mixing quota sampler.
+
+Training-data pipelines mix sources to a target distribution ("30% web,
+30% code, 20% books…") and need the draw to be (a) exact per group,
+(b) deterministic across reruns and cluster layouts, and (c) cheap at
+corpus scale.  ``quota_sample_ids`` ranks each group by a seeded md5 of
+the row id — a reproducible uniform order any engine can re-derive (the
+DuckDB oracle re-computes the identical hex strings) — and keeps the
+first ``quota`` rows per group.
+
+100-TB shape: the rank runs over a NARROW (group, id) projection, so
+the one window shuffle carries ~50 bytes/row no matter how wide the
+corpus rows are; document text never crosses it.  ``quota_sample``
+joins the winning ids back to the full table when the caller wants
+payload rows — that id-keyed join is the documented cost (winners can
+be a large fraction of the corpus, so it is a shuffle join, not a
+broadcast, by default).
+
+Changing ``seed`` re-draws an independent sample; keeping it fixed
+makes the sample stable under appends only for rows that keep their
+ids (a new row can displace an old one at the quota boundary — exact
+quotas cannot be append-stable, by construction).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: unit separator — joins seed and id unambiguously (neither contains it)
+_SEP = "\x1f"
+
+
+def _rank_col(id_col: str, seed: str):
+    """Seeded deterministic order: md5 hex of seed+sep+id, ties (md5
+    collisions — practically never, but determinism must not depend on
+    that) broken by the id itself."""
+    return [
+        F.md5(F.concat_ws(_SEP, F.lit(seed),
+                          F.col(id_col).cast("string"))),
+        F.col(id_col),
+    ]
+
+
+def quota_sample_ids(df: DataFrame, group_col: str, id_col: str,
+                     quotas: Mapping[str, int],
+                     seed: str = "mix-v1") -> DataFrame:
+    """(group, id) winners: the first ``quotas[group]`` rows of each
+    group in seeded-hash order.  Groups absent from ``quotas`` are
+    dropped; groups smaller than their quota are kept whole.
+
+    One shuffle (the per-group window over the narrow projection) plus
+    a broadcast of the quota map.
+    """
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(g, int(n)) for g, n in quotas.items()],
+        f"{group_col} string, quota bigint")
+    w = Window.partitionBy(group_col).orderBy(*_rank_col(id_col, seed))
+    return (
+        df.select(group_col, id_col)
+        .join(F.broadcast(qdf), group_col)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select(group_col, id_col)
+    )
+
+
+def quota_sample(df: DataFrame, group_col: str, id_col: str,
+                 quotas: Mapping[str, int],
+                 seed: str = "mix-v1") -> DataFrame:
+    """Full sampled rows: ``quota_sample_ids`` winners semi-joined back
+    to the input.  The id-keyed semi join is the one place the payload
+    columns move — a shuffle join by design (the sample is usually far
+    past broadcast size at corpus scale)."""
+    ids = quota_sample_ids(df, group_col, id_col, quotas, seed)
+    return df.join(ids.select(id_col), id_col, "left_semi")

@@ -1,0 +1,104 @@
+"""quota_sample (deterministic data mixing) and chunk_documents
+(training-sequence windows): exactness, determinism under physical
+layout, edge shapes, plan shape (chunking must stay shuffle-free)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from katydid_haskell_spark.operators import chunking as ck
+from katydid_haskell_spark.operators import mixing as mx
+
+
+@pytest.fixture(scope="module")
+def groups_df(spark):
+    rows = [(i, "a" if i % 3 else "b") for i in range(90)]
+    return spark.createDataFrame(rows, "id long, grp string")
+
+
+def test_quota_exact_counts(spark, groups_df):
+    out = mx.quota_sample_ids(groups_df, "grp", "id",
+                              {"a": 10, "b": 7})
+    counts = {r["grp"]: r["n"] for r in
+              out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 10, "b": 7}
+
+
+def test_quota_undersized_group_kept_whole(spark, groups_df):
+    # grp b has 30 rows; quota 1000 keeps all of them
+    out = mx.quota_sample_ids(groups_df, "grp", "id",
+                              {"b": 1000})
+    assert out.count() == 30
+    assert out.select("grp").distinct().collect()[0]["grp"] == "b"
+
+
+def test_quota_group_not_in_quotas_dropped(spark, groups_df):
+    out = mx.quota_sample_ids(groups_df, "grp", "id", {"a": 5})
+    assert {r["grp"] for r in out.select("grp").distinct().collect()} \
+        == {"a"}
+
+
+def test_quota_deterministic_under_repartition(spark, groups_df):
+    a = set(map(tuple, mx.quota_sample_ids(
+        groups_df, "grp", "id", {"a": 12, "b": 9}).collect()))
+    b = set(map(tuple, mx.quota_sample_ids(
+        groups_df.repartition(7, "id"), "grp", "id",
+        {"a": 12, "b": 9}).collect()))
+    assert a == b and len(a) == 21
+
+
+def test_quota_seed_changes_draw(spark, groups_df):
+    a = set(map(tuple, mx.quota_sample_ids(
+        groups_df, "grp", "id", {"a": 12}).collect()))
+    b = set(map(tuple, mx.quota_sample_ids(
+        groups_df, "grp", "id", {"a": 12}, seed="other").collect()))
+    assert a != b  # 12-of-60 draws colliding across seeds ~ impossible
+
+
+def test_quota_sample_payload_semi_join(spark, groups_df):
+    full = mx.quota_sample(groups_df.withColumn("payload", F.lit("x")),
+                           "grp", "id", {"a": 4, "b": 4})
+    assert full.count() == 8
+    assert set(full.columns) == {"id", "grp", "payload"}
+
+
+def test_chunks_cover_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    out = {r["chunk_id"]: r for r in
+           ck.chunk_documents(df, "id", "text", chunk_words=4,
+                              overlap=1).collect()}
+    # stride 3: starts 0,3,6,9
+    assert [out[i]["chunk_text"] for i in range(4)] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9"]
+    assert [out[i]["n_words"] for i in range(4)] == [4, 4, 4, 1]
+
+
+def test_chunks_no_overlap_partition(spark):
+    text = " ".join(f"w{i}" for i in range(9))
+    df = spark.createDataFrame([(1, text)], "id long, text string")
+    rows = ck.chunk_documents(df, "id", "text", chunk_words=4).collect()
+    # non-overlapping windows partition the word list exactly
+    assert sum(r["n_words"] for r in rows) == 9
+    joined = " ".join(r["chunk_text"]
+                      for r in sorted(rows, key=lambda r: r["chunk_id"]))
+    assert joined == text
+
+
+def test_chunks_empty_and_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "one two")], "id long, text string")
+    rows = ck.chunk_documents(df, "id", "text", chunk_words=4).collect()
+    assert [(r["id"], r["chunk_text"]) for r in rows] == [(3, "one two")]
+
+
+def test_chunks_bad_overlap_rejected(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(ValueError):
+        ck.chunk_documents(df, "id", "text", chunk_words=4, overlap=4)
+
+
+def test_chunks_plan_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    plan = (ck.chunk_documents(df, "id", "text", chunk_words=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan  # generator expansion of the scan only
