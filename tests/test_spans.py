@@ -115,6 +115,48 @@ def test_remove_duplicate_spans(spark, docs_df):
     assert set(got) == {1, 2, 3, 4}
 
 
+def test_fuzz_random_corpora(spark):
+    """Seeded adversarial fuzz: single-letter words over a 6-symbol
+    alphabet make gram collisions dense (overlapping islands, spans
+    touching doc edges, whole-doc spans), random (n, min_docs,
+    min_words) per seed; detection AND removal must match the
+    brute-force Python reference exactly."""
+    import random
+
+    for seed in (7, 41, 1999):
+        rng = random.Random(seed)
+        n = rng.choice([2, 3, 4])
+        min_docs = rng.choice([2, 3])
+        min_words = rng.choice([None, n + 1])
+        docs = [(i, " ".join(rng.choice("abcdef")
+                             for _ in range(rng.randrange(0, 14))))
+                for i in range(60)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        want = _ref_spans(docs, n=n, min_docs=min_docs,
+                          min_words=min_words)
+        got = sorted(tuple(r) for r in sp.duplicate_spans(
+            df, "doc_id", "text", n=n, min_docs=min_docs,
+            min_words=min_words).collect())
+        assert got == want, f"seed {seed}: {got} != {want}"
+        assert want, f"seed {seed}: fuzz produced no spans (weak case)"
+        # removal parity from the same reference spans
+        drops = {}
+        for did, s, e, _, _ in want:
+            drops.setdefault(did, set()).update(range(s, e + 1))
+        want_clean = {}
+        for did, t in docs:
+            ws = _words(t)
+            kept = [w for i, w in enumerate(ws)
+                    if i not in drops.get(did, ())]
+            want_clean[did] = (" ".join(kept),
+                              len(ws) - len(kept))
+        got_clean = {r.doc_id: (r.clean_text, r.n_removed_words)
+                     for r in sp.remove_duplicate_spans(
+                         df, "doc_id", "text", n=n, min_docs=min_docs,
+                         min_words=min_words).collect()}
+        assert got_clean == want_clean, f"seed {seed}"
+
+
 def test_spans_plan_no_text_exchange(spark, docs_df):
     """Scale guard: gram hashing happens map-side; every exchange in the
     span plan carries only (h, id, pos) — document text never shuffles."""
