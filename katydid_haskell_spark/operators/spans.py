@@ -35,6 +35,15 @@ from pyspark.sql import functions as F
 
 from katydid_haskell_spark.operators.textops import _WORD_SPLIT
 
+#: counted broadcast guard for the cut-list join in
+#: :func:`remove_duplicate_spans` — one (id, array<int-pair>) row per
+#: AFFECTED doc; 2M rows of small int arrays is comfortably
+#: executor-memory small, the same order as decontam's gram guard.
+#: Under the threshold the join is an explicit broadcast (document text
+#: never crosses an exchange); past it the id-keyed shuffle join is the
+#: documented one-time text move.
+BROADCAST_MAX_CUTS = 2_000_000
+
 
 def gram_positions_udf(n: int):
     """Arrow-vectorized (pos, h) pairs: every word ``n``-gram of the
@@ -183,7 +192,13 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
         .agg(F.collect_list(
             F.struct(F.col("span_start"), F.col("span_end"))).alias("cuts"))
     )
-    joined = df.join(cuts, id_col, "left_outer")
+    # counted guard, not a size estimate: Catalyst cannot see through
+    # the UDF pipeline feeding `cuts`, so decide the strategy from an
+    # early-exit count (LIMIT k+1 — a huge cut set never pays a full
+    # count) the way decontam._semi_join_guarded does.
+    n_cuts = cuts.limit(BROADCAST_MAX_CUTS + 1).count()
+    build = F.broadcast(cuts) if n_cuts <= BROADCAST_MAX_CUTS else cuts
+    joined = df.join(build, id_col, "left_outer")
 
     word_re = re.compile(_WORD_SPLIT)
 

@@ -115,6 +115,30 @@ def test_remove_duplicate_spans(spark, docs_df):
     assert set(got) == {1, 2, 3, 4}
 
 
+def test_removal_plan_no_text_exchange_under_guard(spark, docs_df):
+    """With the cut set under BROADCAST_MAX_CUTS the removal join is an
+    explicit broadcast: document text reaches the rebuild without ever
+    crossing a shuffle exchange."""
+    out = sp.remove_duplicate_spans(docs_df, "doc_id", "text", n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for l in plan.splitlines():
+        if "Exchange" in l and "Broadcast" not in l:
+            assert "text" not in l, f"text crosses a shuffle: {l}"
+
+
+def test_removal_shuffle_branch_same_output(spark, docs_df,
+                                            monkeypatch):
+    """Forcing the over-threshold branch (shuffle join) must produce
+    byte-identical output — the guard changes strategy, never
+    semantics."""
+    want = sorted(map(tuple, sp.remove_duplicate_spans(
+        docs_df, "doc_id", "text", n=3).collect()))
+    monkeypatch.setattr(sp, "BROADCAST_MAX_CUTS", 0)
+    got = sorted(map(tuple, sp.remove_duplicate_spans(
+        docs_df, "doc_id", "text", n=3).collect()))
+    assert got == want
+
+
 def test_fuzz_random_corpora(spark):
     """Seeded adversarial fuzz: single-letter words over a 6-symbol
     alphabet make gram collisions dense (overlapping islands, spans
