@@ -200,6 +200,26 @@ CASES += [
 ]
 
 
+# round-6 late additions — the families the corpus growth pinned at the
+# verdict level, here proven encoding-agnostic as well: double negation,
+# Or-with-emptySet absorption, name choice under interleave, references
+# entering mid-path, optional segments over dict children, Not around a
+# positional author match
+CASES += [
+    ('.doc: !(!(.name == "bob"))', DOC, True),
+    ('.doc: !(!(.name == "eve"))', DOC, False),
+    ('(.doc: .n == 5 | !(*))', DOC, True),
+    ('(.doc: .n == 6 | !(*))', DOC, False),
+    ('doc: {(name|title): == "bob"; n: *}', DOC, True),
+    ('doc: {(title|subtitle): == "bob"; n: *}', DOC, False),
+    ('#main = .a: .b: @rest\n#rest = .c: .d: .e $= "af"', FIVE, True),
+    ('#main = .a: .b: @rest\n#rest = .c: .d: .e $= "xx"', FIVE, False),
+    ('doc: [name: *, (n: *)?]', DOC, True),
+    ('doc: [(name: *)?, (title: *)?]', DOC, False),  # n never matched
+    ('.rec: !(.author: [first: == "ada", last: == "wrong"])', MIXED, True),
+]
+
+
 def _verdicts(spec: str, tree: dict) -> dict:
     """Verdict per (encoding, engine) for one case."""
     g = compile_grammar(parse_grammar(spec))
