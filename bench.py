@@ -73,6 +73,9 @@ HEADLINE = [
     "multimodal_png",
     "dedup_clusters",
     "duplicate_spans",
+    "quota_sample",
+    "doc_chunks",
+    "q7_nation_volume",
     "simhash_pairs",
     "lsh_topk",
     "ann_topk_ivf",
