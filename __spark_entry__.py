@@ -1308,6 +1308,18 @@ def _q_quota_sample(spark, sf_dir):
 _MIX_QUOTAS = {"en": 100, "de": 40, "fr": 40, "es": 40, "zh": 25}
 
 
+def _q_shard_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle into 16 training shards:
+    shard from the first two hex digits of the seeded md5, dense
+    per-shard positions.  Pure function of (seed, doc_id) — the oracle
+    re-derives the identical permutation."""
+    from katydid_haskell_spark.operators import mixing as mx
+
+    docs = _t(spark, sf_dir, "documents")
+    return mx.shard_shuffle(docs, "doc_id", seed="shuffle-v1",
+                            n_shards=16)
+
+
 def _q_doc_chunks(spark, sf_dir):
     """Training-sequence chunking: 64-word windows, 16-word overlap
     (stride 48), canonical curation word split.  Pure Catalyst — the
@@ -1496,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": _q_duplicate_spans,
         "span_removal": _q_span_removal,
         "quota_sample": _q_quota_sample,
+        "shard_shuffle": _q_shard_shuffle,
         "doc_chunks": _q_doc_chunks,
         "relapse_array_dfa": _q_relapse_array_dfa,
         "stream_dedup": _q_stream_dedup,
@@ -2210,6 +2223,27 @@ def oracle_sql() -> dict[str, str]:
           ORDER BY md5('mix-v1' || chr(31)
                        || CAST(d.doc_id AS VARCHAR)), d.doc_id
         ) <= q.quota
+        """,
+        "shard_shuffle": """
+        WITH h AS (
+          SELECT doc_id,
+                 md5('shuffle-v1' || chr(31)
+                     || CAST(doc_id AS VARCHAR)) AS hh
+          FROM documents
+        ), s AS (
+          SELECT doc_id, hh,
+                 ((strpos('0123456789abcdef', substring(hh, 1, 1)) - 1)
+                  * 16
+                  + (strpos('0123456789abcdef', substring(hh, 2, 1)) - 1))
+                 % 16 AS shard
+          FROM h
+        )
+        SELECT doc_id,
+               CAST(shard AS BIGINT) AS shard,
+               CAST(row_number() OVER (
+                 PARTITION BY shard ORDER BY hh, doc_id) - 1
+                 AS BIGINT) AS pos
+        FROM s
         """,
         "doc_chunks": f"""
         WITH w AS (

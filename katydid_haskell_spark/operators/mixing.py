@@ -68,6 +68,47 @@ def quota_sample_ids(df: DataFrame, group_col: str, id_col: str,
     )
 
 
+_HEX = "0123456789abcdef"
+
+
+def shard_shuffle(df: DataFrame, id_col: str,
+                  seed: str = "shuffle-v1",
+                  n_shards: int = 256) -> DataFrame:
+    """Deterministic global shuffle into training shards.
+
+    (id, shard, pos): every row gets a shard (0..n_shards-1) and a
+    dense 0-based position inside it, both pure functions of
+    (seed, id) — the reproducible corpus permutation every pretraining
+    run needs (re-runs, resumes and different cluster layouts must
+    read the same training order).  Shard = first two hex digits of
+    the seeded md5 (mod n_shards, so ``n_shards`` <= 256 stays
+    perfectly uniform-by-construction); order within a shard = the
+    full digest.
+
+    100-TB shape: one shuffle keyed by shard over the NARROW
+    (id, digest) projection — text never moves; size ``n_shards`` to
+    the cluster (each shard is sorted by exactly one task, and the
+    md5 prefix makes shard sizes uniform, so there is no skew by
+    construction).  Writing each shard sorted by ``pos`` materializes
+    the training order without any global sort.
+    """
+    if not 1 <= n_shards <= 256:
+        raise ValueError("n_shards must be in 1..256 (two hex digits)")
+    h = F.md5(F.concat_ws(_SEP, F.lit(seed),
+                          F.col(id_col).cast("string")))
+    d = df.select(F.col(id_col)).withColumn("__h", h)
+    shard = (
+        (F.expr(f"instr('{_HEX}', substring(__h, 1, 1)) - 1") * 16
+         + F.expr(f"instr('{_HEX}', substring(__h, 2, 1)) - 1"))
+        % n_shards)
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        d.withColumn("shard", shard.cast("long"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
 def quota_sample(df: DataFrame, group_col: str, id_col: str,
                  quotas: Mapping[str, int],
                  seed: str = "mix-v1") -> DataFrame:

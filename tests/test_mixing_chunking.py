@@ -61,6 +61,50 @@ def test_quota_sample_payload_semi_join(spark, groups_df):
     assert set(full.columns) == {"id", "grp", "payload"}
 
 
+def test_shard_shuffle_is_permutation(spark, groups_df):
+    out = mx.shard_shuffle(groups_df, "id", n_shards=8).collect()
+    assert len(out) == 90
+    assert {r["id"] for r in out} == set(range(90))
+    # dense 0-based positions inside every shard
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), shard
+
+
+def test_shard_shuffle_deterministic_under_repartition(spark, groups_df):
+    a = sorted(map(tuple, mx.shard_shuffle(
+        groups_df, "id", n_shards=8).collect()))
+    b = sorted(map(tuple, mx.shard_shuffle(
+        groups_df.repartition(13, "grp"), "id", n_shards=8).collect()))
+    assert a == b
+
+
+def test_shard_shuffle_seed_changes_permutation(spark, groups_df):
+    a = sorted(map(tuple, mx.shard_shuffle(groups_df, "id").collect()))
+    b = sorted(map(tuple, mx.shard_shuffle(
+        groups_df, "id", seed="other").collect()))
+    assert a != b
+
+
+def test_shard_shuffle_uniformity(spark):
+    # md5-prefix sharding: 10k ids over 16 shards, every shard within
+    # 3 sigma of the 625 expectation (sigma ~= 24)
+    df = spark.createDataFrame([(i,) for i in range(10_000)], "id long")
+    counts = [r["n"] for r in
+              mx.shard_shuffle(df, "id", n_shards=16)
+              .groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    assert len(counts) == 16
+    assert all(abs(c - 625) < 75 for c in counts), counts
+
+
+def test_shard_shuffle_rejects_bad_n(spark, groups_df):
+    with pytest.raises(ValueError):
+        mx.shard_shuffle(groups_df, "id", n_shards=257)
+
+
 def test_chunks_cover_and_overlap(spark):
     text = " ".join(f"w{i}" for i in range(10))
     df = spark.createDataFrame([(1, text)], "id long, text string")
