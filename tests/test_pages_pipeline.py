@@ -235,13 +235,28 @@ def test_percentile_stat_rules_fused_parity(spark):
     vb = {(r.bucket_id, r.rule_id): (r["pass"], r.metric)
           for r in b.verdicts.collect()}
     assert set(va) == set(vb)
+    # KLL's guarantee is RANK-space (~1.65% normalized rank error at the
+    # default k), NOT value-space: where the value distribution jumps,
+    # a within-spec rank wobble moves the VALUE arbitrarily far, so a
+    # relative-value tolerance here flakes by design (observed in-suite;
+    # KLL compaction is also randomized run-to-run).  Gate each engine's
+    # estimate by its empirical rank instead.
+    lens = sorted(r[0] for r in df.select("text_len").collect())
+
+    def _rank(v):
+        import bisect
+        return bisect.bisect_right(lens, v) / len(lens)
+
     for k in va:
         if k[1] == "len_p95_approx":
             # approx_p* is the second allowed estimator delta (after
             # approx_distinct): fused merges per-bucket KLL partials,
-            # unfused builds one KLL sketch — merge order may shift the
-            # estimate within sketch error
-            assert abs(va[k][1] - vb[k][1]) / max(abs(vb[k][1]), 1) < 0.05
+            # unfused builds one sketch — both must land within rank
+            # error of the true 0.95, but not necessarily on the same
+            # value
+            for est in (va[k][1], vb[k][1]):
+                assert abs(_rank(est) - 0.95) < 0.05, (
+                    f"rank({est}) = {_rank(est)}")
             continue
         assert va[k] == vb[k], f"{k}: fused={va[k]} unfused={vb[k]}"
     assert all(p for p, _ in va.values())
