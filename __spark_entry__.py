@@ -907,6 +907,62 @@ def _q_q19_brand_revenue(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_lines"))
 
 
+def _q_q17_small_qty(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): the correlated scalar
+    subquery (0.2 * avg quantity of the same part) decorrelated to a
+    per-part aggregate joined back.  Scale plan: lineitem is FIRST
+    semi-reduced to the branded parts via the broadcast part filter, so
+    BOTH the threshold aggregate and the probe run over the reduced
+    fact — the per-part agg output is bounded by the branded part
+    count, joined back without touching the full table again."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    thresh = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thresh"))
+    j = (li.join(thresh, F.col("pk") == F.col("l_partkey"))
+         .filter(F.col("l_quantity") < F.col("qty_thresh")))
+    avg_yearly = F.round(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0,
+        2).cast("double")
+    return j.agg(avg_yearly.alias("avg_yearly"),
+                 F.count(F.lit(1)).alias("n_lines"))
+
+
+def _q_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted (no
+    receipt/commit dates: late = shipped >=90 days after the order):
+    late lines on multi-supplier finished orders where this supplier is
+    the ONLY late one.  The classic EXISTS / NOT EXISTS pair is
+    decorrelated into ONE per-order aggregate (distinct suppliers,
+    distinct late suppliers) joined back — one shuffle instead of a
+    semi join plus an anti join over the same fact."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .select("l_orderkey", "l_suppkey",
+                    (F.col("l_shipdate") >= F.col("o_orderdate")
+                     + F.expr("INTERVAL 90 DAYS"))
+                    .cast("int").alias("is_late")))
+    per_order = late.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late") == 1, F.col("l_suppkey")))
+        .alias("n_late_supp"))
+    cand = (late.filter(F.col("is_late") == 1)
+            .join(per_order, "l_orderkey")
+            .filter((F.col("n_supp") >= 2)
+                    & (F.col("n_late_supp") == 1)))
+    return (cand.join(F.broadcast(supp),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(20))
+
+
 def _q_q12_late_shipments(spark, sf_dir):
     """TPC-H Q12 (shipping-mode priority), adapted: the testdata
     lineitem has no shipmode/commit/receipt columns, so 'late' is
@@ -1516,6 +1572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier": _q_q5_local_supplier,
         "q7_nation_volume": _q_q7_nation_volume,
         "q19_brand_revenue": _q_q19_brand_revenue,
+        "q17_small_qty": _q_q17_small_qty,
+        "q21_waiting_supplier": _q_q21_waiting_supplier,
         "q12_late_shipments": _q_q12_late_shipments,
         "q14_promo_effect": _q_q14_promo_effect,
         "boilerplate_removal": _q_boilerplate_removal,
@@ -2379,6 +2437,38 @@ def oracle_sql() -> dict[str, str]:
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q17_small_qty": """
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                    / 7.0, 2) AS DOUBLE) AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN (SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS qty_thresh
+              FROM lineitem GROUP BY l_partkey) t ON pk = l_partkey
+        WHERE p_brand = 'Brand#23' AND l_quantity < qty_thresh
+        """,
+        "q21_waiting_supplier": """
+        WITH late AS (
+          SELECT l_orderkey, l_suppkey,
+                 CASE WHEN l_shipdate >= o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END AS is_late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+        )
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier
+        JOIN late l1 ON l1.l_suppkey = s_suppkey
+        WHERE l1.is_late = 1
+          AND EXISTS (SELECT 1 FROM late l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.is_late = 1)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name LIMIT 20
         """,
         "q12_late_shipments": """
         SELECT l_linestatus,
