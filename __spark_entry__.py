@@ -907,6 +907,115 @@ def _q_q19_brand_revenue(spark, sf_dir):
                  F.count(F.lit(1)).alias("n_lines"))
 
 
+def _q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share), adapted: NATION_3's share of
+    ASIA-customer order volume per year, 1995-1996.  Both the share's
+    numerator and denominator are emitted as exact-decimal rounded
+    columns and the ratio is rounded over those already-identical
+    doubles, so no cross-engine decimal-division scale rules are in
+    play.  All dimensions broadcast; the two fact joins shuffle."""
+    lo = F.to_timestamp(F.lit("1995-01-01"))
+    hi = F.to_timestamp(F.lit("1997-01-01"))
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = (_t(spark, sf_dir, "nation")
+          .join(F.broadcast(region),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select(F.col("n_nationkey").alias("cust_nkey")))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("supp_nkey"),
+        F.col("n_name").alias("supp_nation"))
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n1), F.col("c_nationkey") == F.col("cust_nkey"))
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n2), F.col("s_nationkey") == F.col("supp_nkey"))
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    li = _t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(supp),
+               F.col("l_suppkey") == F.col("s_suppkey")))
+
+    def dec_sum(c):
+        return F.round(F.sum(c.cast("decimal(18,4)")), 2).cast("double")
+
+    agg = j.groupBy(F.year("o_orderdate").cast("long").alias("yr")).agg(
+        dec_sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                .otherwise(F.lit(0.0))).alias("nation_volume"),
+        dec_sum(vol).alias("total_volume"))
+    return agg.select(
+        "yr", "nation_volume", "total_volume",
+        F.round(F.col("nation_volume") / F.col("total_volume"), 6)
+        .alias("mkt_share"))
+
+
+def _q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier,
+    suppliers tied at the maximum.  The max is a one-row broadcast
+    cross join against the (supplier-count-bounded) revenue aggregate —
+    exact-decimal equality, no window over the whole aggregate."""
+    lo = F.to_timestamp(F.lit("1996-01-01"))
+    hi = F.to_timestamp(F.lit("1996-04-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+    rev = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(18,4)")).alias("total"))
+    mx = rev.agg(F.max("total").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total") == F.col("mx"))
+            .join(F.broadcast(supp), F.col("sk") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.round("total", 2).cast("double")
+                    .alias("total_revenue")))
+
+
+def _q_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 (large-volume orders): the HAVING subquery becomes a
+    semi-reduction — per-order quantity sums filter to the big orders
+    FIRST (map-side partial agg, output bounded by the big-order
+    count), then orders/customer/lineitem join only against that set."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("tq"))
+           .filter(F.col("tq") > 180)
+           .select(F.col("l_orderkey").alias("big_ok")))
+    orders = _t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == F.col("big_ok"))
+    cust = _t(spark, sf_dir, "customer")
+    return (orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+            .agg(F.sum("l_quantity").cast("double").alias("total_qty")))
+
+
+def _q_q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity), adapted (no phone column:
+    grouped by nation): above-average-balance customers with NO order
+    since 2000.  The scalar AVG subquery is a one-row broadcast; the
+    NOT EXISTS is a left-anti join against the date-filtered orders
+    (the filter pushes to the orders scan)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cut = F.to_timestamp(F.lit("2000-01-01"))
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab"))
+    recent = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") >= cut)
+              .select(F.col("o_custkey").alias("rk")))
+    return (cust.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("ab"))
+            .join(recent, F.col("c_custkey") == F.col("rk"), "left_anti")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")),
+                         2).cast("double").alias("totacctbal")))
+
+
 def _q_q17_small_qty(spark, sf_dir):
     """TPC-H Q17 (small-quantity-order revenue): the correlated scalar
     subquery (0.2 * avg quantity of the same part) decorrelated to a
@@ -1574,6 +1683,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_brand_revenue": _q_q19_brand_revenue,
         "q17_small_qty": _q_q17_small_qty,
         "q21_waiting_supplier": _q_q21_waiting_supplier,
+        "q8_market_share": _q_q8_market_share,
+        "q15_top_supplier": _q_q15_top_supplier,
+        "q18_large_orders": _q_q18_large_orders,
+        "q22_dormant_customers": _q_q22_dormant_customers,
         "q12_late_shipments": _q_q12_late_shipments,
         "q14_promo_effect": _q_q14_promo_effect,
         "boilerplate_removal": _q_boilerplate_removal,
@@ -2437,6 +2550,72 @@ def oracle_sql() -> dict[str, str]:
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q8_market_share": """
+        WITH vol AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+        ), agg AS (
+          SELECT yr,
+                 CAST(ROUND(SUM(CAST(CASE WHEN supp_nation = 'NATION_3'
+                            THEN volume ELSE 0 END AS DECIMAL(18,4))), 2)
+                      AS DOUBLE) AS nation_volume,
+                 CAST(ROUND(SUM(CAST(volume AS DECIMAL(18,4))), 2)
+                      AS DOUBLE) AS total_volume
+          FROM vol GROUP BY yr
+        )
+        SELECT yr, nation_volume, total_volume,
+               ROUND(nation_volume / total_volume, 6) AS mkt_share
+        FROM agg
+        """,
+        "q15_top_supplier": """
+        WITH rev AS (
+          SELECT l_suppkey AS sk,
+                 SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS total
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue
+        FROM supplier JOIN rev ON sk = s_suppkey
+        WHERE total = (SELECT MAX(total) FROM rev)
+        """,
+        "q18_large_orders": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING SUM(l_quantity) > 180)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate
+        """,
+        "q22_dormant_customers": """
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS totacctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY n_name
         """,
         "q17_small_qty": """
         SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
