@@ -141,6 +141,35 @@ def test_chunks_bad_overlap_rejected(spark):
         ck.chunk_documents(df, "id", "text", chunk_words=4, overlap=4)
 
 
+def test_pipeline_chunk_sample_shard_composes(spark):
+    """The training-prep ops compose end-to-end: documents → fixed
+    windows (chunk) → per-group quota draw (mix) → deterministic
+    shards (shuffle), with the invariants surviving each stage."""
+    docs = [(i, "a" if i % 2 else "b",
+             " ".join(f"d{i}w{j}" for j in range(13)))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, grp string, text string")
+    chunks = ck.chunk_documents(df, "doc_id", "text", chunk_words=5)
+    # 13 words, stride 5 -> 3 chunks per doc
+    assert chunks.count() == 120
+    keyed = (chunks.join(df.select("doc_id", "grp"), "doc_id")
+             .withColumn("chunk_key",
+                         F.concat_ws(":", "doc_id", "chunk_id")))
+    sampled = mx.quota_sample(keyed, "grp", "chunk_key",
+                              {"a": 20, "b": 15})
+    assert sampled.count() == 35
+    sharded = mx.shard_shuffle(sampled, "chunk_key", n_shards=4)
+    rows = sharded.collect()
+    assert len(rows) == 35
+    assert {r["chunk_key"] for r in rows} \
+        == {r["chunk_key"] for r in sampled.collect()}
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(len(ps)))
+
+
 def test_chunks_plan_shuffle_free(spark):
     df = spark.createDataFrame([(1, "a b c")], "id long, text string")
     plan = (ck.chunk_documents(df, "id", "text", chunk_words=2)
