@@ -1497,6 +1497,20 @@ def _q_doc_chunks(spark, sf_dir):
                               chunk_words=64, overlap=16)
 
 
+def _q_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing: per-document position in the
+    fixed-width (128-word) training-block stream, in the seeded-md5
+    shard order.  One narrow shuffle (id, digest, n_words) — text never
+    moves; the oracle re-derives the identical permutation, cumulative
+    offsets and block spans."""
+    from katydid_haskell_spark.operators import chunking as ck
+
+    docs = _t(spark, sf_dir, "documents")
+    return ck.pack_token_blocks(docs, "doc_id", "text",
+                                block_words=128, seed="shuffle-v1",
+                                n_shards=16)
+
+
 #: appended to every 5th document in duplicate_spans (11 words — long
 #: enough that 7 interior 5-grams survive per doc regardless of the
 #: doc-dependent words preceding the splice point).
@@ -1670,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_skew_report": _q_host_skew_report,
         "pages_verdicts": _q_pages_verdicts,
         # changed in round 6 (rewrite / new / oracle or engine touched)
+        "sequence_pack": _q_sequence_pack,
         "duplicate_spans": _q_duplicate_spans,
         "span_removal": _q_span_removal,
         "quota_sample": _q_quota_sample,
@@ -2429,6 +2444,39 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(ws[start+1 : start+64], ' ') AS chunk_text,
                CAST(least(64, len(ws) - start) AS BIGINT) AS n_words
         FROM s
+        """,
+        "sequence_pack": f"""
+        WITH w AS (
+          SELECT doc_id,
+                 COALESCE(CAST(len({_WORDS_SQL}) AS BIGINT), 0)
+                   AS n_words,
+                 md5('shuffle-v1' || chr(31)
+                     || CAST(doc_id AS VARCHAR)) AS hh
+          FROM documents
+        ), s AS (
+          SELECT doc_id, n_words, hh,
+                 ((strpos('0123456789abcdef', substring(hh, 1, 1)) - 1)
+                  * 16
+                  + (strpos('0123456789abcdef', substring(hh, 2, 1)) - 1))
+                 % 16 AS shard
+          FROM w
+        ), o AS (
+          SELECT doc_id, shard, n_words, hh,
+                 CAST(row_number() OVER (
+                   PARTITION BY shard ORDER BY hh, doc_id) - 1
+                   AS BIGINT) AS pos,
+                 CAST(COALESCE(SUM(n_words) OVER (
+                   PARTITION BY shard ORDER BY hh, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS off
+          FROM s
+        )
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard, pos, n_words,
+               off AS "offset",
+               CAST(off // 128 AS BIGINT) AS first_block,
+               CAST(greatest(off // 128, (off + n_words - 1) // 128)
+                 AS BIGINT) AS last_block
+        FROM o
         """,
         "decontam_overlap": f"""
         WITH w AS (

@@ -16,7 +16,7 @@ oracle re-derives identical chunks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from katydid_haskell_spark.operators.textops import words
@@ -51,4 +51,73 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_words"),
+    )
+
+
+def pack_token_blocks(df: DataFrame, id_col: str, text_col: str,
+                      block_words: int = 1024,
+                      seed: str = "shuffle-v1",
+                      n_shards: int = 16) -> DataFrame:
+    """Concat-and-chunk sequence packing: where does each document land
+    in the fixed-width training-block stream?
+
+    The standard LM pretraining recipe concatenates documents in a
+    deterministic shuffled order and splits the token stream into
+    fixed-size blocks, letting documents straddle block boundaries (no
+    padding waste).  This computes, per document:
+
+      (id, shard, pos, n_words, offset, first_block, last_block)
+
+    where ``offset`` is the document's 0-based word offset inside its
+    shard's stream and ``first_block``/``last_block`` the 0-based block
+    indices it touches (``block_words`` words per block).  Word counts
+    use the curation family's canonical split, and the order is the
+    seeded-md5 permutation of :func:`mixing.shard_shuffle` — both pure
+    functions of (seed, id), so any engine re-derives identical packing.
+
+    100-TB shape: one narrow shuffle.  The cumulative sum runs over a
+    (id, digest, n_words) projection partitioned by shard — text never
+    moves, each shard is one task's sequential window, and the md5
+    prefix keeps shard sizes uniform by construction.  Size
+    ``n_shards`` to the cluster exactly as for ``shard_shuffle``.
+
+    Empty documents (0 words) occupy no stream positions; they report
+    the block the stream stood at (``first_block == last_block``).
+    """
+    from katydid_haskell_spark.operators.mixing import _HEX, _SEP
+
+    if not 1 <= n_shards <= 256:
+        raise ValueError("n_shards must be in 1..256 (two hex digits)")
+    if block_words < 1:
+        raise ValueError("block_words must be >= 1")
+    h = F.md5(F.concat_ws(_SEP, F.lit(seed),
+                          F.col(id_col).cast("string")))
+    d = df.select(
+        F.col(id_col),
+        F.size(words(F.coalesce(F.col(text_col), F.lit("")))
+               ).cast("long").alias("n_words"),
+    ).withColumn("__h", h)
+    shard = (
+        (F.expr(f"instr('{_HEX}', substring(__h, 1, 1)) - 1") * 16
+         + F.expr(f"instr('{_HEX}', substring(__h, 2, 1)) - 1"))
+        % n_shards)
+    d = d.withColumn("shard", shard.cast("long"))
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    offset = F.coalesce(
+        F.sum("n_words").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"))
+    d = (
+        d.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn("offset", offset)
+    )
+    first_block = F.expr(f"offset DIV {block_words}")
+    last_block = F.greatest(
+        first_block,
+        F.expr(f"(offset + n_words - 1) DIV {block_words}"))
+    return d.select(
+        F.col(id_col), F.col("shard"), F.col("pos"), F.col("n_words"),
+        F.col("offset"),
+        first_block.cast("long").alias("first_block"),
+        last_block.cast("long").alias("last_block"),
     )

@@ -175,3 +175,83 @@ def test_chunks_plan_shuffle_free(spark):
     plan = (ck.chunk_documents(df, "id", "text", chunk_words=2)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan  # generator expansion of the scan only
+
+
+def test_pack_blocks_stream_semantics(spark):
+    """Per shard, offsets are the exact cumulative word counts in
+    (digest, id) order and block spans tile the stream."""
+    docs = [(i, " ".join(f"d{i}w{j}" for j in range(3 + (i * 7) % 40)))
+            for i in range(60)]
+    df = spark.createDataFrame(docs, "id long, text string")
+    rows = ck.pack_token_blocks(df, "id", "text", block_words=16,
+                                n_shards=4).collect()
+    assert {r["id"] for r in rows} == set(range(60))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["pos"])
+        stream = 0
+        for r in rs:
+            assert r["offset"] == stream
+            assert r["first_block"] == stream // 16
+            if r["n_words"]:
+                assert r["last_block"] == (stream + r["n_words"] - 1) // 16
+            else:
+                assert r["last_block"] == r["first_block"]
+            stream += r["n_words"]
+
+
+def test_pack_blocks_matches_shard_shuffle_order(spark):
+    """Same seed => same permutation as shard_shuffle (the packing IS
+    the shuffle order plus cumulative offsets)."""
+    df = spark.createDataFrame(
+        [(i, f"w{i} " * (1 + i % 5)) for i in range(50)],
+        "id long, text string")
+    pk = {(r["id"]): (r["shard"], r["pos"]) for r in
+          ck.pack_token_blocks(df, "id", "text", seed="s1",
+                               n_shards=8).collect()}
+    sh = {(r["id"]): (r["shard"], r["pos"]) for r in
+          mx.shard_shuffle(df, "id", seed="s1", n_shards=8).collect()}
+    assert pk == sh
+
+
+def test_pack_blocks_empty_and_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "one two three")],
+        "id long, text string")
+    rows = {r["id"]: r for r in
+            ck.pack_token_blocks(df, "id", "text", block_words=2,
+                                 n_shards=1).collect()}
+    assert rows[1]["n_words"] == 0 and rows[2]["n_words"] == 0
+    for r in rows.values():
+        assert r["last_block"] >= r["first_block"] >= 0
+    # the 3-word doc spans exactly ceil(3/2)=2 consecutive blocks
+    r3 = rows[3]
+    assert r3["last_block"] - r3["first_block"] == \
+        (r3["offset"] + r3["n_words"] - 1) // 2 - r3["offset"] // 2
+
+
+def test_pack_blocks_deterministic_under_repartition(spark):
+    df = spark.createDataFrame(
+        [(i, f"t{i} " * (1 + i % 7)) for i in range(80)],
+        "id long, text string")
+    a = sorted(map(tuple, ck.pack_token_blocks(
+        df, "id", "text", block_words=8, n_shards=4).collect()))
+    b = sorted(map(tuple, ck.pack_token_blocks(
+        df.repartition(11, "id"), "id", "text", block_words=8,
+        n_shards=4).collect()))
+    assert a == b
+
+
+def test_pack_blocks_single_narrow_shuffle(spark):
+    """Exactly one exchange, and it carries only the narrow projection
+    (no text column past the shuffle)."""
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    plan = (ck.pack_token_blocks(df, "id", "text")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1
+    # plan strings print sinks first: everything ABOVE the Exchange is
+    # post-shuffle — the text column must only appear below (upstream)
+    post_shuffle = plan.split("Exchange", 1)[0]
+    assert "text#" not in post_shuffle
