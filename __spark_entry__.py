@@ -1497,6 +1497,32 @@ def _q_doc_chunks(spark, sf_dir):
                               chunk_words=64, overlap=16)
 
 
+def _q_c4_quality(spark, sf_dir):
+    """C4-style page cleaning: terminal-punctuation line filter,
+    5-word minimum, javascript-line drop, lorem-ipsum / curly-brace /
+    <3-kept-lines page flags.  Construct-in-query payload (lorem and
+    javascript markers appended from doc_id arithmetic) so the oracle
+    re-derives verdicts from raw columns.  Zero exchanges — pure
+    projection of the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("\nFirst extra sentence with enough words to keep."
+                     "\nSecond extra sentence with enough words to keep."
+                     "\nThird extra sentence with enough words to keep."))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("\nLorem ipsum dolor sit amet consectetur."))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit("\nEnable javascript to view this { content }"))
+        .otherwise(F.lit("")))
+    d = docs.select("doc_id", payload.alias("text"))
+    return tx.c4_quality(d, "doc_id", "text", min_line_words=5,
+                         min_kept_lines=3)
+
+
 def _q_sequence_pack(spark, sf_dir):
     """Concat-and-chunk sequence packing: per-document position in the
     fixed-width (128-word) training-block stream, in the seeded-md5
@@ -1685,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_verdicts": _q_pages_verdicts,
         # changed in round 6 (rewrite / new / oracle or engine touched)
         "sequence_pack": _q_sequence_pack,
+        "c4_quality": _q_c4_quality,
         "duplicate_spans": _q_duplicate_spans,
         "span_removal": _q_span_removal,
         "quota_sample": _q_quota_sample,
@@ -2444,6 +2471,58 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(ws[start+1 : start+64], ' ') AS chunk_text,
                CAST(least(64, len(ws) - start) AS BIGINT) AS n_words
         FROM s
+        """,
+        "c4_quality": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 COALESCE(text, '')
+                 || CASE WHEN doc_id % 3 = 0
+                    THEN chr(10)
+                         || 'First extra sentence with enough words to keep.'
+                         || chr(10)
+                         || 'Second extra sentence with enough words to keep.'
+                         || chr(10)
+                         || 'Third extra sentence with enough words to keep.'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                    THEN chr(10) || 'Lorem ipsum dolor sit amet consectetur.'
+                    ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                    THEN chr(10)
+                         || 'Enable javascript to view this {{ content }}'
+                    ELSE '' END AS t
+          FROM documents
+        ), l AS (
+          SELECT doc_id, t,
+                 list_filter(list_transform(string_split(t, chr(10)),
+                   x -> regexp_replace(x, '{tx.LINE_TRIM_RE}', '', 'g')),
+                   x -> x <> '') AS ls
+          FROM d
+        ), k AS (
+          SELECT doc_id, t, ls,
+                 list_filter(ls, x ->
+                   right(x, 1) IN ('.', '!', '?', chr(34))
+                   AND len(list_filter(
+                     string_split_regex(x, '{tx.WS_RE}'),
+                     w -> w <> '')) >= 5
+                   AND NOT contains(lower(x), 'javascript')) AS kept
+          FROM l
+        )
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               CAST(len(list_filter(string_split_regex(
+                   COALESCE(array_to_string(kept, chr(10)), ''),
+                   '{tx.WS_RE}'), w -> w <> '')) AS BIGINT) AS kept_words,
+               CAST(len(list_filter(ls,
+                   x -> contains(lower(x), 'javascript')))
+                 AS BIGINT) AS n_js_lines,
+               contains(lower(t), 'lorem ipsum') AS has_lorem,
+               contains(t, '{{') AS has_brace,
+               (contains(lower(t), 'lorem ipsum') OR contains(t, '{{')
+                OR len(kept) < 3) AS flagged,
+               COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+        FROM k
         """,
         "sequence_pack": f"""
         WITH w AS (

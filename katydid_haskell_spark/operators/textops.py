@@ -512,3 +512,60 @@ def rolling_fingerprints(col: Column, k: int = 5) -> Column:
 def doc_sketch_min(col: Column, k: int = 5) -> Column:
     """Minimum shingle hash — a 1-perm MinHash style document key."""
     return F.array_min(rolling_fingerprints(col, k))
+
+
+# ---------------------------------------------------------------------------
+# C4-style line/page cleaning (Raffel et al. 2020 heuristics)
+# ---------------------------------------------------------------------------
+
+
+def c4_quality(df: DataFrame, id_col: str, text_col: str,
+               min_line_words: int = 5,
+               min_kept_lines: int = 3) -> DataFrame:
+    """C4's cleaning heuristics, re-expressed map-side: keep lines that
+    end in terminal punctuation (``. ! ? "``), carry at least
+    ``min_line_words`` whitespace tokens and don't mention javascript;
+    flag pages containing "lorem ipsum" or a curly brace, or retaining
+    fewer than ``min_kept_lines`` lines.
+
+    Returns (doc_id, n_lines, n_kept, kept_words, n_js_lines,
+    has_lorem, has_brace, flagged, clean_text).  Pure Catalyst
+    higher-order functions over the canonical trimmed line array —
+    zero Python, ZERO exchanges: the whole operator is a projection of
+    the scan, embarrassingly parallel at any corpus size.  Line trim
+    and word split use the explicit whitespace classes, so the DuckDB
+    oracle re-derives identical verdicts.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = line_array(t)
+
+    def line_wc(l):
+        return F.size(F.filter(F.split(l, WS_RE), lambda w: w != ""))
+
+    def is_js(l):
+        return F.lower(l).contains("javascript")
+
+    def keep(l):
+        return (l.substr(-1, 1).isin(".", "!", "?", '"')
+                & (line_wc(l) >= min_line_words)
+                & ~is_js(l))
+
+    kept = F.filter(lines, keep)
+    clean_text = F.concat_ws("\n", kept)
+    kept_words = F.size(
+        F.filter(F.split(clean_text, WS_RE), lambda w: w != ""))
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    n_kept = F.size(kept)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        kept_words.cast("long").alias("kept_words"),
+        F.size(F.filter(lines, is_js)).cast("long").alias("n_js_lines"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (has_lorem | has_brace | (n_kept < min_kept_lines))
+        .alias("flagged"),
+        clean_text.alias("clean_text"),
+    )

@@ -1091,3 +1091,49 @@ def test_decontam_plan_is_semi_join(spark):
     # multiplicity of the shared grams must NOT inflate the counts
     got = {r.doc_id: r.n_hit_grams for r in out.collect()}
     assert got == {i: 1 for i in range(50)}  # only 'alpha beta gamma'
+
+
+def test_c4_quality_hand_checked(spark):
+    """C4 line filter on a hand-derived fixture: terminal punctuation,
+    5-word minimum, javascript drop, page-level flags."""
+    text = ("This is a good sentence with enough words.\n"
+            "short line.\n"                       # <5 words -> dropped
+            "no terminal punctuation here at all\n"  # no punct -> dropped
+            "Enable javascript for this fine page today.\n"  # js -> dropped
+            "  Another good line with many words here!  \n"  # trimmed, kept
+            "\n")
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = tx.c4_quality(df, "doc_id", "text").collect()[0]
+    assert r["n_lines"] == 5
+    assert r["n_kept"] == 2
+    assert r["clean_text"] == (
+        "This is a good sentence with enough words.\n"
+        "Another good line with many words here!")
+    assert r["kept_words"] == 8 + 7
+    assert r["n_js_lines"] == 1
+    assert not r["has_lorem"] and not r["has_brace"]
+    assert r["flagged"]  # only 2 kept lines < 3
+
+
+def test_c4_quality_page_flags(spark):
+    rows = [
+        (1, "One good long sentence right here today.\n" * 3),  # clean
+        (2, "Lorem Ipsum dolor sit amet and more words.\n" * 3),
+        (3, "A code block { x } appears in this text here.\n" * 3),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           tx.c4_quality(df, "doc_id", "text").collect()}
+    assert not out[1]["flagged"]
+    assert out[2]["flagged"] and out[2]["has_lorem"]
+    assert out[3]["flagged"] and out[3]["has_brace"]
+    assert out[4]["flagged"] and out[4]["n_lines"] == 0 \
+        and out[4]["clean_text"] == ""
+
+
+def test_c4_quality_plan_no_exchange(spark):
+    df = spark.createDataFrame([(1, "x.")], "doc_id long, text string")
+    plan = (tx.c4_quality(df, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
