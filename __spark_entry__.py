@@ -1497,6 +1497,28 @@ def _q_doc_chunks(spark, sf_dir):
                               chunk_words=64, overlap=16)
 
 
+def _q_line_dedup(spark, sf_dir):
+    """Within-document duplicate-line removal: repeated normalized
+    lines (case/whitespace-folded) dropped, first original spelling
+    kept, order preserved.  Construct-in-query payload appends a
+    repeated promo pair (second copy differing only in case and
+    whitespace) so the normalization axis is exercised; oracle
+    re-derives the kept set with an indexed list_filter."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("\nRepeated promo sentence for dedup testing."
+                     "\n  repeated   PROMO sentence for dedup"
+                     " testing. "))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0,
+               F.lit("\nAnother unique closing line."))
+        .otherwise(F.lit("")))
+    d = docs.select("doc_id", payload.alias("text"))
+    return tx.dedupe_doc_lines(d, "doc_id", "text")
+
+
 def _q_c4_quality(spark, sf_dir):
     """C4-style page cleaning: terminal-punctuation line filter,
     5-word minimum, javascript-line drop, lorem-ipsum / curly-brace /
@@ -1712,6 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed in round 6 (rewrite / new / oracle or engine touched)
         "sequence_pack": _q_sequence_pack,
         "c4_quality": _q_c4_quality,
+        "line_dedup": _q_line_dedup,
         "duplicate_spans": _q_duplicate_spans,
         "span_removal": _q_span_removal,
         "quota_sample": _q_quota_sample,
@@ -2471,6 +2494,47 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(ws[start+1 : start+64], ' ') AS chunk_text,
                CAST(least(64, len(ws) - start) AS BIGINT) AS n_words
         FROM s
+        """,
+        "line_dedup": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 COALESCE(text, '')
+                 || CASE WHEN doc_id % 4 = 0
+                    THEN chr(10)
+                         || 'Repeated promo sentence for dedup testing.'
+                         || chr(10)
+                         || '  repeated   PROMO sentence for dedup'
+                         || ' testing. '
+                    ELSE '' END
+                 || CASE WHEN doc_id % 6 = 0
+                    THEN chr(10) || 'Another unique closing line.'
+                    ELSE '' END AS t
+          FROM documents
+        ), l AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(t, chr(10)),
+                   x -> regexp_replace(x, '{tx.LINE_TRIM_RE}', '', 'g')),
+                   x -> x <> '') AS ls
+          FROM d
+        ), n AS (
+          SELECT doc_id, ls,
+                 list_transform(ls,
+                   x -> regexp_replace(regexp_replace(lower(x),
+                     '{tx.WS_RE}', ' ', 'g'), '^ | $', '', 'g')) AS ln
+          FROM l
+        ), k AS (
+          SELECT doc_id, ls,
+                 list_filter(ls, (x, i) ->
+                   COALESCE(list_position(ln[1:i-1], ln[i]), 0) = 0)
+                   AS kept
+          FROM n
+        )
+        SELECT doc_id,
+               CAST(len(ls) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
+               COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+        FROM k
         """,
         "c4_quality": f"""
         WITH d AS (

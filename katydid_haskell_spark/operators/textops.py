@@ -569,3 +569,36 @@ def c4_quality(df: DataFrame, id_col: str, text_col: str,
         .alias("flagged"),
         clean_text.alias("clean_text"),
     )
+
+
+def dedupe_doc_lines(df: DataFrame, id_col: str,
+                     text_col: str) -> DataFrame:
+    """Order-preserving WITHIN-document duplicate-line removal: drop
+    every line whose whitespace/case-normalized form already appeared
+    earlier in the same document (repeated nav/promo paragraphs), keep
+    the first occurrence in its original spelling.
+
+    Returns (id, n_lines, n_kept, n_removed, clean_text).  Pure
+    Catalyst higher-order functions — zero Python, ZERO exchanges; the
+    kept-set decision is a closed-form index predicate (no earlier
+    position holds the same normalized form), so the DuckDB oracle
+    re-derives it exactly.  Quadratic in a document's LINE count —
+    map-side and cheap at crawl line counts (the cross-document
+    analogue is :func:`remove_boilerplate`, which this composes with).
+    """
+    lines = line_array(F.col(text_col))
+    d = df.select(F.col(id_col), lines.alias("_ls"))
+    d = d.withColumn(
+        "_ln", F.transform("_ls", lambda l: normalize_ws(l)))
+    kept = F.filter(
+        F.col("_ls"),
+        lambda x, i: ~F.array_contains(
+            F.slice(F.col("_ln"), F.lit(1), i),
+            F.element_at(F.col("_ln"), i + F.lit(1))))
+    return d.select(
+        F.col(id_col),
+        F.size("_ls").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size("_ls") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws("\n", kept).alias("clean_text"),
+    )

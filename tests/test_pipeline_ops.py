@@ -1137,3 +1137,48 @@ def test_c4_quality_plan_no_exchange(spark):
     plan = (tx.c4_quality(df, "doc_id", "text")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_dedupe_doc_lines_hand_checked(spark):
+    """Normalized-equal duplicates drop, first original spelling wins,
+    order preserved; distinct lines untouched."""
+    text = ("Alpha beta.\n"
+            "  alpha   BETA. \n"   # normalized-equal dup -> removed
+            "Gamma delta\n"
+            "Alpha beta.\n"        # exact dup -> removed
+            "gamma  DELTA")        # normalized dup of line 3 -> removed
+    df = spark.createDataFrame([(1, text), (2, None)],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           tx.dedupe_doc_lines(df, "doc_id", "text").collect()}
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept"] == 2 \
+        and out[1]["n_removed"] == 3
+    assert out[1]["clean_text"] == "Alpha beta.\nGamma delta"
+    assert out[2]["n_lines"] == 0 and out[2]["clean_text"] == ""
+
+
+def test_dedupe_doc_lines_plan_no_exchange(spark):
+    df = spark.createDataFrame([(1, "a\na")], "doc_id long, text string")
+    plan = (tx.dedupe_doc_lines(df, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_dedupe_doc_lines_composes_with_boilerplate(spark):
+    """Within-doc dedup then cross-doc boilerplate removal: the shared
+    footer survives within-doc dedup (appears once per doc) and is then
+    removed by the cross-doc pass."""
+    docs = [(i, f"Unique content line {i} here.\n"
+                f"Unique content line {i} here.\n"  # within-doc dup
+                "Shared footer line.")
+            for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    within = tx.dedupe_doc_lines(df, "doc_id", "text")
+    assert within.filter(F.col("n_removed") != 1).count() == 0
+    cleaned = tx.remove_boilerplate(
+        within.select("doc_id", F.col("clean_text").alias("text"),
+                      F.lit("g").alias("src")),
+        "doc_id", "text", "src", min_docs=5)
+    for r in cleaned.collect():
+        assert "Shared footer" not in r["clean_text"]
+        assert r["n_kept"] == 1
