@@ -1497,6 +1497,20 @@ def _q_doc_chunks(spark, sf_dir):
                               chunk_words=64, overlap=16)
 
 
+def _q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment: first four hex digits
+    of the seeded md5 as a 0..65535 bucket, contiguous ranges cut at
+    round(0.9*65536)=58982 and round(0.95*65536)=62259 — the oracle
+    hardcodes the same cuts (change fractions and the SQL literals
+    together).  Zero exchanges."""
+    from katydid_haskell_spark.operators import mixing as mx
+
+    docs = _t(spark, sf_dir, "documents")
+    return mx.split_assign(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
+        seed="split-v1")
+
+
 def _q_line_dedup(spark, sf_dir):
     """Within-document duplicate-line removal: repeated normalized
     lines (case/whitespace-folded) dropped, first original spelling
@@ -1735,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": _q_sequence_pack,
         "c4_quality": _q_c4_quality,
         "line_dedup": _q_line_dedup,
+        "split_assign": _q_split_assign,
         "duplicate_spans": _q_duplicate_spans,
         "span_removal": _q_span_removal,
         "quota_sample": _q_quota_sample,
@@ -2494,6 +2509,30 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(ws[start+1 : start+64], ' ') AS chunk_text,
                CAST(least(64, len(ws) - start) AS BIGINT) AS n_words
         FROM s
+        """,
+        "split_assign": """
+        WITH h AS (
+          SELECT doc_id,
+                 md5('split-v1' || chr(31)
+                     || CAST(doc_id AS VARCHAR)) AS hh
+          FROM documents
+        ), b AS (
+          SELECT doc_id,
+                 ((strpos('0123456789abcdef', substring(hh, 1, 1)) - 1)
+                    * 4096
+                  + (strpos('0123456789abcdef', substring(hh, 2, 1)) - 1)
+                    * 256
+                  + (strpos('0123456789abcdef', substring(hh, 3, 1)) - 1)
+                    * 16
+                  + (strpos('0123456789abcdef', substring(hh, 4, 1)) - 1))
+                 AS bucket
+          FROM h
+        )
+        SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+               CASE WHEN bucket < 58982 THEN 'train'
+                    WHEN bucket < 62259 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
         """,
         "line_dedup": f"""
         WITH d AS (

@@ -118,3 +118,48 @@ def quota_sample(df: DataFrame, group_col: str, id_col: str,
     past broadcast size at corpus scale)."""
     ids = quota_sample_ids(df, group_col, id_col, quotas, seed)
     return df.join(ids.select(id_col), id_col, "left_semi")
+
+
+def split_assign(df: DataFrame, id_col: str,
+                 fractions: Mapping[str, float] | None = None,
+                 seed: str = "split-v1") -> DataFrame:
+    """Deterministic train/val/test assignment by seeded hash fraction.
+
+    (id, bucket, split): ``bucket`` is the first FOUR hex digits of the
+    seeded md5 (0..65535, uniform by construction); splits own
+    contiguous bucket ranges sized by ``fractions`` (cumulative
+    thresholds rounded to integer buckets, so the realized fractions
+    are exact multiples of 1/65536).  A pure function of (seed, id) —
+    rows keep their split under appends, re-runs and any cluster
+    layout, which is what makes held-out sets trustworthy.
+
+    100-TB shape: zero exchanges — a projection of the scan; the split
+    can be computed independently by any engine (the DuckDB oracle
+    re-derives it digit-for-digit).
+    """
+    fractions = dict(fractions or
+                     {"train": 0.9, "val": 0.05, "test": 0.05})
+    if not fractions or any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    names, cuts, acc = list(fractions), [], 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        cuts.append(round(acc * 65536))
+    h = F.md5(F.concat_ws(_SEP, F.lit(seed),
+                          F.col(id_col).cast("string")))
+    d = df.select(F.col(id_col)).withColumn("__h", h)
+    digit = lambda i: F.expr(  # noqa: E731
+        f"instr('{_HEX}', substring(__h, {i}, 1)) - 1")
+    bucket = (digit(1) * 4096 + digit(2) * 256
+              + digit(3) * 16 + digit(4))
+    split = F.lit(names[-1])
+    for name, cut in reversed(list(zip(names[:-1], cuts))):
+        split = F.when(F.col("bucket") < cut, F.lit(name)) \
+            .otherwise(split)
+    return (
+        d.withColumn("bucket", bucket.cast("long"))
+        .select(F.col(id_col), F.col("bucket"), split.alias("split"))
+    )

@@ -255,3 +255,48 @@ def test_pack_blocks_single_narrow_shuffle(spark):
     # post-shuffle — the text column must only appear below (upstream)
     post_shuffle = plan.split("Exchange", 1)[0]
     assert "text#" not in post_shuffle
+
+
+def test_split_assign_exact_thresholds(spark):
+    """Split is a pure function of (seed, id) with exact bucket cuts."""
+    df = spark.createDataFrame([(i,) for i in range(5000)], "id long")
+    out = mx.split_assign(df, "id",
+                          {"train": 0.9, "val": 0.05, "test": 0.05})
+    rows = out.collect()
+    assert len(rows) == 5000
+    for r in rows:
+        assert 0 <= r["bucket"] < 65536
+        want = ("train" if r["bucket"] < 58982
+                else "val" if r["bucket"] < 62259 else "test")
+        assert r["split"] == want
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # 5000 draws, binomial 3-sigma bands
+    assert abs(counts["train"] - 4500) < 110
+    assert abs(counts.get("val", 0) - 250) < 70
+    assert abs(counts.get("test", 0) - 250) < 70
+
+
+def test_split_assign_stable_under_append_and_layout(spark):
+    base = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    more = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    a = {r["id"]: r["split"] for r in
+         mx.split_assign(base, "id").collect()}
+    b = {r["id"]: r["split"] for r in
+         mx.split_assign(more.repartition(7), "id").collect()}
+    assert all(b[i] == a[i] for i in a)  # appends never move old rows
+
+
+def test_split_assign_validates_fractions(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        mx.split_assign(df, "id", {"train": 0.5, "val": 0.4})
+    with pytest.raises(ValueError):
+        mx.split_assign(df, "id", {"train": 1.1, "val": -0.1})
+
+
+def test_split_assign_plan_no_exchange(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    plan = (mx.split_assign(df, "id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
