@@ -75,6 +75,10 @@ HEADLINE = [
     "duplicate_spans",
     "quota_sample",
     "doc_chunks",
+    "sequence_pack",
+    "c4_quality",
+    "line_dedup",
+    "split_assign",
     "q7_nation_volume",
     "simhash_pairs",
     "lsh_topk",
