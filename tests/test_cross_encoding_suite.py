@@ -137,6 +137,19 @@ CASES = [
     # string functions through every decoder's text handling
     ('.doc: .name ~= "^b.b$"', DOC, True),
     ('.doc: -> eq(toLower($string), "x")', DOC, False),
+    # round-6 final-session stdlib additions (mirrors golden-corpus
+    # growth: length / elem / membership / prefix+not-suffix / and-band)
+    ('.doc: .name: -> gt(length($string), 2)', DOC, True),
+    ('.doc: .name: -> gt(length($string), 3)', DOC, False),
+    ('.doc: .n: -> contains($int, []int{4,5,6})', DOC, True),
+    ('.doc: .n: -> contains($int, []int{7,8})', DOC, False),
+    ('.doc: .n: -> eq($int, elem([]int{4,5,6}, 1))', DOC, True),
+    ('doc: {name: (^= "bo" & !($= "x")); n: == 5}', DOC, True),
+    ('doc: {name: (^= "bo" & !($= "ob")); n: == 5}', DOC, False),
+    ('doc: {n: -> and(ge($int, 5), lt($int, 9)); *}', DOC, True),
+    ('doc: {n: -> and(ge($int, 6), lt($int, 9)); *}', DOC, False),
+    ('.doc: .meta: .author: .name: -> eq(toUpper($string), "EVE")',
+     DEEP, True),
 ]
 
 FIVE = {"a": {"b": {"c": {"d": {"e": "leaf", "n": 7}}}}}
