@@ -1497,6 +1497,23 @@ def _q_doc_chunks(spark, sf_dir):
                               chunk_words=64, overlap=16)
 
 
+def _q_vocab_topk(spark, sf_dir):
+    """Tokenizer-vocabulary induction: top-100 case-folded BPE-ish
+    tokens with a deterministic (count desc, token asc) total order.
+    Map-side extraction, one partial-agg shuffle over the bounded
+    vocabulary key space, top-k window over the aggregated table only."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.vocab_topk(docs, "text", k=100)
+
+
+def _q_corpus_report(spark, sf_dir):
+    """Per-language corpus statistics; avg_words is an int/int double
+    division computed from identical aggregated integers on both
+    engines — bit-identical by construction, deliberately unrounded."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.corpus_report(docs, "lang", "text")
+
+
 def _q_split_assign(spark, sf_dir):
     """Deterministic train/val/test assignment: first four hex digits
     of the seeded md5 as a 0..65535 bucket, contiguous ranges cut at
@@ -1750,6 +1767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_quality": _q_c4_quality,
         "line_dedup": _q_line_dedup,
         "split_assign": _q_split_assign,
+        "vocab_topk": _q_vocab_topk,
+        "corpus_report": _q_corpus_report,
         "duplicate_spans": _q_duplicate_spans,
         "span_removal": _q_span_removal,
         "quota_sample": _q_quota_sample,
@@ -2509,6 +2528,32 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(ws[start+1 : start+64], ' ') AS chunk_text,
                CAST(least(64, len(ws) - start) AS BIGINT) AS n_words
         FROM s
+        """,
+        "vocab_topk": f"""
+        WITH t AS (
+          SELECT unnest(regexp_extract_all(
+                   lower(COALESCE(text, '')), '{tx.BPE_ISH}')) AS token
+          FROM documents
+        ), c AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+          FROM t GROUP BY token
+        )
+        SELECT token, n,
+               CAST(row_number() OVER (ORDER BY n DESC, token)
+                 AS BIGINT) AS rank
+        FROM c
+        QUALIFY rank <= 100
+        """,
+        "corpus_report": f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(SUM(len({_WORDS_SQL})), 0) AS BIGINT)
+                 AS total_words,
+               CAST(SUM(length(COALESCE(text, ''))) AS BIGINT)
+                 AS total_chars,
+               CAST(COALESCE(SUM(len({_WORDS_SQL})), 0) AS BIGINT)
+                 / CAST(COUNT(*) AS BIGINT) AS avg_words
+        FROM documents GROUP BY lang
         """,
         "split_assign": """
         WITH h AS (

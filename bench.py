@@ -79,6 +79,8 @@ HEADLINE = [
     "c4_quality",
     "line_dedup",
     "split_assign",
+    "vocab_topk",
+    "corpus_report",
     "q7_nation_volume",
     "simhash_pairs",
     "lsh_topk",

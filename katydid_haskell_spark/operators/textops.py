@@ -12,7 +12,7 @@ vectorized Python wins.  Both produce identical values (parity-tested).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic.
@@ -602,3 +602,50 @@ def dedupe_doc_lines(df: DataFrame, id_col: str,
         (F.size("_ls") - F.size(kept)).cast("long").alias("n_removed"),
         F.concat_ws("\n", kept).alias("clean_text"),
     )
+
+
+def vocab_topk(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
+    """Tokenizer-vocabulary induction: the ``k`` most frequent BPE-ish
+    tokens over the case-folded corpus, with a deterministic total
+    order (count desc, then token asc).
+
+    Returns (token, n, rank).  100-TB shape: tokens are extracted
+    map-side (JVM regexp, whole-stage codegen), the count is one
+    partially-aggregated shuffle over the token key (the key space is
+    the VOCABULARY, not the corpus — bounded), and the top-k window
+    ranks the aggregated table only.
+    """
+    toks = F.explode(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit(BPE_ISH), F.lit(0)))
+    counts = (df.select(toks.alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return (counts
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("token", F.col("n").cast("long").alias("n"), "rank"))
+
+
+def corpus_report(df: DataFrame, group_col: str,
+                  text_col: str) -> DataFrame:
+    """Per-group corpus statistics: document count, total canonical
+    words, total characters, and the words-per-document ratio.
+
+    ``avg_words`` is an int/int double division computed from the same
+    aggregated integers on both engines — bit-identical by construction
+    (the jaccard discipline), deliberately NOT rounded.  One map-side
+    partially-aggregated shuffle on the group key.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return (df
+            .select(F.col(group_col),
+                    F.size(words(t)).cast("long").alias("_w"),
+                    F.length(t).cast("long").alias("_c"))
+            .groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("_w").cast("long").alias("total_words"),
+                 F.sum("_c").cast("long").alias("total_chars"))
+            .withColumn("avg_words",
+                        F.col("total_words") / F.col("n_docs")))

@@ -1182,3 +1182,33 @@ def test_dedupe_doc_lines_composes_with_boilerplate(spark):
     for r in cleaned.collect():
         assert "Shared footer" not in r["clean_text"]
         assert r["n_kept"] == 1
+
+
+def test_vocab_topk_deterministic_order(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb aa cc! aa bb"), (2, "bb cc, dd")],
+        "doc_id long, text string")
+    rows = tx.vocab_topk(df, "text", k=3).collect()
+    assert [(r["token"], r["n"], r["rank"]) for r in rows] == [
+        ("aa", 3, 1), ("bb", 3, 2), ("cc", 2, 3)]  # count desc, token asc
+
+
+def test_vocab_topk_case_folds_and_splits_punct(spark):
+    df = spark.createDataFrame([(1, "Foo foo FOO x9")],
+                               "doc_id long, text string")
+    got = {r["token"]: r["n"] for r in
+           tx.vocab_topk(df, "text", k=10).collect()}
+    assert got["foo"] == 3
+    assert got["x"] == 1 and got["9"] == 1  # BPE-ish splits alpha/digit
+
+
+def test_corpus_report_int_ratio(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "one two three"), (2, "en", "four five"),
+         (3, "de", None)],
+        "doc_id long, lang string, text string")
+    out = {r["lang"]: r for r in
+           tx.corpus_report(df, "lang", "text").collect()}
+    assert out["en"]["n_docs"] == 2 and out["en"]["total_words"] == 5
+    assert out["en"]["avg_words"] == 5 / 2
+    assert out["de"]["total_words"] == 0 and out["de"]["total_chars"] == 0
