@@ -1497,6 +1497,187 @@ def _q_doc_chunks(spark, sf_dir):
                               chunk_words=64, overlap=16)
 
 
+def _derived_partsupp(spark, sf_dir):
+    """Deterministic partsupp derived IN-QUERY from the base tables
+    (the testdata schema carries no partsupp; the construct-in-query
+    discipline lets the oracle re-derive the identical table): per
+    part, 4 supplier slots i=0..3 with
+
+      ps_suppkey     = (p_partkey*4 + i) % count(supplier)
+      ps_availqty    = (p_partkey*7 + i*131) % 9999 + 1
+      ps_cost_cents  = (p_partkey*31 + i*17) % 80000 + 100
+
+    Supply cost is kept in INTEGER CENTS so every aggregate over it is
+    exact cross-engine (the decimal-division rules differ between
+    engines; cents/100.0 on identical ints is bit-identical when a
+    dollar display column is needed).  Mirrored by _PARTSUPP_SQL —
+    change BOTH together."""
+    part = _t(spark, sf_dir, "part")
+    ns = _t(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).alias("_ns"))
+    e = part.crossJoin(F.broadcast(ns)).select(
+        "p_partkey", "_ns",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"))
+    return e.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        ((F.col("p_partkey") * 4 + F.col("i")) % F.col("_ns"))
+        .cast("long").alias("ps_suppkey"),
+        ((F.col("p_partkey") * 7 + F.col("i") * 131) % 9999 + 1)
+        .cast("long").alias("ps_availqty"),
+        ((F.col("p_partkey") * 31 + F.col("i") * 17) % 80000 + 100)
+        .cast("long").alias("ps_cost_cents"),
+    )
+
+
+def _q_q2_min_cost_supp(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part) over the derived
+    partsupp: ECONOMY parts, EUROPE suppliers, the per-part minimum
+    supply cost decorrelated to a per-part aggregate joined back on
+    exact integer-cents equality (ties keep every witness).  Scale
+    plan: part filter and the supplier→nation→region chain are all
+    broadcasts; the min agg runs over the reduced partsupp only."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (supp
+               .join(F.broadcast(nat),
+                     F.col("s_nationkey") == F.col("n_nationkey"))
+               .join(F.broadcast(reg),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+               .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    ps = (_derived_partsupp(spark, sf_dir)
+          .join(F.broadcast(part.select("p_partkey")),
+                F.col("ps_partkey") == F.col("p_partkey"))
+          .join(F.broadcast(eu_supp),
+                F.col("ps_suppkey") == F.col("s_suppkey")))
+    mn = ps.groupBy(F.col("ps_partkey").alias("pk")).agg(
+        F.min("ps_cost_cents").alias("min_cents"))
+    j = ps.join(mn, (F.col("pk") == F.col("ps_partkey"))
+                & (F.col("ps_cost_cents") == F.col("min_cents")))
+    return j.select(
+        F.col("ps_partkey").alias("p_partkey"),
+        "s_name", "n_name", "s_acctbal",
+        (F.col("ps_cost_cents") / 100.0).alias("supplycost"))
+
+
+def _q_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year) over the
+    derived partsupp: lineitem joined to partsupp on BOTH keys (part
+    AND supplier — the classic double-key probe), revenue via the
+    exact-decimal discipline, supply cost as an exact BIGINT
+    cents×quantity sum; profit = revenue - cost_cents/100.0 computed
+    from those bit-identical values, deliberately unrounded."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    ps = _derived_partsupp(spark, sf_dir)
+    j = (li.join(ps, (F.col("l_partkey") == F.col("ps_partkey"))
+                 & (F.col("l_suppkey") == F.col("ps_suppkey")))
+         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+         .join(F.broadcast(supp),
+               F.col("l_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(nat),
+               F.col("s_nationkey") == F.col("n_nationkey")))
+    g = j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    ).agg(
+        F.round(F.sum((F.col("l_extendedprice")
+                       * (1 - F.col("l_discount")))
+                      .cast("decimal(18,4)")), 2)
+        .cast("double").alias("revenue"),
+        F.sum(F.col("ps_cost_cents")
+              * F.col("l_quantity").cast("long"))
+        .cast("long").alias("cost_cents"),
+    )
+    return g.withColumn(
+        "profit", F.col("revenue") - F.col("cost_cents") / 100.0)
+
+
+def _q_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock) adapted to region scale:
+    per-part stock value (cents×availqty, exact BIGINT) over EUROPE
+    suppliers, keeping parts whose value exceeds 1/200 of the region
+    total — the fraction compare is integer (200*value > total), no
+    floats anywhere until the display division."""
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (supp
+          .join(F.broadcast(nat),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .join(F.broadcast(reg),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("s_suppkey"))
+    ps = (_derived_partsupp(spark, sf_dir)
+          .join(F.broadcast(eu), F.col("ps_suppkey") == F.col("s_suppkey")))
+    val = ps.groupBy("ps_partkey").agg(
+        F.sum(F.col("ps_cost_cents") * F.col("ps_availqty"))
+        .cast("long").alias("value_cents"))
+    total = val.agg(F.sum("value_cents").cast("long").alias("total_cents"))
+    return (val.crossJoin(F.broadcast(total))
+            .filter(F.col("value_cents") * 200 > F.col("total_cents"))
+            .select("ps_partkey",
+                    F.col("value_cents"),
+                    (F.col("value_cents") / 100.0).alias("value")))
+
+
+def _q_q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape (supplier count by part attributes): exclude one
+    brand and negative-balance suppliers (the s_comment complaint
+    filter adapted to the available columns), distinct-supplier count
+    per (brand, type, size) — all-integer exactness."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    ok_supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") >= 0).select("s_suppkey")
+    ps = (_derived_partsupp(spark, sf_dir)
+          .join(F.broadcast(part),
+                F.col("ps_partkey") == F.col("p_partkey"))
+          .join(F.broadcast(ok_supp),
+                F.col("ps_suppkey") == F.col("s_suppkey")))
+    return ps.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+
+
+def _q_q20_excess_stock(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers with excess stock): SMALL parts,
+    1996 shipments, a supplier qualifies when some stocked part's
+    availqty exceeds half the quantity it shipped of that part that
+    year — the 0.5 factor compares as 2*availqty > qty (integer), and
+    the whole correlated subquery is one (part, supplier) aggregate
+    joined back; ASIA filter on the supplier side."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    shipped = (li.join(F.broadcast(part.select("p_partkey")),
+                       F.col("l_partkey") == F.col("p_partkey"))
+               .groupBy("l_partkey", "l_suppkey")
+               .agg(F.sum(F.col("l_quantity").cast("long"))
+                    .cast("long").alias("qty")))
+    ps = (_derived_partsupp(spark, sf_dir)
+          .join(shipped, (F.col("ps_partkey") == F.col("l_partkey"))
+                & (F.col("ps_suppkey") == F.col("l_suppkey")))
+          .filter(F.col("ps_availqty") * 2 > F.col("qty")))
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (supp
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(reg),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("s_suppkey", "s_name"))
+    return (asia.join(ps.select("ps_suppkey").distinct(),
+                      F.col("s_suppkey") == F.col("ps_suppkey"),
+                      "left_semi")
+            .select("s_suppkey", "s_name"))
+
+
 def _q_vocab_topk(spark, sf_dir):
     """Tokenizer-vocabulary induction: top-100 case-folded BPE-ish
     tokens with a deterministic (count desc, token asc) total order.
@@ -1769,6 +1950,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         "vocab_topk": _q_vocab_topk,
         "corpus_report": _q_corpus_report,
+        "q2_min_cost_supp": _q_q2_min_cost_supp,
+        "q9_product_profit": _q_q9_product_profit,
+        "q11_important_stock": _q_q11_important_stock,
+        "q16_supplier_cnt": _q_q16_supplier_cnt,
+        "q20_excess_stock": _q_q20_excess_stock,
         "duplicate_spans": _q_duplicate_spans,
         "span_removal": _q_span_removal,
         "quota_sample": _q_quota_sample,
@@ -1849,6 +2035,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+
+# Derived partsupp CTE — the SQL mirror of _derived_partsupp (change
+# both together).  Cost stays in integer cents; suppkey modulo the live
+# supplier count so the rule holds at every scale factor.
+_PARTSUPP_SQL = """
+        ps AS (
+          SELECT p_partkey AS ps_partkey,
+                 CAST((p_partkey * 4 + t.i)
+                      % (SELECT COUNT(*) FROM supplier) AS BIGINT)
+                   AS ps_suppkey,
+                 CAST((p_partkey * 7 + t.i * 131) % 9999 + 1 AS BIGINT)
+                   AS ps_availqty,
+                 CAST((p_partkey * 31 + t.i * 17) % 80000 + 100
+                   AS BIGINT) AS ps_cost_cents
+          FROM part, (SELECT unnest([0,1,2,3]) AS i) t
+        )
+"""
 
 _WORDS_SQL = (
     "list_filter(string_split_regex(lower(text), '[^a-zA-Z0-9'']+'), "
@@ -2528,6 +2731,108 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(ws[start+1 : start+64], ' ') AS chunk_text,
                CAST(least(64, len(ws) - start) AS BIGINT) AS n_words
         FROM s
+        """,
+        "q2_min_cost_supp": f"""
+        WITH {_PARTSUPP_SQL},
+        eu AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ), cand AS (
+          SELECT ps.*, eu.s_name, eu.n_name, eu.s_acctbal
+          FROM ps
+          JOIN part p ON ps.ps_partkey = p.p_partkey
+            AND p.p_type = 'ECONOMY'
+          JOIN eu ON ps.ps_suppkey = eu.s_suppkey
+        ), mn AS (
+          SELECT ps_partkey AS pk, MIN(ps_cost_cents) AS min_cents
+          FROM cand GROUP BY 1
+        )
+        SELECT c.ps_partkey AS p_partkey, c.s_name, c.n_name,
+               c.s_acctbal, c.ps_cost_cents / 100.0 AS supplycost
+        FROM cand c JOIN mn ON c.ps_partkey = mn.pk
+          AND c.ps_cost_cents = mn.min_cents
+        """,
+        "q9_product_profit": f"""
+        WITH {_PARTSUPP_SQL}
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice
+                       * (1 - l.l_discount) AS DECIMAL(18,4))), 2)
+                 AS DOUBLE) AS revenue,
+               CAST(SUM(ps.ps_cost_cents
+                        * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                 AS cost_cents,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice
+                       * (1 - l.l_discount) AS DECIMAL(18,4))), 2)
+                 AS DOUBLE)
+                 - CAST(SUM(ps.ps_cost_cents
+                            * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                   / 100.0 AS profit
+        FROM lineitem l
+        JOIN ps ON l.l_partkey = ps.ps_partkey
+               AND l.l_suppkey = ps.ps_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+        """,
+        "q11_important_stock": f"""
+        WITH {_PARTSUPP_SQL},
+        eu AS (
+          SELECT s_suppkey FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ), val AS (
+          SELECT ps_partkey,
+                 CAST(SUM(ps_cost_cents * ps_availqty) AS BIGINT)
+                   AS value_cents
+          FROM ps JOIN eu ON ps.ps_suppkey = eu.s_suppkey
+          GROUP BY 1
+        )
+        SELECT ps_partkey, value_cents, value_cents / 100.0 AS value
+        FROM val
+        WHERE value_cents * 200 > (SELECT SUM(value_cents) FROM val)
+        """,
+        "q16_supplier_cnt": f"""
+        WITH {_PARTSUPP_SQL}
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT)
+                 AS supplier_cnt
+        FROM ps
+        JOIN part p ON ps.ps_partkey = p.p_partkey
+          AND p.p_brand <> 'Brand#1'
+          AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+          AND s.s_acctbal >= 0
+        GROUP BY 1, 2, 3
+        """,
+        "q20_excess_stock": f"""
+        WITH {_PARTSUPP_SQL},
+        shipped AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1, 2
+        ), excess AS (
+          SELECT DISTINCT ps.ps_suppkey
+          FROM ps JOIN shipped sh
+            ON ps.ps_partkey = sh.l_partkey
+           AND ps.ps_suppkey = sh.l_suppkey
+          WHERE ps.ps_availqty * 2 > sh.qty
+        )
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND s.s_suppkey IN (SELECT ps_suppkey FROM excess)
         """,
         "vocab_topk": f"""
         WITH t AS (

@@ -81,6 +81,11 @@ HEADLINE = [
     "split_assign",
     "vocab_topk",
     "corpus_report",
+    "q2_min_cost_supp",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_cnt",
+    "q20_excess_stock",
     "q7_nation_volume",
     "simhash_pairs",
     "lsh_topk",
