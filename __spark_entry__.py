@@ -1206,6 +1206,41 @@ def _q_multimodal_png(spark, sf_dir):
     return mm.png_pixel_stats(media)
 
 
+def _q_multimodal_jpeg(spark, sf_dir):
+    """REAL lossy-format codec under the value-hash gate: a 16x16
+    grayscale image of four 8x8 blocks, each a constant EVEN value
+    derived from doc_id, is encoded to an actual baseline JPEG (forward
+    DCT, Annex-K luminance quantization, canonical Huffman tables
+    carried in DHT, 0xFF-stuffed entropy stream) and decoded back by
+    the pure-numpy marker-walking decoder.  Block-constant images have
+    only a DC coefficient, and q[0,0]=16 makes the DC round-trip
+    128 + 2*round((v-128)/2) = v for even v — the decode is EXACTLY the
+    input by construction, so the oracle computes the stats in closed
+    form from the block values (block params: v = 2*((doc_id*7 + by*5 +
+    bx*3) % 128); flat-index block sum 8192*by + 512*bx + 3808 — change
+    the UDF and the SQL together)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from katydid_haskell_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    coef = np.array([[0, 3], [5, 8]], dtype=np.int64)  # by*5 + bx*3
+
+    @pandas_udf("binary")
+    def make_jpeg(doc_id: pd.Series) -> pd.Series:
+        ones = np.ones((8, 8), dtype=np.int64)
+        return pd.Series([
+            mm.encode_jpeg(np.kron(
+                2 * ((int(d) * 7 + coef) % 128), ones).astype(np.uint8))
+            for d in doc_id
+        ])
+
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        make_jpeg(F.col("doc_id")).alias("payload"))
+    return mm.jpeg_pixel_stats(media)
+
+
 def _q_multimodal_wav(spark, sf_dir):
     """The audio sibling of multimodal_bmp: a 256-sample 16-bit PCM
     signal derived from doc_id is encoded to a REAL RIFF/WAVE payload,
@@ -1950,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         "vocab_topk": _q_vocab_topk,
         "corpus_report": _q_corpus_report,
+        "multimodal_jpeg": _q_multimodal_jpeg,
         "q2_min_cost_supp": _q_q2_min_cost_supp,
         "q9_product_profit": _q_q9_product_profit,
         "q11_important_stock": _q_q11_important_stock,
@@ -2731,6 +2767,24 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(ws[start+1 : start+64], ' ') AS chunk_text,
                CAST(least(64, len(ws) - start) AS BIGINT) AS n_words
         FROM s
+        """,
+        "multimodal_jpeg": """
+        WITH b AS (
+          SELECT d.doc_id, t.by, t2.bx,
+                 2 * ((d.doc_id * 7 + t.by * 5 + t2.bx * 3) % 128) AS v
+          FROM documents d,
+               (SELECT unnest([0, 1]) AS by) t,
+               (SELECT unnest([0, 1]) AS bx) t2
+        )
+        SELECT doc_id AS media_id,
+               CAST(16 AS INTEGER) AS width,
+               CAST(16 AS INTEGER) AS height,
+               CAST(64 * SUM(v) AS BIGINT) AS sum_all,
+               CAST(64 * SUM(CASE WHEN v >= 128 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_bright,
+               CAST(SUM(v * (8192 * by + 512 * bx + 3808)) AS BIGINT)
+                 AS pos_checksum
+        FROM b GROUP BY doc_id
         """,
         "q2_min_cost_supp": f"""
         WITH {_PARTSUPP_SQL},

@@ -71,6 +71,7 @@ HEADLINE = [
     "minhash_verify",
     "multimodal_bmp",
     "multimodal_png",
+    "multimodal_jpeg",
     "dedup_clusters",
     "duplicate_spans",
     "quota_sample",

@@ -501,6 +501,8 @@ def _default_decode(payload: bytes, mime: str) -> np.ndarray:
         return png_unit_features(payload, mime)
     if payload[:2] == b"BM":
         return bmp_unit_features(payload, mime)
+    if payload[:2] == b"\xff\xd8":
+        return jpeg_unit_features(payload, mime)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, s = decode_wav(payload)
         s = s.reshape(-1).astype(np.int64)
@@ -606,3 +608,378 @@ def synthetic_media_df(spark, n_rows: int, seed: int = 42) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return spark.range(0, n_rows).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (pure numpy).  REAL bitstream: SOI/DQT/SOF0/DHT/
+# SOS/EOI markers, forward DCT + quantization, canonical Huffman coding
+# with the tables CARRIED IN DHT (so the decoder reads whatever tables a
+# file declares — any conforming baseline grayscale JPEG decodes, not
+# just our encoder's output), 0xFF byte stuffing.  Scope: 8-bit
+# GRAYSCALE baseline (one component, 1x1 sampling, no restart markers)
+# — the JFIF structure is complete; chroma subsampling belongs to a
+# Pillow-class library through `register_decoder`.
+# ---------------------------------------------------------------------------
+
+#: standard luminance quantization table (JPEG Annex K, public spec)
+JPEG_QTABLE = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.int64)
+
+
+def _zigzag_order() -> np.ndarray:
+    """(64, 2) (y, x) pairs in JPEG zigzag scan order."""
+    out = []
+    for s in range(15):
+        ys = range(min(s, 7), max(0, s - 7) - 1, -1) if s % 2 == 0 \
+            else range(max(0, s - 7), min(s, 7) + 1)
+        out.extend((y, s - y) for y in ys)
+    return np.array(out, dtype=np.int64)
+
+
+_ZZ = _zigzag_order()
+
+#: canonical Huffman tables we EMIT (any tables would do — they ride in
+#: DHT): all 12 DC size symbols at code length 4; all 162 AC symbols at
+#: code length 8.  Single-length canonical codes are trivially prefix-free.
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = list(range(12))
+_AC_BITS = [0] * 16
+_AC_BITS[7] = 162
+_AC_VALS = [0x00, 0xF0] + [(r << 4) | s
+                           for r in range(16) for s in range(1, 11)]
+
+
+def _canonical_codes(bits, vals):
+    """DHT (BITS, HUFFVAL) -> {symbol: (code, length)} (JPEG canonical)."""
+    codes, code = {}, 0
+    i = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return codes
+
+
+_DCT_M = None
+
+
+def _dct_mat() -> np.ndarray:
+    global _DCT_M
+    if _DCT_M is None:
+        k = np.arange(8, dtype=np.float64)
+        M = 0.5 * np.cos((2 * k[None, :] + 1)
+                         * np.arange(8, dtype=np.float64)[:, None]
+                         * np.pi / 16)
+        M[0] *= 1 / np.sqrt(2)
+        _DCT_M = M
+    return _DCT_M
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:          # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)   # 1-pad per spec
+        return bytes(self.out)
+
+
+def _size_cat(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") \
+        + body
+
+
+def encode_jpeg(pixels: np.ndarray,
+                qtable: np.ndarray = JPEG_QTABLE) -> bytes:
+    """Encode an (H, W) uint8 grayscale image (H, W multiples of 8) as a
+    baseline JPEG.  Quantization rounds half away from zero (the common
+    choice; the DECODER never needs to know)."""
+    px = np.asarray(pixels)
+    if px.ndim != 2 or px.shape[0] % 8 or px.shape[1] % 8:
+        raise ValueError("need (H, W) grayscale with 8-aligned dims")
+    H, W = px.shape
+    M = _dct_mat()
+    q = qtable.astype(np.float64)
+    zz_y, zz_x = _ZZ[:, 0], _ZZ[:, 1]
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    head = bytearray(b"\xff\xd8")                       # SOI
+    head += _seg(0xDB, bytes([0x00]) + bytes(
+        qtable[zz_y, zz_x].astype(np.uint8)))           # DQT, table 0
+    head += _seg(0xC0, bytes([8]) + H.to_bytes(2, "big")
+                 + W.to_bytes(2, "big")
+                 + bytes([1, 1, 0x11, 0]))              # SOF0, 1 comp
+    head += _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS)
+                 + bytes(_DC_VALS))                     # DHT DC 0
+    head += _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS)
+                 + bytes(_AC_VALS))                     # DHT AC 0
+    head += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))   # SOS
+
+    w = _BitWriter()
+    prev_dc = 0
+    f = px.astype(np.float64) - 128.0
+    for by in range(H // 8):
+        for bx in range(W // 8):
+            blk = f[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            coef = M @ blk @ M.T
+            sc = coef / q
+            qc = np.sign(sc) * np.floor(np.abs(sc) + 0.5)
+            z = qc[zz_y, zz_x].astype(np.int64)
+            # DC
+            diff = int(z[0]) - prev_dc
+            prev_dc = int(z[0])
+            s = _size_cat(diff)
+            c, ln = dc_codes[s]
+            w.put(c, ln)
+            if s:
+                w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            # AC
+            run = 0
+            nz = np.nonzero(z[1:])[0]
+            last = int(nz[-1]) + 1 if nz.size else 0
+            for i in range(1, last + 1):
+                v = int(z[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    c, ln = ac_codes[0xF0]
+                    w.put(c, ln)
+                    run -= 16
+                s = _size_cat(v)
+                c, ln = ac_codes[(run << 4) | s]
+                w.put(c, ln)
+                w.put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 63:
+                c, ln = ac_codes[0x00]
+                w.put(c, ln)                            # EOB
+    return bytes(head) + w.flush() + b"\xff\xd9"        # EOI
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def decode(self, table) -> int:
+        mincode, maxcode, valptr, vals = table
+        code = self.bits(1)
+        for ln in range(1, 17):
+            mx = maxcode[ln]
+            if mx >= 0 and code <= mx:
+                return vals[valptr[ln] + code - mincode[ln]]
+            code = (code << 1) | self.bits(1)
+        raise ValueError("invalid Huffman code")
+
+
+def _decode_table(bits, vals):
+    """DHT arrays -> (mincode, maxcode, valptr, vals) decoder tables
+    (the F.16 canonical-decode structure from the JPEG spec)."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code, i = 0, 0
+    for ln in range(1, 17):
+        if bits[ln - 1]:
+            valptr[ln] = i
+            mincode[ln] = code
+            code += bits[ln - 1]
+            i += bits[ln - 1]
+            maxcode[ln] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, list(vals)
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline grayscale JPEG to (H, W) uint8.  Reads quant
+    and Huffman tables from the stream; rejects progressive scans,
+    multi-component images and restart intervals (out of scope)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    qtables, htables = {}, {}
+    H = W = None
+    pos = 2
+    data = payload
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        ln = int.from_bytes(data[pos + 2:pos + 4], "big")
+        body = data[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            b = body
+            while b:
+                if b[0] >> 4:
+                    raise ValueError("16-bit quant tables unsupported")
+                t = np.zeros((8, 8), dtype=np.int64)
+                t[_ZZ[:, 0], _ZZ[:, 1]] = np.frombuffer(
+                    b[1:65], dtype=np.uint8).astype(np.int64)
+                qtables[b[0] & 0x0F] = t
+                b = b[65:]
+        elif marker == 0xC0:
+            if body[5] != 1:
+                raise ValueError("grayscale only")
+            H = int.from_bytes(body[1:3], "big")
+            W = int.from_bytes(body[3:5], "big")
+            qsel = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("baseline SOF0 only")
+        elif marker == 0xC4:
+            b = body
+            while b:
+                tc, th = b[0] >> 4, b[0] & 0x0F
+                bits = list(b[1:17])
+                n = sum(bits)
+                htables[(tc, th)] = _decode_table(bits, b[17:17 + n])
+                b = b[17 + n:]
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            dc_sel, ac_sel = body[2] >> 4, body[2] & 0x0F
+            break
+    else:
+        raise ValueError("no SOS")
+    if H is None or H % 8 or W % 8:
+        raise ValueError("need 8-aligned SOF0 dims")
+    # entropy-coded data: unstuff until EOI
+    end = data.find(b"\xff\xd9", pos)
+    if end < 0:
+        raise ValueError("no EOI")
+    scan = data[pos:end].replace(b"\xff\x00", b"\xff")
+    r = _BitReader(scan)
+    dc_t = htables[(0, dc_sel)]
+    ac_t = htables[(1, ac_sel)]
+    q = qtables[qsel].astype(np.float64)
+    M = _dct_mat()
+    out = np.zeros((H, W), dtype=np.uint8)
+    prev_dc = 0
+    zz_y, zz_x = _ZZ[:, 0], _ZZ[:, 1]
+    for by in range(H // 8):
+        for bx in range(W // 8):
+            z = np.zeros(64, dtype=np.int64)
+            s = r.decode(dc_t)
+            diff = _extend(r.bits(s), s) if s else 0
+            prev_dc += diff
+            z[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = r.decode(ac_t)
+                if sym == 0x00:          # EOB
+                    break
+                if sym == 0xF0:          # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                s = sym & 0x0F
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                z[k] = _extend(r.bits(s), s)
+                k += 1
+            coef = np.zeros((8, 8), dtype=np.float64)
+            coef[zz_y, zz_x] = z * q[zz_y, zz_x]
+            blk = M.T @ coef @ M + 128.0
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                np.rint(blk), 0, 255).astype(np.uint8)
+    return out
+
+
+def jpeg_unit_features(payload: bytes, mime: str) -> np.ndarray:
+    """Registered-decoder adapter: decode the JPEG and reduce to the
+    unit-normalized intensity histogram every decoder in this module
+    produces."""
+    px = decode_jpeg(payload).reshape(-1).astype(np.int64)
+    hist = np.bincount((px * FEATURE_DIM) // 256,
+                       minlength=FEATURE_DIM)[:FEATURE_DIM] \
+        .astype(np.float64)
+    n = np.linalg.norm(hist)
+    return (hist / n if n > 0 else hist).astype(np.float32)
+
+
+def jpeg_pixel_stats(df: DataFrame, payload_col: str = "payload",
+                     id_col: str = "media_id") -> DataFrame:
+    """Integer pixel statistics through the REAL JPEG decode (marker
+    walk, stream-carried Huffman tables, dequantize + IDCT),
+    Arrow-batched: (media_id, width, height, sum_all, n_bright,
+    pos_checksum) — position-weighted so zigzag/Huffman/DCT mistakes
+    break the hash even when permutation-invariant sums agree."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_all", T.LongType()),
+        T.StructField("n_bright", T.LongType()),
+        T.StructField("pos_checksum", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx_cache: dict = {}
+        for b in batches:
+            rows = []
+            for mid, p in zip(b[id_col], b[payload_col]):
+                px = decode_jpeg(bytes(p))
+                h, w = px.shape
+                flat = px.reshape(-1).astype(np.int64)
+                idx = idx_cache.get(flat.size)
+                if idx is None:
+                    idx = np.arange(flat.size, dtype=np.int64)
+                    idx_cache[flat.size] = idx
+                rows.append((int(mid), w, h, int(flat.sum()),
+                             int((flat >= 128).sum()),
+                             int((idx * flat).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "sum_all",
+                "n_bright", "pos_checksum"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)

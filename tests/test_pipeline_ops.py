@@ -1212,3 +1212,61 @@ def test_corpus_report_int_ratio(spark):
     assert out["en"]["n_docs"] == 2 and out["en"]["total_words"] == 5
     assert out["en"]["avg_words"] == 5 / 2
     assert out["de"]["total_words"] == 0 and out["de"]["total_chars"] == 0
+
+
+def test_jpeg_roundtrip_block_constant_exact():
+    """Block-constant EVEN-valued images survive the lossy pipeline
+    exactly (DC-only blocks, q00=16): the multimodal_jpeg oracle's
+    premise, pinned."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    bvals = rng.integers(0, 128, size=(2, 3)) * 2
+    img = np.kron(bvals, np.ones((8, 8), dtype=np.int64)).astype("uint8")
+    got = mm.decode_jpeg(mm.encode_jpeg(img))
+    assert np.array_equal(got, img)
+
+
+def test_jpeg_entropy_layer_lossless_on_random_images():
+    """For ARBITRARY images the Huffman/bitstream layer must be exact:
+    decode equals the direct quantize->dequantize->IDCT reference
+    computed without any entropy coding."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    M = mm._dct_mat()
+    q = mm.JPEG_QTABLE.astype(float)
+    img = rng.integers(0, 256, size=(16, 24)).astype("uint8")
+    ref = np.zeros_like(img)
+    f = img.astype(float) - 128.0
+    for by in range(2):
+        for bx in range(3):
+            blk = f[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            sc = (M @ blk @ M.T) / q
+            qc = np.sign(sc) * np.floor(np.abs(sc) + 0.5)
+            rec = M.T @ (qc * q) @ M + 128.0
+            ref[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                np.clip(np.rint(rec), 0, 255)
+    assert np.array_equal(mm.decode_jpeg(mm.encode_jpeg(img)), ref)
+
+
+def test_jpeg_rejects_out_of_scope():
+    import numpy as np
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mm.encode_jpeg(np.zeros((7, 8), np.uint8))  # non-8-aligned
+    with _pytest.raises(ValueError):
+        mm.decode_jpeg(b"\x89PNG\r\n\x1a\n")        # not a JPEG
+    ok = mm.encode_jpeg(np.zeros((8, 8), np.uint8))
+    with _pytest.raises(ValueError):
+        mm.decode_jpeg(ok[:-2])                      # no EOI
+
+
+def test_jpeg_default_decode_sniffs_signature():
+    """A real JPEG payload never reaches the fake decoder."""
+    import numpy as np
+    img = (np.arange(64, dtype=np.int64).reshape(8, 8) * 2
+           ).astype("uint8")
+    payload = mm.encode_jpeg(img)
+    feats = mm._default_decode(payload, "image/jpeg")
+    fake = mm._fake_decode(payload, "image/jpeg")
+    assert feats.shape == fake.shape
+    assert not np.allclose(feats, fake)
