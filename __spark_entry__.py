@@ -1713,6 +1713,39 @@ def _q_q20_excess_stock(spark, sf_dir):
             .select("s_suppkey", "s_name"))
 
 
+def _q_training_prep_full(spark, sf_dir):
+    """End-to-end training-data preparation, composed from the
+    individual oracled operators and STILL exact under the value-hash
+    gate: within-doc duplicate-line removal → cross-doc exact dedup on
+    the normalized fingerprint (min doc_id survives) → deterministic
+    train split (seeded hash buckets) → concat-and-chunk sequence
+    packing of the surviving train docs (64-word blocks, 8 shards).
+    Every stage's shuffle carries only narrow keys (fingerprints,
+    ids, digests, counts) — cleaned text is consumed map-side by the
+    word count and never crosses an exchange."""
+    from pyspark.sql.window import Window
+
+    from katydid_haskell_spark.operators import chunking as ck
+    from katydid_haskell_spark.operators import mixing as mx
+
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = tx.dedupe_doc_lines(docs, "doc_id", "text") \
+        .select("doc_id", F.col("clean_text").alias("text"))
+    fp = F.md5(tx.normalize_ws(F.col("text")))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    survivors = (cleaned.withColumn("fp", fp)
+                 .withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") == 1)
+                 .drop("fp", "rn"))
+    train = survivors.join(
+        mx.split_assign(survivors, "doc_id", seed="split-v1")
+        .filter(F.col("split") == "train").select("doc_id"),
+        "doc_id", "left_semi")
+    return ck.pack_token_blocks(train, "doc_id", "text",
+                                block_words=64, seed="prep-v1",
+                                n_shards=8)
+
+
 def _q_vocab_topk(spark, sf_dir):
     """Tokenizer-vocabulary induction: top-100 case-folded BPE-ish
     tokens with a deterministic (count desc, token asc) total order.
@@ -1983,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_quality": _q_c4_quality,
         "line_dedup": _q_line_dedup,
         "split_assign": _q_split_assign,
+        "training_prep_full": _q_training_prep_full,
         "vocab_topk": _q_vocab_topk,
         "corpus_report": _q_corpus_report,
         "multimodal_jpeg": _q_multimodal_jpeg,
@@ -2767,6 +2801,83 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(ws[start+1 : start+64], ' ') AS chunk_text,
                CAST(least(64, len(ws) - start) AS BIGINT) AS n_words
         FROM s
+        """,
+        "training_prep_full": f"""
+        WITH l AS (
+          SELECT doc_id,
+                 list_filter(list_transform(
+                   string_split(COALESCE(text, ''), chr(10)),
+                   x -> regexp_replace(x, '{tx.LINE_TRIM_RE}', '', 'g')),
+                   x -> x <> '') AS ls
+          FROM documents
+        ), n AS (
+          SELECT doc_id, ls,
+                 list_transform(ls,
+                   x -> regexp_replace(regexp_replace(lower(x),
+                     '{tx.WS_RE}', ' ', 'g'), '^ | $', '', 'g')) AS ln
+          FROM l
+        ), c AS (
+          SELECT doc_id,
+                 COALESCE(array_to_string(
+                   list_filter(ls, (x, i) ->
+                     COALESCE(list_position(ln[1:i-1], ln[i]), 0) = 0),
+                   chr(10)), '') AS t
+          FROM n
+        ), surv AS (
+          SELECT doc_id, t
+          FROM c
+          QUALIFY row_number() OVER (
+            PARTITION BY md5(regexp_replace(regexp_replace(lower(t),
+              '{tx.WS_RE}', ' ', 'g'), '^ | $', '', 'g'))
+            ORDER BY doc_id) = 1
+        ), sv AS (
+          SELECT doc_id, t,
+                 md5('split-v1' || chr(31)
+                     || CAST(doc_id AS VARCHAR)) AS sh
+          FROM surv
+        ), tr AS (
+          SELECT doc_id, t FROM sv
+          WHERE
+            ((strpos('0123456789abcdef', substring(sh, 1, 1)) - 1)
+               * 4096
+             + (strpos('0123456789abcdef', substring(sh, 2, 1)) - 1)
+               * 256
+             + (strpos('0123456789abcdef', substring(sh, 3, 1)) - 1)
+               * 16
+             + (strpos('0123456789abcdef', substring(sh, 4, 1)) - 1))
+            < 58982
+        ), ww AS (
+          SELECT doc_id,
+                 COALESCE(CAST(len(list_filter(string_split_regex(
+                   lower(t), '[^a-zA-Z0-9'']+'), x -> x <> ''))
+                   AS BIGINT), 0) AS n_words,
+                 md5('prep-v1' || chr(31)
+                     || CAST(doc_id AS VARCHAR)) AS hh
+          FROM tr
+        ), sd AS (
+          SELECT doc_id, n_words, hh,
+                 ((strpos('0123456789abcdef', substring(hh, 1, 1)) - 1)
+                  * 16
+                  + (strpos('0123456789abcdef', substring(hh, 2, 1)) - 1))
+                 % 8 AS shard
+          FROM ww
+        ), o AS (
+          SELECT doc_id, shard, n_words, hh,
+                 CAST(row_number() OVER (
+                   PARTITION BY shard ORDER BY hh, doc_id) - 1
+                   AS BIGINT) AS pos,
+                 CAST(COALESCE(SUM(n_words) OVER (
+                   PARTITION BY shard ORDER BY hh, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS off
+          FROM sd
+        )
+        SELECT doc_id, CAST(shard AS BIGINT) AS shard, pos, n_words,
+               off AS "offset",
+               CAST(off // 64 AS BIGINT) AS first_block,
+               CAST(greatest(off // 64, (off + n_words - 1) // 64)
+                 AS BIGINT) AS last_block
+        FROM o
         """,
         "multimodal_jpeg": """
         WITH b AS (

@@ -77,6 +77,7 @@ HEADLINE = [
     "quota_sample",
     "doc_chunks",
     "sequence_pack",
+    "training_prep_full",
     "c4_quality",
     "line_dedup",
     "split_assign",
