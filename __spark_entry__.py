@@ -174,6 +174,37 @@ def _q_stream_dedup(spark, sf_dir):
         F.md5(tx.normalize_ws(F.col("text"))).alias("fp"))
 
 
+def _q_stream_route(spark, sf_dir):
+    """FIFTH streaming surface under the value-hash gate: stateless
+    ingest routing — every record of a file stream gets its
+    train/val/test split and training shard map-side, via the SAME
+    closed forms as the batch split_assign/shard_shuffle (streaming ==
+    batch parity by construction).  The oracle re-derives bucket,
+    split and shard from the raw table."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from katydid_haskell_spark.streaming.stream_checks import stream_route
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    sch = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(sch).parquet(d)
+    out = stream_route(stream, "doc_id", seed="split-v1",
+                       n_shards=16, shard_seed="shuffle-v1")
+    name = "stream_route_" + uuid.uuid4().hex[:12]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _q_sampled_validation(spark, sf_dir):
     """Sampled validation (operators/sampling.py): decide violation-rate
     thresholds from a deterministic 1-in-3 hash slice with Wilson 95%
@@ -2017,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "split_assign": _q_split_assign,
         "training_prep_full": _q_training_prep_full,
+        "stream_route": _q_stream_route,
         "vocab_topk": _q_vocab_topk,
         "corpus_report": _q_corpus_report,
         "multimodal_jpeg": _q_multimodal_jpeg,
@@ -2801,6 +2833,37 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(ws[start+1 : start+64], ' ') AS chunk_text,
                CAST(least(64, len(ws) - start) AS BIGINT) AS n_words
         FROM s
+        """,
+        "stream_route": """
+        WITH h AS (
+          SELECT doc_id,
+                 md5('split-v1' || chr(31)
+                     || CAST(doc_id AS VARCHAR)) AS hh,
+                 md5('shuffle-v1' || chr(31)
+                     || CAST(doc_id AS VARCHAR)) AS sh
+          FROM documents
+        ), b AS (
+          SELECT doc_id,
+                 ((strpos('0123456789abcdef', substring(hh, 1, 1)) - 1)
+                    * 4096
+                  + (strpos('0123456789abcdef', substring(hh, 2, 1)) - 1)
+                    * 256
+                  + (strpos('0123456789abcdef', substring(hh, 3, 1)) - 1)
+                    * 16
+                  + (strpos('0123456789abcdef', substring(hh, 4, 1)) - 1))
+                 AS bucket,
+                 ((strpos('0123456789abcdef', substring(sh, 1, 1)) - 1)
+                    * 16
+                  + (strpos('0123456789abcdef', substring(sh, 2, 1)) - 1))
+                 % 16 AS shard
+          FROM h
+        )
+        SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+               CASE WHEN bucket < 58982 THEN 'train'
+                    WHEN bucket < 62259 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(shard AS BIGINT) AS shard
+        FROM b
         """,
         "training_prep_full": f"""
         WITH l AS (

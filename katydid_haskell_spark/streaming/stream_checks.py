@@ -184,3 +184,33 @@ def foreach_batch_plan(plan: CheckPlan, dims, baselines, out_dir: str,
          .parquet(f"{out_dir}/violations"))
 
     return run
+
+
+def stream_route(stream: DataFrame, id_col: str,
+                 fractions=None, seed: str = "split-v1",
+                 n_shards: int = 16,
+                 shard_seed: str = "shuffle-v1") -> DataFrame:
+    """Streaming ingest ROUTING: assign every arriving record its
+    train/val/test split and its training shard, map-side on the
+    stream.
+
+    Both assignments are the batch operators' closed forms
+    (:func:`mixing.split_assign` buckets, :func:`mixing.shard_shuffle`
+    hex-prefix shards) — pure functions of (seed, id), so the streaming
+    and batch paths route every record IDENTICALLY (parity-tested), a
+    restart re-routes identically, and the oracle re-derives the
+    assignment from the raw table.  Stateless: a projection of the
+    stream, no watermark, no state store — this is the firehose-side
+    half of the training-prep pipeline."""
+    from katydid_haskell_spark.operators.mixing import (_HEX, _SEP,
+                                                        split_assign)
+    routed = split_assign(stream, id_col, fractions, seed)
+    h = F.md5(F.concat_ws(_SEP, F.lit(shard_seed),
+                          F.col(id_col).cast("string")))
+    shard = (
+        (F.expr(f"instr('{_HEX}', substring(__sh, 1, 1)) - 1") * 16
+         + F.expr(f"instr('{_HEX}', substring(__sh, 2, 1)) - 1"))
+        % n_shards)
+    return (routed.withColumn("__sh", h)
+            .withColumn("shard", shard.cast("long"))
+            .drop("__sh"))

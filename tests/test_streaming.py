@@ -254,3 +254,29 @@ def test_stream_dedup_normalized(spark, tmp_path):
     assert len(kept) == 2
     assert "a3" in kept
     assert len(kept & {"a1", "a2", "a4"}) == 1  # one survivor of the trio
+
+
+def test_stream_route_matches_batch(spark, tmp_path):
+    """Streaming routing == batch split/shard assignment, row for row
+    (both are pure functions of (seed, id))."""
+    from katydid_haskell_spark.operators import mixing as mx
+    from katydid_haskell_spark.streaming.stream_checks import stream_route
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    d = tmp_path / "route_data"
+    df.coalesce(1).write.mode("overwrite").parquet(str(d))
+    stream = spark.readStream.schema("doc_id long").parquet(str(d))
+    out = stream_route(stream, "doc_id", seed="s", n_shards=8,
+                       shard_seed="sh")
+    _run_to_memory(out, "route_parity")
+    got = {r["doc_id"]: (r["bucket"], r["split"], r["shard"])
+           for r in spark.table("route_parity").collect()}
+    want_split = {r["doc_id"]: (r["bucket"], r["split"]) for r in
+                  mx.split_assign(df, "doc_id", seed="s").collect()}
+    want_shard = {r["id"] if "id" in r else r["doc_id"]: r["shard"]
+                  for r in mx.shard_shuffle(df, "doc_id", seed="sh",
+                                            n_shards=8).collect()}
+    assert len(got) == 300
+    for i, (b, s, sh) in got.items():
+        assert (b, s) == want_split[i]
+        assert sh == want_shard[i]
