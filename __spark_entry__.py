@@ -428,6 +428,23 @@ def _q_minhash_pairs(spark, sf_dir):
                                 bands=8, shingle_k=3, min_jaccard=0.4)
 
 
+def _q_minhash_incremental(spark, sf_dir):
+    """Incremental crawl dedup: the corpus (doc_id % 3 != 0) is indexed
+    once (banded LSH keys + features); the NEW batch (doc_id % 3 == 0)
+    probes the index and exact-Jaccard-verifies its candidates.  The
+    production shape for daily increments — corpus text is scanned only
+    at index build, never per batch; the index side is bucket-capped,
+    the probe side never is.  Same signature math as minhash_pairs, so
+    the oracle re-derives everything from raw columns."""
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return dd.minhash_lookup(batch, corpus, "doc_id", "text",
+                             num_hashes=32, bands=8, shingle_k=3,
+                             min_jaccard=0.4)
+
+
 def _q_minhash_verify(spark, sf_dir):
     """The production dedup recipe END-TO-END under the value-hash gate:
     banded-MinHash candidate generation piped into exact word-3-gram
@@ -2049,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         "training_prep_full": _q_training_prep_full,
         "stream_route": _q_stream_route,
+        "minhash_incremental": _q_minhash_incremental,
         "vocab_topk": _q_vocab_topk,
         "corpus_report": _q_corpus_report,
         "multimodal_jpeg": _q_multimodal_jpeg,
@@ -2490,6 +2508,9 @@ def oracle_sql() -> dict[str, str]:
         # Seeded-hash pipelines: full math re-derived in SQL (oracles.py).
         "minhash_pairs": orc.minhash_pairs_sql(
             num_hashes=32, bands=8, shingle_k=3, min_jaccard=0.4),
+        "minhash_incremental": orc.minhash_lookup_sql(
+            num_hashes=32, bands=8, shingle_k=3, min_jaccard=0.4,
+            batch_pred="doc_id % 3 = 0"),
         "winnow_fingerprints": orc.winnow_fingerprints_sql(
             shingle_k=3, window=4),
         "minhash_verify": orc.minhash_verify_sql(

@@ -69,6 +69,7 @@ HEADLINE = [
     "ann_topk_brute",
     "minhash_pairs",
     "minhash_verify",
+    "minhash_incremental",
     "multimodal_bmp",
     "multimodal_png",
     "multimodal_jpeg",

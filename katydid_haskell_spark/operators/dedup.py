@@ -864,3 +864,87 @@ def _cc_star(edges: DataFrame, max_iter: int) -> DataFrame:
     # NOTE: `out` references the final persisted edge block — as with the
     # label engine, materialize/write promptly (two slim long columns).
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental crawl dedup: index the existing corpus once, probe each
+# new batch against it
+# ---------------------------------------------------------------------------
+
+
+def minhash_index(df: DataFrame, id_col: str, text_col: str,
+                  num_hashes: int = 64, bands: int = 16,
+                  shingle_k: int = 5,
+                  features: DataFrame | None = None) -> DataFrame:
+    """(corpus_id, band, key) — the banded-LSH probe index over the
+    EXISTING corpus.
+
+    Production shape: materialize this (and the
+    :func:`minhash_features` table) ONCE; each day's crawl increment
+    then probes the stored index without re-scanning corpus text —
+    the corpus-side cost of incremental dedup is a key-only table
+    join, amortized over every future batch.
+    """
+    feats = features if features is not None else minhash_features(
+        df, id_col, text_col, num_hashes, shingle_k)
+    return feats.select(
+        F.col("doc_id").alias("corpus_id"),
+        F.explode(lsh_bands(F.col("sig"), bands,
+                            num_hashes // bands)).alias("bk"),
+    ).select("corpus_id", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+
+
+def minhash_lookup(batch: DataFrame, corpus: DataFrame, id_col: str,
+                   text_col: str, num_hashes: int = 64,
+                   bands: int = 16, shingle_k: int = 5,
+                   min_jaccard: float = 0.5,
+                   max_bucket: int = 512,
+                   index: DataFrame | None = None,
+                   corpus_features: DataFrame | None = None
+                   ) -> DataFrame:
+    """Near-dups of a NEW batch against the existing corpus:
+    (new_id, corpus_id, jaccard >= min_jaccard).
+
+    The index side is capped per (band, key) bucket at ``max_bucket``
+    members in corpus-id order (deterministic — the
+    :func:`minhash_lsh_pairs` discipline: a degenerate boilerplate
+    bucket stays bounded at any corpus size; a capped-out member can
+    still match through its other bands).  The probe side is never
+    capped — every new document gets its full probe.  Only
+    (id, band, key) crosses the candidate shuffle; exact-Jaccard
+    verification joins the shingle sets by id afterwards.  Pass
+    ``index=`` / ``corpus_features=`` from materialized tables to skip
+    the corpus text scan entirely.
+    """
+    from pyspark.sql.window import Window
+
+    cf = corpus_features if corpus_features is not None else \
+        minhash_features(corpus, id_col, text_col, num_hashes,
+                         shingle_k).persist()
+    idx = index if index is not None else minhash_index(
+        corpus, id_col, text_col, num_hashes, bands, shingle_k,
+        features=cf)
+    w = Window.partitionBy("band", "key").orderBy("corpus_id")
+    idx = (idx.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") <= max_bucket).drop("__rn"))
+    bf = minhash_features(batch, id_col, text_col, num_hashes,
+                          shingle_k).persist()
+    probe = bf.select(
+        F.col("doc_id").alias("new_id"),
+        F.explode(lsh_bands(F.col("sig"), bands,
+                            num_hashes // bands)).alias("bk"),
+    ).select("new_id", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    cand = (probe.join(idx, ["band", "key"])
+            .select("new_id", "corpus_id")
+            .dropDuplicates(["new_id", "corpus_id"]))
+    sh_new = bf.select(F.col("doc_id").alias("new_id"),
+                       F.array_distinct("hh").alias("hh_a"))
+    sh_old = cf.select(F.col("doc_id").alias("corpus_id"),
+                       F.array_distinct("hh").alias("hh_b"))
+    pairs = cand.join(sh_new, "new_id").join(sh_old, "corpus_id")
+    return (pairs.select(
+        "new_id", "corpus_id",
+        jaccard_distinct(F.col("hh_a"), F.col("hh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard))

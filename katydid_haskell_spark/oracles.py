@@ -622,3 +622,63 @@ def dedup_clusters_sql(num_hashes: int = 32, bands: int = 8,
     )
     SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
     """
+
+
+def minhash_lookup_sql(num_hashes: int = 32, bands: int = 8,
+                       shingle_k: int = 3, min_jaccard: float = 0.4,
+                       max_bucket: int = 512,
+                       batch_pred: str = "doc_id % 3 = 0") -> str:
+    """Incremental-dedup oracle: the corpus (NOT ``batch_pred``) side is
+    banded and capped per (band, key) in corpus-id order; the batch side
+    probes uncapped; exact Jaccard verifies candidates.  Mirrors
+    dedup.minhash_index + dedup.minhash_lookup — change the cap or split
+    predicate in BOTH."""
+    perms = _perm_params(num_hashes)
+    rpb = num_hashes // bands
+    sig_exprs = ",\n             ".join(
+        f"list_min(list_transform(hh, h -> (h*{a} + {b}) % {_M})) AS s{p}"
+        for p, (a, b) in enumerate(perms)
+    )
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"s{i}" for i in range(b * rpb, (b + 1) * rpb))
+        + ") AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_shingle_ctes(shingle_k)},
+    sig AS (SELECT doc_id, hh,
+             {sig_exprs}
+            FROM hh),
+    banded AS (
+      {band_rows}
+    ),
+    idx AS (
+      SELECT doc_id AS corpus_id, band, key FROM banded
+      WHERE NOT ({batch_pred})
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY band, key
+                                 ORDER BY doc_id) <= {max_bucket}
+    ),
+    probe AS (
+      SELECT doc_id AS new_id, band, key FROM banded
+      WHERE {batch_pred}
+    ),
+    cand AS (
+      SELECT DISTINCT p.new_id, i.corpus_id
+      FROM probe p JOIN idx i ON p.band = i.band AND p.key = i.key
+    ),
+    withsets AS (
+      SELECT c.new_id, c.corpus_id,
+             list_distinct(a.hh) AS hh_a, list_distinct(b.hh) AS hh_b
+      FROM cand c
+      JOIN hh a ON a.doc_id = c.new_id
+      JOIN hh b ON b.doc_id = c.corpus_id
+    )
+    SELECT new_id, corpus_id, jaccard FROM (
+      SELECT new_id, corpus_id,
+             CAST(len(list_intersect(hh_a, hh_b)) AS DOUBLE)
+               / NULLIF(len(hh_a) + len(hh_b)
+                        - len(list_intersect(hh_a, hh_b)), 0) AS jaccard
+      FROM withsets
+    ) WHERE jaccard >= {min_jaccard}
+    """

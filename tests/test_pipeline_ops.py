@@ -1270,3 +1270,40 @@ def test_jpeg_default_decode_sniffs_signature():
     fake = mm._fake_decode(payload, "image/jpeg")
     assert feats.shape == fake.shape
     assert not np.allclose(feats, fake)
+
+
+def test_minhash_incremental_lookup(spark, docs):
+    """Index the corpus, probe a new batch: the exact dup and the
+    normalized dup of doc 0 are found; unrelated new docs are not."""
+    corpus = docs.filter(F.col("doc_id").isin(0, 2, 3, 4))
+    batch = spark.createDataFrame([
+        (100, "the quick brown fox jumps over the lazy dog"),  # == doc 0
+        (101, "THE QUICK  brown fox jumps over the lazy dog "),  # norm dup
+        (102, "entirely novel content never seen in the corpus before"),
+    ], "doc_id long, text string")
+    got = {(r["new_id"], r["corpus_id"]): r["jaccard"] for r in
+           dd.minhash_lookup(batch, corpus, "doc_id", "text",
+                             num_hashes=32, bands=16, shingle_k=2,
+                             min_jaccard=0.3).collect()}
+    assert got[(100, 0)] == 1.0
+    assert got[(101, 0)] == 1.0
+    assert not any(n == 102 for n, _ in got)
+    # pairs are strictly batch x corpus — never corpus x corpus
+    assert all(n >= 100 and c < 100 for n, c in got)
+
+
+def test_minhash_incremental_index_cap(spark):
+    """A degenerate corpus bucket stays bounded: with max_bucket=5 a
+    probe meets at most 5 corpus members per (band, key), keeping
+    lookup cost capped at any corpus size."""
+    corpus = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate page text everywhere").alias("text"))
+    batch = spark.createDataFrame(
+        [(5000, "identical boilerplate page text everywhere")],
+        "doc_id long, text string")
+    got = dd.minhash_lookup(batch, corpus, "doc_id", "text",
+                            num_hashes=16, bands=4, shingle_k=2,
+                            min_jaccard=0.5, max_bucket=5).collect()
+    ids = {r["corpus_id"] for r in got}
+    assert ids == set(range(5))  # lowest ids, every band the same bucket
