@@ -163,3 +163,50 @@ def split_assign(df: DataFrame, id_col: str,
         d.withColumn("bucket", bucket.cast("long"))
         .select(F.col(id_col), F.col("bucket"), split.alias("split"))
     )
+
+
+def write_training_shards(df: DataFrame, out_dir: str, id_col: str,
+                          seed: str = "shuffle-v1",
+                          n_shards: int = 256) -> dict:
+    """Materialize the deterministic training order, resumably.
+
+    Routes every row through :func:`shard_shuffle`, writes each shard
+    as its own partition directory sorted by ``pos`` (reading a shard's
+    files in order IS the training order — no global sort ever runs),
+    and records a manifest ``(shard → rows)`` plus the write params.
+
+    RESUMABLE: shards already present in the manifest are skipped on a
+    re-run (the assignment is a pure function of (seed, id), so a
+    restart reproduces byte-identical shard contents — skipping is
+    sound).  Returns the manifest dict.  At 100 TB each shard is one
+    task's sorted write; size ``n_shards`` to the cluster.
+    """
+    import json
+    import os
+
+    mpath = os.path.join(out_dir, "_shards_manifest.json")
+    manifest = {"seed": seed, "n_shards": n_shards, "shards": {}}
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            old = json.load(f)
+        if old.get("seed") != seed or old.get("n_shards") != n_shards:
+            raise ValueError("manifest exists with different params")
+        manifest = old
+    done = {int(k) for k in manifest["shards"]}
+    routed = df.join(shard_shuffle(df, id_col, seed, n_shards),
+                     id_col)
+    todo = routed.filter(~F.col("shard").isin(*done)) if done else routed
+    (todo.repartition(n_shards, "shard")
+         .sortWithinPartitions("pos")
+         .write.mode("append").partitionBy("shard")
+         .parquet(os.path.join(out_dir, "data")))
+    spark = df.sparkSession
+    counts = {int(r["shard"]): int(r["n"]) for r in
+              spark.read.parquet(os.path.join(out_dir, "data"))
+              .groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    manifest["shards"] = {str(k): v for k, v in sorted(counts.items())}
+    os.makedirs(out_dir, exist_ok=True)
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    return manifest

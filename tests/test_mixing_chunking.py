@@ -300,3 +300,47 @@ def test_split_assign_plan_no_exchange(spark):
     plan = (mx.split_assign(df, "id")
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_write_training_shards_order_and_resume(spark, tmp_path):
+    """Shard files read back in pos order == the deterministic training
+    order; a partial write resumes without loss or duplication."""
+    import json
+    import os
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "id long, text string")
+    out = str(tmp_path / "shards")
+    m1 = mx.write_training_shards(df, out, "id", seed="s", n_shards=4)
+    assert sum(m1["shards"].values()) == 200
+    # read back: per shard, pos is dense and rows are the permutation
+    back = spark.read.parquet(os.path.join(out, "data"))
+    assert back.count() == 200
+    want = {(r["id"]): (r["shard"], r["pos"]) for r in
+            mx.shard_shuffle(df, "id", seed="s", n_shards=4).collect()}
+    for r in back.collect():
+        assert want[r["id"]] == (r["shard"], r["pos"])
+    # resume: drop two shards from the manifest, re-run, nothing doubles
+    mpath = os.path.join(out, "_shards_manifest.json")
+    m = json.load(open(mpath))
+    kept = {k: v for k, v in m["shards"].items() if int(k) < 2}
+    removed = {k for k in m["shards"] if int(k) >= 2}
+    # physically remove the un-manifested shard partitions too
+    import shutil
+    for k in removed:
+        shutil.rmtree(os.path.join(out, "data", f"shard={k}"))
+    m["shards"] = kept
+    json.dump(m, open(mpath, "w"))
+    m2 = mx.write_training_shards(df, out, "id", seed="s", n_shards=4)
+    assert sum(m2["shards"].values()) == 200
+    back2 = spark.read.parquet(os.path.join(out, "data"))
+    assert back2.count() == 200
+    assert back2.select("id").distinct().count() == 200  # no dups
+
+
+def test_write_training_shards_param_mismatch_rejected(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    out = str(tmp_path / "shards2")
+    mx.write_training_shards(df, out, "id", seed="a", n_shards=2)
+    with pytest.raises(ValueError):
+        mx.write_training_shards(df, out, "id", seed="b", n_shards=2)
