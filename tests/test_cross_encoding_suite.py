@@ -106,6 +106,8 @@ def to_protobuf(tree: dict):
 
 DOC = {"doc": {"name": "bob", "n": 5}}
 DEEP = {"doc": {"meta": {"author": {"name": "eve"}}, "n": 17}}
+DOC3 = {"doc": {"name": "bob", "n": 5, "extra": 7}}
+EMPTYMETA = {"doc": {"meta": {}, "n": 5, "name": "bob"}}
 
 CASES = [
     # contains + eq, both verdicts
@@ -150,6 +152,19 @@ CASES = [
     ('doc: {n: -> and(ge($int, 6), lt($int, 9)); *}', DOC, False),
     ('.doc: .meta: .author: .name: -> eq(toUpper($string), "EVE")',
      DEEP, True),
+    # structural: empty node across all three encodings ({} / <meta></meta>
+    # / zero-length submessage), 3-field ordered concat, 2-hop refs,
+    # negation over a function leaf
+    ('doc: {meta: <empty>; n: == 5; name: *}', EMPTYMETA, True),
+    ('doc: {meta: <empty>; n: == 6; name: *}', EMPTYMETA, False),
+    ('doc: [name: *, n: *, extra: == 7]', DOC3, True),
+    ('doc: [extra: *, name: *, n: *]', DOC3, False),
+    ('#main = .doc: @p  #p = .meta: @q  #q = .author: .name $= "ve"',
+     DEEP, True),
+    ('#main = .doc: @p  #p = .meta: @q  #q = .author: .name $= "xx"',
+     DEEP, False),
+    ('doc: !(.name: -> gt(length($string), 2))', DOC, False),
+    ('doc: !(.name: -> gt(length($string), 9))', DOC, True),
 ]
 
 FIVE = {"a": {"b": {"c": {"d": {"e": "leaf", "n": 7}}}}}
