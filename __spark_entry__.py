@@ -1776,12 +1776,19 @@ def _q_training_prep_full(spark, sf_dir):
     from katydid_haskell_spark.operators import chunking as ck
     from katydid_haskell_spark.operators import mixing as mx
 
+    from katydid_haskell_spark.operators.textops import words
+
     docs = _t(spark, sf_dir, "documents")
-    cleaned = tx.dedupe_doc_lines(docs, "doc_id", "text") \
-        .select("doc_id", F.col("clean_text").alias("text"))
-    fp = F.md5(tx.normalize_ws(F.col("text")))
+    cleaned = tx.dedupe_doc_lines(docs, "doc_id", "text")
+    # text is consumed HERE, map-side: fingerprint + word count are the
+    # only things any later stage needs, so no exchange ever carries it
+    narrow = cleaned.select(
+        "doc_id",
+        F.md5(tx.normalize_ws(F.col("clean_text"))).alias("fp"),
+        F.size(words(F.coalesce(F.col("clean_text"), F.lit(""))))
+        .cast("long").alias("n_words"))
     w = Window.partitionBy("fp").orderBy("doc_id")
-    survivors = (cleaned.withColumn("fp", fp)
+    survivors = (narrow
                  .withColumn("rn", F.row_number().over(w))
                  .filter(F.col("rn") == 1)
                  .drop("fp", "rn"))
@@ -1789,9 +1796,9 @@ def _q_training_prep_full(spark, sf_dir):
         mx.split_assign(survivors, "doc_id", seed="split-v1")
         .filter(F.col("split") == "train").select("doc_id"),
         "doc_id", "left_semi")
-    return ck.pack_token_blocks(train, "doc_id", "text",
-                                block_words=64, seed="prep-v1",
-                                n_shards=8)
+    return ck.pack_token_blocks(train, "doc_id", block_words=64,
+                                seed="prep-v1", n_shards=8,
+                                n_words_col="n_words")
 
 
 def _q_vocab_topk(spark, sf_dir):

@@ -54,10 +54,12 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def pack_token_blocks(df: DataFrame, id_col: str, text_col: str,
+def pack_token_blocks(df: DataFrame, id_col: str,
+                      text_col: str | None = None,
                       block_words: int = 1024,
                       seed: str = "shuffle-v1",
-                      n_shards: int = 16) -> DataFrame:
+                      n_shards: int = 16,
+                      n_words_col: str | None = None) -> DataFrame:
     """Concat-and-chunk sequence packing: where does each document land
     in the fixed-width training-block stream?
 
@@ -83,6 +85,10 @@ def pack_token_blocks(df: DataFrame, id_col: str, text_col: str,
 
     Empty documents (0 words) occupy no stream positions; they report
     the block the stream stood at (``first_block == last_block``).
+
+    Pass ``n_words_col`` instead of ``text_col`` when the word count is
+    already computed upstream (e.g. a pipeline that consumed the text
+    map-side earlier) — the packing then never touches text at all.
     """
     from katydid_haskell_spark.operators.mixing import _HEX, _SEP
 
@@ -90,12 +96,16 @@ def pack_token_blocks(df: DataFrame, id_col: str, text_col: str,
         raise ValueError("n_shards must be in 1..256 (two hex digits)")
     if block_words < 1:
         raise ValueError("block_words must be >= 1")
+    if (text_col is None) == (n_words_col is None):
+        raise ValueError("pass exactly one of text_col / n_words_col")
     h = F.md5(F.concat_ws(_SEP, F.lit(seed),
                           F.col(id_col).cast("string")))
+    nw = (F.col(n_words_col).cast("long") if n_words_col
+          else F.size(words(F.coalesce(F.col(text_col), F.lit("")))
+                      ).cast("long"))
     d = df.select(
         F.col(id_col),
-        F.size(words(F.coalesce(F.col(text_col), F.lit("")))
-               ).cast("long").alias("n_words"),
+        nw.alias("n_words"),
     ).withColumn("__h", h)
     shard = (
         (F.expr(f"instr('{_HEX}', substring(__h, 1, 1)) - 1") * 16

@@ -344,3 +344,38 @@ def test_write_training_shards_param_mismatch_rejected(spark, tmp_path):
     mx.write_training_shards(df, out, "id", seed="a", n_shards=2)
     with pytest.raises(ValueError):
         mx.write_training_shards(df, out, "id", seed="b", n_shards=2)
+
+
+def test_pack_blocks_requires_exactly_one_source(spark):
+    df = spark.createDataFrame([(1, "x", 1)],
+                               "id long, text string, nw long")
+    with pytest.raises(ValueError):
+        ck.pack_token_blocks(df, "id")
+    with pytest.raises(ValueError):
+        ck.pack_token_blocks(df, "id", "text", n_words_col="nw")
+    a = ck.pack_token_blocks(df, "id", "text", block_words=4).collect()
+    b = ck.pack_token_blocks(df, "id", block_words=4,
+                             n_words_col="nw").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_training_prep_plan_no_text_in_any_exchange(spark):
+    """The composition's load-bearing property: every exchange carries
+    only narrow keys (fp/ids/digests/counts) — document text is consumed
+    map-side and never shuffles."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    t = entry_mod.queries()["training_prep_full"](
+        spark, "/root/testdata/sf0.001")
+    txt = t._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    exchanges = 0
+    for sec in re.split(r"\n\(\d+\) ", txt):
+        if sec.startswith("Exchange"):
+            exchanges += 1
+            m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", sec)
+            assert m and "text" not in m.group(1), sec[:200]
+    assert exchanges >= 3  # dedup window, split semi, pack window
