@@ -1761,6 +1761,22 @@ def _q_q20_excess_stock(spark, sf_dir):
             .select("s_suppkey", "s_name"))
 
 
+def _q_warc_gzip(spark, sf_dir):
+    """REAL compressed-payload ingest under the value-hash gate: each
+    document's text is gzip-compressed (stdlib, mtime=0 so the member
+    bytes are deterministic) into a WARC-style binary payload, then
+    decoded back by the Arrow-batched inflate UDF; the projected
+    fingerprint/length must equal the oracle's closed form over the
+    ORIGINAL text — the compression round-trip must be exact."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = tx.gzip_encode_udf()(F.coalesce(F.col("text"), F.lit("")))
+    decoded = tx.gzip_decode_udf()(payload)
+    return docs.select(
+        "doc_id",
+        F.md5(decoded).alias("fp"),
+        F.length(decoded).cast("long").alias("n_chars"))
+
+
 def _q_training_prep_full(spark, sf_dir):
     """End-to-end training-data preparation, composed from the
     individual oracled operators and STILL exact under the value-hash
@@ -2072,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "split_assign": _q_split_assign,
         "training_prep_full": _q_training_prep_full,
+        "warc_gzip": _q_warc_gzip,
         "stream_route": _q_stream_route,
         "minhash_incremental": _q_minhash_incremental,
         "vocab_topk": _q_vocab_topk,
@@ -2861,6 +2878,12 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(ws[start+1 : start+64], ' ') AS chunk_text,
                CAST(least(64, len(ws) - start) AS BIGINT) AS n_words
         FROM s
+        """,
+        "warc_gzip": """
+        SELECT doc_id,
+               md5(COALESCE(text, '')) AS fp,
+               CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars
+        FROM documents
         """,
         "stream_route": """
         WITH h AS (

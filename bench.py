@@ -84,6 +84,7 @@ HEADLINE = [
     "split_assign",
     "vocab_topk",
     "corpus_report",
+    "warc_gzip",
     "q2_min_cost_supp",
     "q9_product_profit",
     "q11_important_stock",

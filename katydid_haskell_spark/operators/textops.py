@@ -649,3 +649,40 @@ def corpus_report(df: DataFrame, group_col: str,
                  F.sum("_c").cast("long").alias("total_chars"))
             .withColumn("avg_words",
                         F.col("total_words") / F.col("n_docs")))
+
+
+# ---------------------------------------------------------------------------
+# Compressed text payloads (WARC-style gzip members)
+# ---------------------------------------------------------------------------
+
+
+def gzip_encode_udf():
+    """string -> binary: deterministic gzip member (mtime pinned to 0 so
+    identical text yields identical bytes — reproducible fixtures)."""
+    import gzip
+
+    @F.pandas_udf("binary")
+    def enc(texts: pd.Series) -> pd.Series:
+        return pd.Series([
+            gzip.compress((t or "").encode("utf-8"), mtime=0)
+            for t in texts
+        ])
+
+    return enc
+
+
+def gzip_decode_udf():
+    """binary -> string: decode a gzip member back to text (the
+    crawl-ingest step for WARC-style compressed payloads).  Arrow-
+    batched stdlib inflate — a corrupt stream raises, it does not
+    silently yield garbage."""
+    import gzip
+
+    @F.pandas_udf("string")
+    def dec(payloads: pd.Series) -> pd.Series:
+        return pd.Series([
+            gzip.decompress(bytes(p)).decode("utf-8")
+            for p in payloads
+        ])
+
+    return dec

@@ -1307,3 +1307,31 @@ def test_minhash_incremental_index_cap(spark):
                             min_jaccard=0.5, max_bucket=5).collect()
     ids = {r["corpus_id"] for r in got}
     assert ids == set(range(5))  # lowest ids, every band the same bucket
+
+
+def test_gzip_roundtrip_and_determinism(spark):
+    import gzip
+    rows = [(1, "héllo wörld\nsecond line"), (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    enc = tx.gzip_encode_udf()
+    dec = tx.gzip_decode_udf()
+    out = {r["doc_id"]: (bytes(r["p"]), r["t"]) for r in
+           df.select("doc_id",
+                     enc(F.coalesce(F.col("text"), F.lit("")))
+                     .alias("p"))
+           .select("doc_id", "p",
+                   dec(F.col("p")).alias("t")).collect()}
+    for i, text in rows:
+        want = text or ""
+        p, t = out[i]
+        assert t == want
+        # mtime pinned: bytes equal an independent stdlib compress
+        assert p == gzip.compress(want.encode("utf-8"), mtime=0)
+
+
+def test_gzip_decode_rejects_corrupt_stream(spark):
+    import pytest as _pytest
+    df = spark.createDataFrame([(1, bytearray(b"not gzip"))],
+                               "doc_id long, p binary")
+    with _pytest.raises(Exception):
+        df.select(tx.gzip_decode_udf()(F.col("p")).alias("t")).collect()
