@@ -22,3 +22,24 @@ def test_default_target_is_session_parallelism(spark):
     out = udf_parallelize(df)
     assert (out.rdd.getNumPartitions()
             == spark.sparkContext.defaultParallelism)
+
+
+def test_scan_pushdown_and_column_pruning(spark):
+    """The declarative-plan dividend, pinned: q6's lineitem scan reads
+    ONLY the four referenced columns (of 11) and carries non-empty
+    pushed filters — a scan that read every column for a 4-column
+    aggregate would be a plan regression."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()["q6_revenue"](spark, "/root/testdata/sf0.001")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans, plan
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", scans[0])
+    cols = {c.split("#")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount",
+                    "l_shipdate"}, cols
+    assert "PushedFilters: []" not in scans[0]
+    assert "PushedFilters: [" in scans[0] or "DataFilters: [is" in scans[0]
