@@ -418,6 +418,18 @@ def _q_ann_topk_brute(spark, sf_dir):
     return out.select("q_id", "vec_id", "rank", F.round("cos", 4).alias("cos"))
 
 
+def _q_retrieval_pairs(spark, sf_dir):
+    """Contrastive training-pair generation: 3 exact-cosine positives
+    (self excluded) + 3 seeded-md5 negatives per query — an all-integer
+    projection (labels decide membership/order, no float column), fully
+    re-derived by the oracle (brute top-k CTE + md5 negative rank)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    return sim.contrastive_pairs(emb, queries, k_pos=3, k_neg=3,
+                                 seed="neg-v1")
+
+
 def _q_minhash_pairs(spark, sf_dir):
     # testdata parquet is one 128MB-bound scan partition; spread the Arrow
     # signature UDF across cores (production tables arrive pre-partitioned,
@@ -2091,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_gzip": _q_warc_gzip,
         "stream_route": _q_stream_route,
         "minhash_incremental": _q_minhash_incremental,
+        "retrieval_pairs": _q_retrieval_pairs,
         "vocab_topk": _q_vocab_topk,
         "corpus_report": _q_corpus_report,
         "multimodal_jpeg": _q_multimodal_jpeg,
@@ -2528,6 +2541,45 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings c, embeddings q
               WHERE q.vec_id < 5
             ) WHERE rank <= 10
+        """,
+        "retrieval_pairs": """
+        WITH top AS (
+          SELECT q_id, vec_id, rank FROM (
+            SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(
+                                c.embedding, q.embedding) DESC,
+                              c.vec_id) AS rank
+            FROM embeddings c, embeddings q
+            WHERE q.vec_id < 5
+          ) WHERE rank <= 4
+        ), pos AS (
+          SELECT q_id, vec_id AS cand_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q_id ORDER BY rank) AS prank
+          FROM top WHERE vec_id <> q_id
+          QUALIFY prank <= 3
+        ), neg AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY md5('neg-v1' || chr(31)
+                                || CAST(q.vec_id AS VARCHAR) || chr(31)
+                                || CAST(c.vec_id AS VARCHAR)),
+                            c.vec_id) AS rank
+          FROM embeddings q, embeddings c
+          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+            AND NOT EXISTS (SELECT 1 FROM pos p
+                            WHERE p.q_id = q.vec_id
+                              AND p.cand_id = c.vec_id)
+          QUALIFY rank <= 3
+        )
+        SELECT q_id, cand_id, 'pos' AS label,
+               CAST(prank AS BIGINT) AS rank FROM pos
+        UNION ALL
+        SELECT q_id, cand_id, 'neg' AS label,
+               CAST(rank AS BIGINT) AS rank FROM neg
         """,
         # Seeded-hash pipelines: full math re-derived in SQL (oracles.py).
         "minhash_pairs": orc.minhash_pairs_sql(

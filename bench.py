@@ -67,6 +67,7 @@ HEADLINE = [
     "doc_lang_id",
     "doc_fingerprint",
     "ann_topk_brute",
+    "retrieval_pairs",
     "minhash_pairs",
     "minhash_verify",
     "minhash_incremental",

@@ -531,3 +531,54 @@ def embedding_neardup_pairs(df: DataFrame, dim: int, min_cos: float = 0.95,
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("cos") >= min_cos)
     )
+
+
+def contrastive_pairs(corpus: DataFrame, queries: DataFrame,
+                      k_pos: int = 3, k_neg: int = 3,
+                      seed: str = "neg-v1",
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      q_id_col: str = "q_id",
+                      q_vec_col: str = "q_vec") -> DataFrame:
+    """Training-pair generation for retrieval/contrastive objectives:
+    per query, the ``k_pos`` nearest exact-cosine neighbors (self
+    excluded) as positives plus ``k_neg`` seeded-md5 random negatives
+    drawn from the non-positive remainder.
+
+    Output (q_id, cand_id, label, rank) carries NO floats — similarity
+    decides membership and order only (the :func:`brute_force_topk`
+    tie/ordering discipline), so the result is exactly re-derivable by
+    any engine.  The negative draw is a pure function of
+    (seed, q_id, cand_id): reruns, resumes and engines agree.
+
+    100-TB shape: positives ride the broadcast-query scoring pass;
+    negatives rank a NARROW (q_id, cand_id, digest) projection — for
+    production-size query sets swap the brute scorer for the IVF/LSH
+    path and keep this pairing layer unchanged.
+    """
+    from katydid_haskell_spark.operators.mixing import _SEP
+
+    top = brute_force_topk(corpus, queries, k_pos + 1,
+                           id_col, vec_col, q_id_col, q_vec_col)
+    wq = Window.partitionBy("q_id").orderBy("rank")
+    pos = (top.filter(F.col("vec_id") != F.col("q_id"))
+           .withColumn("prank", F.row_number().over(wq))
+           .filter(F.col("prank") <= k_pos)
+           .select("q_id", F.col("vec_id").alias("cand_id"),
+                   F.col("prank").alias("rank")))
+    cand = (queries.select(F.col(q_id_col).alias("q_id"))
+            .crossJoin(corpus.select(F.col(id_col).alias("cand_id")))
+            .filter(F.col("cand_id") != F.col("q_id"))
+            .join(pos.select("q_id", "cand_id"), ["q_id", "cand_id"],
+                  "left_anti"))
+    h = F.md5(F.concat_ws(_SEP, F.lit(seed),
+                          F.col("q_id").cast("string"),
+                          F.col("cand_id").cast("string")))
+    wn = Window.partitionBy("q_id").orderBy(h, F.col("cand_id"))
+    neg = (cand.withColumn("rank", F.row_number().over(wn))
+           .filter(F.col("rank") <= k_neg)
+           .select("q_id", "cand_id", "rank"))
+    lab = lambda df, v: df.select(  # noqa: E731
+        "q_id", "cand_id", F.lit(v).alias("label"),
+        F.col("rank").cast("long").alias("rank"))
+    return lab(pos, "pos").unionByName(lab(neg, "neg"))

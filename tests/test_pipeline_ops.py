@@ -1335,3 +1335,36 @@ def test_gzip_decode_rejects_corrupt_stream(spark):
                                "doc_id long, p binary")
     with _pytest.raises(Exception):
         df.select(tx.gzip_decode_udf()(F.col("p")).alias("t")).collect()
+
+
+def test_contrastive_pairs_structure(spark, vectors):
+    """3 positives (self excluded) + 3 negatives per query; disjoint;
+    vec 1 (the planted near-dup of vec 0) is vec 0's rank-1 positive."""
+    q = vectors.filter("vec_id < 3").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    rows = sim.contrastive_pairs(vectors, q, k_pos=3, k_neg=3,
+                                 seed="t").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], {"pos": [], "neg": []})[
+            r["label"]].append((r["rank"], r["cand_id"]))
+    for qi, d in by_q.items():
+        assert len(d["pos"]) == 3 and len(d["neg"]) == 3
+        assert qi not in {c for _, c in d["pos"] + d["neg"]}
+        assert not set(c for _, c in d["pos"]) & \
+            set(c for _, c in d["neg"])
+    assert sorted(by_q[0]["pos"])[0] == (1, 1)  # planted near-dup
+
+
+def test_contrastive_pairs_negatives_deterministic(spark, vectors):
+    q = vectors.filter("vec_id < 2").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    a = sorted(map(tuple, sim.contrastive_pairs(
+        vectors, q, seed="s1").collect()))
+    b = sorted(map(tuple, sim.contrastive_pairs(
+        vectors.repartition(5), q, seed="s1").collect()))
+    c = sorted(map(tuple, sim.contrastive_pairs(
+        vectors, q, seed="s2").collect()))
+    assert a == b
+    negs = lambda rows: {t for t in rows if t[2] == "neg"}  # noqa: E731
+    assert negs(a) != negs(c)  # seed changes the negative draw
