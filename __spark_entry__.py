@@ -1882,6 +1882,26 @@ def _q_line_dedup(spark, sf_dir):
     return tx.dedupe_doc_lines(d, "doc_id", "text")
 
 
+def _q_pack_report(spark, sf_dir):
+    """Packing observability: per training shard, document count, total
+    words, block count (last block index + 1) and tail waste (padding
+    the final partial block would cost) — all integers derived from the
+    same closed-form packing as sequence_pack (B=128, 16 shards,
+    seed 'shuffle-v1'); the oracle re-derives per-shard aggregates."""
+    from katydid_haskell_spark.operators import chunking as ck
+
+    docs = _t(spark, sf_dir, "documents")
+    p = ck.pack_token_blocks(docs, "doc_id", "text", block_words=128,
+                             seed="shuffle-v1", n_shards=16)
+    return p.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        (F.max("last_block") + 1).cast("long").alias("n_blocks"),
+        ((F.max("last_block") + 1) * 128 - F.sum("n_words"))
+        .cast("long").alias("tail_waste"),
+    )
+
+
 def _q_c4_quality(spark, sf_dir):
     """C4-style page cleaning: terminal-punctuation line filter,
     5-word minimum, javascript-line drop, lorem-ipsum / curly-brace /
@@ -2104,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_route": _q_stream_route,
         "minhash_incremental": _q_minhash_incremental,
         "retrieval_pairs": _q_retrieval_pairs,
+        "pack_report": _q_pack_report,
         "vocab_topk": _q_vocab_topk,
         "corpus_report": _q_corpus_report,
         "multimodal_jpeg": _q_multimodal_jpeg,
@@ -3307,6 +3328,42 @@ def oracle_sql() -> dict[str, str]:
                 OR len(kept) < 3) AS flagged,
                COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
         FROM k
+        """,
+        "pack_report": f"""
+        WITH w AS (
+          SELECT doc_id,
+                 COALESCE(CAST(len({_WORDS_SQL}) AS BIGINT), 0)
+                   AS n_words,
+                 md5('shuffle-v1' || chr(31)
+                     || CAST(doc_id AS VARCHAR)) AS hh
+          FROM documents
+        ), s AS (
+          SELECT doc_id, n_words, hh,
+                 ((strpos('0123456789abcdef', substring(hh, 1, 1)) - 1)
+                  * 16
+                  + (strpos('0123456789abcdef', substring(hh, 2, 1)) - 1))
+                 % 16 AS shard
+          FROM w
+        ), o AS (
+          SELECT doc_id, shard, n_words,
+                 CAST(COALESCE(SUM(n_words) OVER (
+                   PARTITION BY shard ORDER BY hh, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS off
+          FROM s
+        ), b AS (
+          SELECT doc_id, shard, n_words,
+                 greatest(off // 128, (off + n_words - 1) // 128)
+                   AS last_block
+          FROM o
+        )
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS total_words,
+               CAST(MAX(last_block) + 1 AS BIGINT) AS n_blocks,
+               CAST((MAX(last_block) + 1) * 128 - SUM(n_words)
+                 AS BIGINT) AS tail_waste
+        FROM b GROUP BY shard
         """,
         "sequence_pack": f"""
         WITH w AS (

@@ -79,6 +79,7 @@ HEADLINE = [
     "quota_sample",
     "doc_chunks",
     "sequence_pack",
+    "pack_report",
     "training_prep_full",
     "c4_quality",
     "line_dedup",
