@@ -90,3 +90,24 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {
         "bucket_id", "rule_id", "pass", "metric", "rows_checked", "snapshot"
     }
+
+
+def test_driver_sample_window_covers_unsampled_queries():
+    """Rotation-policy invariant (CLAUDE.md): the driver samples the
+    FIRST ~50 queries() entries; every entry that has never had a
+    driver CORRECTNESS row must therefore sit inside that window, or it
+    can never close its gate."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sampled = set()
+    for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        sampled |= set(json.load(open(f)))
+    names = list(QUERIES)
+    stragglers = [n for n in names
+                  if n not in sampled and names.index(n) >= 50]
+    assert not stragglers, (
+        f"never-driver-sampled entries outside the 50-entry window: "
+        f"{stragglers} — move them to the front block")
