@@ -2563,45 +2563,10 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 5
             ) WHERE rank <= 10
         """,
-        "retrieval_pairs": """
-        WITH top AS (
-          SELECT q_id, vec_id, rank FROM (
-            SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
-                   ROW_NUMBER() OVER (
-                     PARTITION BY q.vec_id
-                     ORDER BY list_cosine_similarity(
-                                c.embedding, q.embedding) DESC,
-                              c.vec_id) AS rank
-            FROM embeddings c, embeddings q
-            WHERE q.vec_id < 5
-          ) WHERE rank <= 4
-        ), pos AS (
-          SELECT q_id, vec_id AS cand_id,
-                 ROW_NUMBER() OVER (
-                   PARTITION BY q_id ORDER BY rank) AS prank
-          FROM top WHERE vec_id <> q_id
-          QUALIFY prank <= 3
-        ), neg AS (
-          SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-                 ROW_NUMBER() OVER (
-                   PARTITION BY q.vec_id
-                   ORDER BY md5('neg-v1' || chr(31)
-                                || CAST(q.vec_id AS VARCHAR) || chr(31)
-                                || CAST(c.vec_id AS VARCHAR)),
-                            c.vec_id) AS rank
-          FROM embeddings q, embeddings c
-          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
-            AND NOT EXISTS (SELECT 1 FROM pos p
-                            WHERE p.q_id = q.vec_id
-                              AND p.cand_id = c.vec_id)
-          QUALIFY rank <= 3
-        )
-        SELECT q_id, cand_id, 'pos' AS label,
-               CAST(prank AS BIGINT) AS rank FROM pos
-        UNION ALL
-        SELECT q_id, cand_id, 'neg' AS label,
-               CAST(rank AS BIGINT) AS rank FROM neg
-        """,
+        # negative-pool cutoff re-derived from the same parquet count via
+        # the shared similarity.neg_pool_cutoff (auto_n_cells discipline)
+        "retrieval_pairs": orc.retrieval_pairs_sql(
+            oracle_sf, k_pos=3, k_neg=3, seed="neg-v1", pool_factor=100),
         # Seeded-hash pipelines: full math re-derived in SQL (oracles.py).
         "minhash_pairs": orc.minhash_pairs_sql(
             num_hashes=32, bands=8, shingle_k=3, min_jaccard=0.4),

@@ -1,9 +1,11 @@
 """Benchmark harness: headline queries + validation throughput.
 
-Prints ONE JSON line:
-  {"metric": "headline_total_sec", "value": N, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1,
-   "pages_docs_per_sec": D, "pages_rows": R}
+Prints the FULL record (with the per-query map) as one JSON line, then
+ENDS stdout with a compact headline line (no per-query map, < 1.5 KB):
+  {"metric": "headline_total_sec", "value": N, "unit": "sec", "sf": 0.1,
+   "pages_docs_per_sec": D, "pages_rows": R, "n_queries": Q, ...}
+The driver records only the last ~2000 bytes of stdout, so the final line
+must stay small; the full per-query map also lands in BENCH/LAST_FULL.json.
 
 Env:
   SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
@@ -303,6 +305,21 @@ def run_bench() -> dict:
     return out
 
 
+def compact_headline(out: dict) -> dict:
+    """Headline record with the per-query map dropped, sized to survive the
+    driver's 2000-byte stdout tail (BENCH_r06 lesson).  The per-query map
+    still reaches the judge via the earlier full-JSON stdout line and
+    BENCH/LAST_FULL.json."""
+    compact = {k: v for k, v in out.items() if k != "queries"}
+    compact["n_queries"] = len(out.get("queries", {}))
+    compact["per_query_file"] = "BENCH/LAST_FULL.json"
+    line = json.dumps(compact)
+    if len(line) > 1500:  # hard guard: never regress to an unparseable tail
+        compact = {k: compact[k] for k in
+                   ("metric", "value", "unit", "sf", "n_queries") if k in compact}
+    return compact
+
+
 def pages_child(n_rows: int) -> None:
     """Fresh-process pages-throughput measurement (median of 3)."""
     os.environ.setdefault("SPARK_GRAFT_AQE", "false")
@@ -559,4 +576,15 @@ if __name__ == "__main__":
     elif "--scaling" in sys.argv or os.environ.get("BENCH_SCALING") == "1":
         run_scaling()
     else:
-        print(json.dumps(run_bench()))
+        out = run_bench()
+        # The driver records only the LAST ~2000 bytes of stdout; once the
+        # per-query map grew past that (70 queries, ~2.4 KB) the single
+        # JSON line lost its head and BENCH_r06 came back parsed:null.
+        # So: the full record (per-query timings included) goes out as its
+        # own EARLIER stdout line and a file, and stdout ENDS with a
+        # compact headline line guaranteed to fit the driver's tail.
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/LAST_FULL.json", "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        print(json.dumps(compact_headline(out)))

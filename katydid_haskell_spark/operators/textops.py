@@ -611,9 +611,14 @@ def vocab_topk(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
 
     Returns (token, n, rank).  100-TB shape: tokens are extracted
     map-side (JVM regexp, whole-stage codegen), the count is one
-    partially-aggregated shuffle over the token key (the key space is
-    the VOCABULARY, not the corpus — bounded), and the top-k window
-    ranks the aggregated table only.
+    partially-aggregated shuffle over the token key, and the top-k is
+    ``orderBy(...).limit(k)`` — Catalyst compiles that to
+    TakeOrderedAndProject (per-partition top-k, then a k·P-row merge on
+    the driver side), so NO task ever sorts the whole vocabulary.  Web
+    vocabulary grows ~N^0.5 (Heaps' law) — at crawl scale it is 10^9+
+    distinct tokens, which is why the previous global no-partition
+    row_number window (single-task full-vocab sort) was replaced; the
+    rank window now runs over the k surviving rows only.
     """
     toks = F.explode(
         F.regexp_extract_all(
@@ -621,10 +626,10 @@ def vocab_topk(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
             F.lit(BPE_ISH), F.lit(0)))
     counts = (df.select(toks.alias("token"))
               .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+    topk = counts.orderBy(F.col("n").desc(), F.col("token")).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("token"))
-    return (counts
+    return (topk
             .withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
             .select("token", F.col("n").cast("long").alias("n"), "rank"))
 
 

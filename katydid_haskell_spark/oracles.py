@@ -463,6 +463,75 @@ def ivf_topk_sql(sf_dir: str, dim: int = 64, k: int = 10,
     """
 
 
+def retrieval_pairs_sql(sf_dir: str, k_pos: int = 3, k_neg: int = 3,
+                        seed: str = "neg-v1",
+                        pool_factor: int = 100) -> str:
+    """Contrastive-pair oracle: brute top-k positives + the TWO-stage
+    negative draw of ``similarity.contrastive_pairs``.
+
+    The negative-pool hash cutoff is re-derived exactly as the operator
+    does — count the corpus parquet, apply the shared
+    ``similarity.neg_pool_cutoff`` — so both engines keep the identical
+    pool set (md5 hex compares lexicographically = numerically on both).
+    The pool filter is what bounds the per-query negative window: the
+    pre-r7 oracle (and operator) ranked the full queries x corpus
+    cartesian per query.
+    """
+    import duckdb
+
+    from .operators.similarity import neg_pool_cutoff
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    con.close()
+    cutoff = neg_pool_cutoff(n, k_neg, pool_factor)
+    return f"""
+    WITH top AS (
+      SELECT q_id, vec_id, rank FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(
+                            c.embedding, q.embedding) DESC,
+                          c.vec_id) AS rank
+        FROM embeddings c, embeddings q
+        WHERE q.vec_id < 5
+      ) WHERE rank <= {k_pos + 1}
+    ), pos AS (
+      SELECT q_id, vec_id AS cand_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY rank) AS prank
+      FROM top WHERE vec_id <> q_id
+      QUALIFY prank <= {k_pos}
+    ), pool AS (
+      SELECT vec_id AS cand_id FROM embeddings
+      WHERE md5('{seed}' || chr(31) || 'pool' || chr(31)
+                || CAST(vec_id AS VARCHAR)) < '{cutoff}'
+    ), neg AS (
+      SELECT q.vec_id AS q_id, c.cand_id AS cand_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY md5('{seed}' || chr(31)
+                            || CAST(q.vec_id AS VARCHAR) || chr(31)
+                            || CAST(c.cand_id AS VARCHAR)),
+                        c.cand_id) AS rank
+      FROM embeddings q, pool c
+      WHERE q.vec_id < 5 AND c.cand_id <> q.vec_id
+        AND NOT EXISTS (SELECT 1 FROM pos p
+                        WHERE p.q_id = q.vec_id
+                          AND p.cand_id = c.cand_id)
+      QUALIFY rank <= {k_neg}
+    )
+    SELECT q_id, cand_id, 'pos' AS label,
+           CAST(prank AS BIGINT) AS rank FROM pos
+    UNION ALL
+    SELECT q_id, cand_id, 'neg' AS label,
+           CAST(rank AS BIGINT) AS rank FROM neg
+    """
+
+
 def pages_verdicts_sql(n_rows: int = 2000, seed: int = 42,
                        buckets: int = 16, snapshot: str = "bench") -> str:
     """The pages constraint-suite verdicts, re-derived end-to-end in SQL.

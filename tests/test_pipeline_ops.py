@@ -1202,6 +1202,18 @@ def test_vocab_topk_case_folds_and_splits_punct(spark):
     assert got["x"] == 1 and got["9"] == 1  # BPE-ish splits alpha/digit
 
 
+def test_vocab_topk_plan_take_ordered(spark):
+    """The top-k must compile to TakeOrderedAndProject (per-partition
+    top-k + bounded k·P merge) — never a single-task sort of the whole
+    vocabulary (Heaps' law makes that 10^9+ rows at crawl scale).  The
+    only remaining single-partition step is the rank window over the k
+    surviving rows."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (tx.vocab_topk(df, "text", k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_corpus_report_int_ratio(spark):
     df = spark.createDataFrame(
         [(1, "en", "one two three"), (2, "en", "four five"),
@@ -1354,6 +1366,51 @@ def test_contrastive_pairs_structure(spark, vectors):
         assert not set(c for _, c in d["pos"]) & \
             set(c for _, c in d["neg"])
     assert sorted(by_q[0]["pos"])[0] == (1, 1)  # planted near-dup
+
+
+def test_contrastive_pairs_pool_cutoff_active(spark, vectors):
+    """With a small pool_factor the hash cutoff is ACTIVE: negatives come
+    only from the deterministic md5-threshold pool (recomputed here in
+    pure Python), the cutoff literal shows up as a corpus-side filter in
+    the executed plan (the r6 scale-killer fix: the per-query window
+    ranks the pool, never the full corpus), and the result is
+    partition-invariant."""
+    import hashlib
+
+    q = vectors.filter("vec_id < 3").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    cutoff = sim.neg_pool_cutoff(20, k_neg=3, pool_factor=4)
+    assert cutoff != "g" and len(cutoff) == 32
+    pool = {i for i in range(20)
+            if hashlib.md5(f"t\x1fpool\x1f{i}".encode()).hexdigest()
+            < cutoff}
+    assert 0 < len(pool) < 20  # active: some survive, some are cut
+    out = sim.contrastive_pairs(vectors, q, k_pos=3, k_neg=3, seed="t",
+                                pool_factor=4)
+    rows = out.collect()
+    negs = {r["cand_id"] for r in rows if r["label"] == "neg"}
+    assert negs and negs <= pool
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert cutoff in plan  # pool filter is on the corpus side, pre-join
+    b = sim.contrastive_pairs(vectors.repartition(5), q, k_pos=3,
+                              k_neg=3, seed="t", pool_factor=4)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, b.collect()))
+
+
+def test_neg_pool_cutoff_shared_fn():
+    """Cutoff literal: 32-char lowercase hex, monotone in the target
+    fraction, keep-all sentinel when the corpus fits the pool."""
+    from katydid_haskell_spark.operators.similarity import neg_pool_cutoff
+
+    assert neg_pool_cutoff(100, 3, pool_factor=100) == "g"   # 300 >= 100
+    c1 = neg_pool_cutoff(10_000, 3, pool_factor=100)         # 3%
+    c2 = neg_pool_cutoff(100_000, 3, pool_factor=100)        # 0.3%
+    for c in (c1, c2):
+        assert len(c) == 32 and c == c.lower()
+        assert set(c) <= set("0123456789abcdef")
+    assert c2 < c1  # bigger corpus -> tighter cutoff
+    # every md5 hex digest sorts below the keep-all sentinel
+    assert "ffffffffffffffffffffffffffffffff" < "g"
 
 
 def test_contrastive_pairs_negatives_deterministic(spark, vectors):
