@@ -54,6 +54,63 @@ def test_quota_seed_changes_draw(spark, groups_df):
     assert a != b  # 12-of-60 draws colliding across seeds ~ impossible
 
 
+def _naive_quota(rows, quotas, seed="mix-v1"):
+    """Reference draw in pure Python: full per-group (md5, id) sort,
+    quota-truncated — the exact semantics the operator must preserve
+    regardless of the cutoff pre-filter."""
+    import hashlib
+
+    by_g = {}
+    for i, g in rows:
+        by_g.setdefault(g, []).append(
+            (hashlib.md5(f"{seed}\x1f{i}".encode()).hexdigest(), i))
+    out = set()
+    for g, q in quotas.items():
+        for _, i in sorted(by_g.get(g, []))[:q]:
+            out.add((g, i))
+    return out
+
+
+def test_quota_two_phase_matches_naive_with_cutoff_active(spark,
+                                                          groups_df):
+    """The hash-prefix cutoff must be ACTIVE at this scale (it cuts most
+    of each group before the window) yet leave the winners bit-identical
+    to the full-sort reference."""
+    quotas = {"a": 5, "b": 4}
+    # the shared closed-form cutoff, derived from the same integers the
+    # operator counts: active = strictly between 0 and keep-all
+    for g, n in (("a", 60), ("b", 30)):
+        c = mx.quota_bucket_cutoff(n, quotas[g])
+        assert 0 < c < 65536
+    got = set(map(tuple, mx.quota_sample_ids(
+        groups_df, "grp", "id", quotas).collect()))
+    rows = [(r["id"], r["grp"]) for r in groups_df.collect()]
+    assert got == _naive_quota(rows, quotas)
+
+
+def test_quota_undershoot_widens_to_exact(spark, groups_df):
+    """safety=0 forces cutoff=1 (~no survivors): every group undershoots
+    and the widen-on-undershoot fallback must still return the exact
+    quota-truncated seeded order."""
+    quotas = {"a": 12, "b": 9}
+    assert mx.quota_bucket_cutoff(60, 12, safety=0) == 1
+    got = set(map(tuple, mx.quota_sample_ids(
+        groups_df, "grp", "id", quotas, safety=0).collect()))
+    rows = [(r["id"], r["grp"]) for r in groups_df.collect()]
+    assert got == _naive_quota(rows, quotas)
+
+
+def test_quota_window_input_is_filtered_projection(spark, groups_df):
+    """Plan guard (r6 verdict): the row_number window must consume the
+    cutoff-FILTERED narrow projection, never a whole group — the filter
+    on the broadcast 'cut' column sits below the window sort."""
+    out = mx.quota_sample_ids(groups_df, "grp", "id", {"a": 5, "b": 4})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    pre_window = plan[plan.index("Window"):]
+    assert "cut#" in pre_window  # the cutoff filter feeds the window
+
+
 def test_quota_sample_payload_semi_join(spark, groups_df):
     full = mx.quota_sample(groups_df.withColumn("payload", F.lit("x")),
                            "grp", "id", {"a": 4, "b": 4})
