@@ -1301,6 +1301,52 @@ def _q_multimodal_jpeg(spark, sf_dir):
     return mm.jpeg_pixel_stats(media)
 
 
+def _q_multimodal_jpeg_color(spark, sf_dir):
+    """COLOR baseline JPEG under the value-hash gate: a 16x32 image is
+    built directly in YCbCr planes — luma constant per 8x8 block,
+    chroma constant per 16x16 macroblock (so the 4:2:0 stored planes
+    are block-constant too) — encoded as a real 3-component interleaved
+    4:2:0 JPEG with restart_interval=1 (DRI + RST0/RST1 + per-restart
+    DC-predictor resets ride the oracled path), and decoded back by the
+    generic baseline decoder.  Block-constant EVEN values are DC-only
+    and q00=16 makes plane decode EXACT (the multimodal_jpeg
+    invariant), so the oracle computes every stat in closed form.
+    Params (change the UDF and the SQL together): y = 2*((doc_id*7 +
+    by*5 + bx*3) % 128) over 2x4 blocks; cb = 2*((doc_id*11 + mx*9 +
+    5) % 128), cr = 2*((doc_id*13 + mx*3 + 1) % 128) over 1x2
+    macroblocks; flat-index sums 16384*by + 512*bx + 7392 (Y, W=32)
+    and 512*mx + 3808 (chroma, W=16)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from katydid_haskell_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    ycoef = np.array([[0, 3, 6, 9], [5, 8, 11, 14]],
+                     dtype=np.int64)          # by*5 + bx*3
+    mxs = np.arange(2, dtype=np.int64)
+
+    @pandas_udf("binary")
+    def make_jpeg(doc_id: pd.Series) -> pd.Series:
+        ones8 = np.ones((8, 8), dtype=np.int64)
+        out = []
+        for d in doc_id:
+            d = int(d)
+            y = np.kron(2 * ((d * 7 + ycoef) % 128), ones8)
+            cb = np.kron((2 * ((d * 11 + mxs * 9 + 5) % 128))[None, :],
+                         ones8)
+            cr = np.kron((2 * ((d * 13 + mxs * 3 + 1) % 128))[None, :],
+                         ones8)
+            out.append(mm.encode_jpeg_ycbcr(
+                y.astype(np.uint8), cb.astype(np.uint8),
+                cr.astype(np.uint8), "420", restart_interval=1))
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        make_jpeg(F.col("doc_id")).alias("payload"))
+    return mm.jpeg_plane_stats(media)
+
+
 def _q_multimodal_wav(spark, sf_dir):
     """The audio sibling of multimodal_bmp: a 256-sample 16-bit PCM
     signal derived from doc_id is encoded to a REAL RIFF/WAVE payload,
@@ -2105,7 +2151,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # PREVIOUS round and untouched since.  The local mirror
     # (tests/test_entry_contract.py) still gates all entries every run.
     return {
-        # never / longest-unsampled first (q10: no driver row any round)
+        # --- round-7 front window ---
+        # new this round (never driver-sampled)
+        "multimodal_jpeg_color": _q_multimodal_jpeg_color,
+        # longest-unsampled: no driver row since r5 or earlier (the 46
+        # entries CORRECTNESS_r06 did not sample), oldest families first
+        "tpch_q1": _q_tpch_q1,
+        "unique_dup_custkeys": _q_unique_dup_custkeys,
+        "top_orders_per_cust": _q_top_orders_per_cust,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "events_hourly": _q_events_hourly,
+        "token_counts": _q_token_counts,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_clusters_star": _q_dedup_clusters_star,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "relapse_filter_docs": _q_relapse_filter_docs,
+        "relapse_validate_rate": _q_relapse_validate_rate,
+        "relapse_props_json": _q_relapse_props_json,
+        "relapse_props_json_automaton": _q_relapse_props_json_automaton,
+        "stats_orders_profile": _q_stats_orders_profile,
+        "referential_orphans": _q_referential_orphans,
+        "drift_psi_events": _q_drift_psi_events,
+        "doc_quality": _q_doc_quality,
+        "ann_topk_brute": _q_ann_topk_brute,
+        "minhash_pairs": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "heavy_hitter_langs": _q_heavy_hitter_langs,
+        "stream_doc_violations": _q_stream_doc_violations,
+        "stream_windowed_verdicts": _q_stream_windowed_verdicts,
+        "stream_monotonic": _q_stream_monotonic,
+        "xml_validate": _q_xml_validate,
+        "protobuf_validate": _q_protobuf_validate,
+        "protobuf_packed": _q_protobuf_packed,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
+        "multimodal_bmp": _q_multimodal_bmp,
+        "multimodal_wav": _q_multimodal_wav,
+        "corpus_curation": _q_corpus_curation,
+        "corpus_curation_full": _q_corpus_curation_full,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash_pairs": _q_simhash_pairs,
+        "lsh_topk": _q_lsh_topk,
+        "ann_topk_ivf": _q_ann_topk_ivf,
+        "embedding_neardup": _q_embedding_neardup,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "q6_revenue": _q_q6_revenue,
+        "rollup_lineitem": _q_rollup_lineitem,
+        "top10_customers": _q_top10_customers,
+        "set_ops_customers": _q_set_ops_customers,
+        "sessionize_events": _q_sessionize_events,
+        "q3_shipping_priority": _q_q3_shipping,
+        # changed in round 7 (plan-shape rewrites — want fresh rows)
+        "retrieval_pairs": _q_retrieval_pairs,
+        "vocab_topk": _q_vocab_topk,
+        "quota_sample": _q_quota_sample,
+        # --- past the ~50-entry sample window from here down ---
+        # round-7-touched but r6-green (shared shard_expr refactor /
+        # decoder rewrite with unchanged closed forms) — first in line
+        # if the window stretches
+        "multimodal_jpeg": _q_multimodal_jpeg,
+        "shard_shuffle": _q_shard_shuffle,
+        "sequence_pack": _q_sequence_pack,
+        "stream_route": _q_stream_route,
+        "pack_report": _q_pack_report,
+        "training_prep_full": _q_training_prep_full,
+        "doc_chunks": _q_doc_chunks,
+        # tail: driver-green in round 6 and untouched since
         "q10_returned_items": _q_q10_returned_items,
         "q4_order_priority": _q_q4_order_priority,
         "q13_cust_distribution": _q_q13_cust_distribution,
@@ -2114,20 +2226,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _q_url_normalize,
         "host_skew_report": _q_host_skew_report,
         "pages_verdicts": _q_pages_verdicts,
-        # changed in round 6 (rewrite / new / oracle or engine touched)
-        "sequence_pack": _q_sequence_pack,
         "c4_quality": _q_c4_quality,
         "line_dedup": _q_line_dedup,
         "split_assign": _q_split_assign,
-        "training_prep_full": _q_training_prep_full,
         "warc_gzip": _q_warc_gzip,
-        "stream_route": _q_stream_route,
         "minhash_incremental": _q_minhash_incremental,
-        "retrieval_pairs": _q_retrieval_pairs,
-        "pack_report": _q_pack_report,
-        "vocab_topk": _q_vocab_topk,
         "corpus_report": _q_corpus_report,
-        "multimodal_jpeg": _q_multimodal_jpeg,
         "q2_min_cost_supp": _q_q2_min_cost_supp,
         "q9_product_profit": _q_q9_product_profit,
         "q11_important_stock": _q_q11_important_stock,
@@ -2135,9 +2239,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_excess_stock": _q_q20_excess_stock,
         "duplicate_spans": _q_duplicate_spans,
         "span_removal": _q_span_removal,
-        "quota_sample": _q_quota_sample,
-        "shard_shuffle": _q_shard_shuffle,
-        "doc_chunks": _q_doc_chunks,
         "relapse_array_dfa": _q_relapse_array_dfa,
         "stream_dedup": _q_stream_dedup,
         "sampled_validation": _q_sampled_validation,
@@ -2157,56 +2258,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verify": _q_minhash_verify,
         "decontam_overlap": _q_decontam_overlap,
         "gopher_quality": _q_gopher_quality,
-        "corpus_curation_full": _q_corpus_curation_full,
-        "relapse_props_json_automaton": _q_relapse_props_json_automaton,
-        # stable set
-        "relapse_filter_docs": _q_relapse_filter_docs,
-        "relapse_validate_rate": _q_relapse_validate_rate,
-        "relapse_props_json": _q_relapse_props_json,
-        "stats_orders_profile": _q_stats_orders_profile,
-        "referential_orphans": _q_referential_orphans,
-        "drift_psi_events": _q_drift_psi_events,
-        "doc_quality": _q_doc_quality,
-        "ann_topk_brute": _q_ann_topk_brute,
-        "minhash_pairs": _q_minhash_pairs,
-        "dedup_clusters": _q_dedup_clusters,
-        "heavy_hitter_langs": _q_heavy_hitter_langs,
-        "stream_doc_violations": _q_stream_doc_violations,
-        "stream_windowed_verdicts": _q_stream_windowed_verdicts,
-        "stream_monotonic": _q_stream_monotonic,
-        "xml_validate": _q_xml_validate,
-        "protobuf_validate": _q_protobuf_validate,
-        "multimodal_resize": _q_multimodal_resize,
-        "multimodal_frames": _q_multimodal_frames,
-        "multimodal_bmp": _q_multimodal_bmp,
-        "multimodal_wav": _q_multimodal_wav,
-        "corpus_curation": _q_corpus_curation,
-        "protobuf_packed": _q_protobuf_packed,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "simhash_pairs": _q_simhash_pairs,
-        "lsh_topk": _q_lsh_topk,
-        "ann_topk_ivf": _q_ann_topk_ivf,
-        "embedding_neardup": _q_embedding_neardup,
-        "q6_revenue": _q_q6_revenue,
-        "rollup_lineitem": _q_rollup_lineitem,
-        "top10_customers": _q_top10_customers,
-        "set_ops_customers": _q_set_ops_customers,
-        "sessionize_events": _q_sessionize_events,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "q3_shipping_priority": _q_q3_shipping,
-        # --- tail (may fall outside the driver's 50-sample window):
-        # every entry below was driver-green in round 5 and is untouched
-        # this round ---
-        "tpch_q1": _q_tpch_q1,
-        "unique_dup_custkeys": _q_unique_dup_custkeys,
-        "top_orders_per_cust": _q_top_orders_per_cust,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "events_hourly": _q_events_hourly,
-        "token_counts": _q_token_counts,
-        "doc_lang_id": _q_doc_lang_id,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "dedup_clusters_star": _q_dedup_clusters_star,
-        "exact_dup_groups": _q_exact_dup_groups,
     }
 
 
@@ -3048,6 +3099,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(v * (8192 * by + 512 * bx + 3808)) AS BIGINT)
                  AS pos_checksum
         FROM b GROUP BY doc_id
+        """,
+        "multimodal_jpeg_color": """
+        WITH y AS (
+          SELECT d.doc_id, t.by, t2.bx,
+                 2 * ((d.doc_id * 7 + t.by * 5 + t2.bx * 3) % 128) AS v
+          FROM documents d,
+               (SELECT unnest([0, 1]) AS by) t,
+               (SELECT unnest([0, 1, 2, 3]) AS bx) t2
+        ), c AS (
+          SELECT d.doc_id, m.mx,
+                 2 * ((d.doc_id * 11 + m.mx * 9 + 5) % 128) AS cbv,
+                 2 * ((d.doc_id * 13 + m.mx * 3 + 1) % 128) AS crv
+          FROM documents d, (SELECT unnest([0, 1]) AS mx) m
+        ), ya AS (
+          SELECT doc_id,
+                 CAST(64 * SUM(v) AS BIGINT) AS y_sum,
+                 CAST(SUM(v * (16384 * by + 512 * bx + 7392))
+                   AS BIGINT) AS y_pos_checksum
+          FROM y GROUP BY doc_id
+        ), ca AS (
+          SELECT doc_id,
+                 CAST(64 * SUM(cbv) AS BIGINT) AS cb_sum,
+                 CAST(SUM(cbv * (512 * mx + 3808)) AS BIGINT)
+                   AS cb_pos_checksum,
+                 CAST(64 * SUM(crv) AS BIGINT) AS cr_sum
+          FROM c GROUP BY doc_id
+        )
+        SELECT ya.doc_id AS media_id,
+               CAST(32 AS INTEGER) AS width,
+               CAST(16 AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS n_comp,
+               y_sum, y_pos_checksum, cb_sum, cb_pos_checksum, cr_sum
+        FROM ya JOIN ca ON ya.doc_id = ca.doc_id
         """,
         "q2_min_cost_supp": f"""
         WITH {_PARTSUPP_SQL},

@@ -90,10 +90,9 @@ def pack_token_blocks(df: DataFrame, id_col: str,
     already computed upstream (e.g. a pipeline that consumed the text
     map-side earlier) — the packing then never touches text at all.
     """
-    from katydid_haskell_spark.operators.mixing import _HEX, _SEP
+    from katydid_haskell_spark.operators.mixing import (_SEP,
+                                                        shard_expr)
 
-    if not 1 <= n_shards <= 256:
-        raise ValueError("n_shards must be in 1..256 (two hex digits)")
     if block_words < 1:
         raise ValueError("block_words must be >= 1")
     if (text_col is None) == (n_words_col is None):
@@ -107,11 +106,7 @@ def pack_token_blocks(df: DataFrame, id_col: str,
         F.col(id_col),
         nw.alias("n_words"),
     ).withColumn("__h", h)
-    shard = (
-        (F.expr(f"instr('{_HEX}', substring(__h, 1, 1)) - 1") * 16
-         + F.expr(f"instr('{_HEX}', substring(__h, 2, 1)) - 1"))
-        % n_shards)
-    d = d.withColumn("shard", shard.cast("long"))
+    d = d.withColumn("shard", shard_expr("__h", n_shards).cast("long"))
     w = Window.partitionBy("shard").orderBy("__h", id_col)
     offset = F.coalesce(
         F.sum("n_words").over(

@@ -117,6 +117,32 @@ def quota_sample_ids(df: DataFrame, group_col: str, id_col: str,
 _HEX = "0123456789abcdef"
 
 
+def shard_expr(h_col: str, n_shards: int):
+    """The shard closed form shared by :func:`shard_shuffle`,
+    ``chunking.pack_token_blocks`` and ``streaming.stream_route``:
+    parse the leading hex digits of the seeded md5 in ``h_col`` and take
+    them mod ``n_shards``.
+
+    ``n_shards <= 256`` uses the first TWO digits — the original form,
+    mirrored literally by every shard oracle, so existing assignments
+    are unchanged.  Larger counts (the >256-executor cluster case) use
+    the first FOUR digits and must divide 65536, which keeps shard
+    sizes exactly uniform by construction (a uniform 0..16^d-1 integer
+    mod a divisor of 16^d is uniform)."""
+    if not 1 <= n_shards <= 65536:
+        raise ValueError("n_shards must be in 1..65536")
+    digit = lambda i: F.expr(  # noqa: E731
+        f"instr('{_HEX}', substring({h_col}, {i}, 1)) - 1")
+    if n_shards <= 256:
+        return (digit(1) * 16 + digit(2)) % n_shards
+    if 65536 % n_shards:
+        raise ValueError(
+            "n_shards > 256 must divide 65536 (four hex digits stay "
+            "uniform by construction)")
+    return (digit(1) * 4096 + digit(2) * 256
+            + digit(3) * 16 + digit(4)) % n_shards
+
+
 def shard_shuffle(df: DataFrame, id_col: str,
                   seed: str = "shuffle-v1",
                   n_shards: int = 256) -> DataFrame:
@@ -126,10 +152,11 @@ def shard_shuffle(df: DataFrame, id_col: str,
     dense 0-based position inside it, both pure functions of
     (seed, id) — the reproducible corpus permutation every pretraining
     run needs (re-runs, resumes and different cluster layouts must
-    read the same training order).  Shard = first two hex digits of
-    the seeded md5 (mod n_shards, so ``n_shards`` <= 256 stays
-    perfectly uniform-by-construction); order within a shard = the
-    full digest.
+    read the same training order).  Shard = leading hex digits of the
+    seeded md5 mod n_shards (:func:`shard_expr`: two digits up to 256
+    shards — the original form every oracle mirrors — four digits and
+    a divide-65536 requirement above that, so >256-executor clusters
+    keep uniform shards); order within a shard = the full digest.
 
     100-TB shape: one shuffle keyed by shard over the NARROW
     (id, digest) projection — text never moves; size ``n_shards`` to
@@ -138,15 +165,10 @@ def shard_shuffle(df: DataFrame, id_col: str,
     construction).  Writing each shard sorted by ``pos`` materializes
     the training order without any global sort.
     """
-    if not 1 <= n_shards <= 256:
-        raise ValueError("n_shards must be in 1..256 (two hex digits)")
     h = F.md5(F.concat_ws(_SEP, F.lit(seed),
                           F.col(id_col).cast("string")))
     d = df.select(F.col(id_col)).withColumn("__h", h)
-    shard = (
-        (F.expr(f"instr('{_HEX}', substring(__h, 1, 1)) - 1") * 16
-         + F.expr(f"instr('{_HEX}', substring(__h, 2, 1)) - 1"))
-        % n_shards)
+    shard = shard_expr("__h", n_shards)
     w = Window.partitionBy("shard").orderBy("__h", id_col)
     return (
         d.withColumn("shard", shard.cast("long"))

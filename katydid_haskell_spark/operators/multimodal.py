@@ -709,6 +709,14 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)   # 1-pad per spec
         return bytes(self.out)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-padding) and emit RSTm — marker bytes bypass
+        the stuffing in :meth:`put` (FF D0+m IS a marker)."""
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def _size_cat(v: int) -> int:
     return 0 if v == 0 else int(abs(v)).bit_length()
@@ -719,16 +727,56 @@ def _seg(marker: int, body: bytes) -> bytes:
         + body
 
 
+def _encode_block(w: "_BitWriter", blk: np.ndarray, q: np.ndarray,
+                  prev_dc: int, dc_codes, ac_codes) -> int:
+    """DCT + quantize + Huffman-code one level-shifted 8x8 block into
+    ``w``; returns the new DC predictor.  Quantization rounds half away
+    from zero (the common choice; the DECODER never needs to know)."""
+    M = _dct_mat()
+    zz_y, zz_x = _ZZ[:, 0], _ZZ[:, 1]
+    coef = M @ blk @ M.T
+    sc = coef / q
+    qc = np.sign(sc) * np.floor(np.abs(sc) + 0.5)
+    z = qc[zz_y, zz_x].astype(np.int64)
+    # DC
+    diff = int(z[0]) - prev_dc
+    s = _size_cat(diff)
+    c, ln = dc_codes[s]
+    w.put(c, ln)
+    if s:
+        w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    # AC
+    run = 0
+    nz = np.nonzero(z[1:])[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    for i in range(1, last + 1):
+        v = int(z[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            c, ln = ac_codes[0xF0]
+            w.put(c, ln)
+            run -= 16
+        s = _size_cat(v)
+        c, ln = ac_codes[(run << 4) | s]
+        w.put(c, ln)
+        w.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        c, ln = ac_codes[0x00]
+        w.put(c, ln)                                    # EOB
+    return int(z[0])
+
+
 def encode_jpeg(pixels: np.ndarray,
                 qtable: np.ndarray = JPEG_QTABLE) -> bytes:
     """Encode an (H, W) uint8 grayscale image (H, W multiples of 8) as a
-    baseline JPEG.  Quantization rounds half away from zero (the common
-    choice; the DECODER never needs to know)."""
+    baseline JPEG."""
     px = np.asarray(pixels)
     if px.ndim != 2 or px.shape[0] % 8 or px.shape[1] % 8:
         raise ValueError("need (H, W) grayscale with 8-aligned dims")
     H, W = px.shape
-    M = _dct_mat()
     q = qtable.astype(np.float64)
     zz_y, zz_x = _ZZ[:, 0], _ZZ[:, 1]
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
@@ -751,60 +799,189 @@ def encode_jpeg(pixels: np.ndarray,
     f = px.astype(np.float64) - 128.0
     for by in range(H // 8):
         for bx in range(W // 8):
-            blk = f[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-            coef = M @ blk @ M.T
-            sc = coef / q
-            qc = np.sign(sc) * np.floor(np.abs(sc) + 0.5)
-            z = qc[zz_y, zz_x].astype(np.int64)
-            # DC
-            diff = int(z[0]) - prev_dc
-            prev_dc = int(z[0])
-            s = _size_cat(diff)
-            c, ln = dc_codes[s]
-            w.put(c, ln)
-            if s:
-                w.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            # AC
-            run = 0
-            nz = np.nonzero(z[1:])[0]
-            last = int(nz[-1]) + 1 if nz.size else 0
-            for i in range(1, last + 1):
-                v = int(z[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    c, ln = ac_codes[0xF0]
-                    w.put(c, ln)
-                    run -= 16
-                s = _size_cat(v)
-                c, ln = ac_codes[(run << 4) | s]
-                w.put(c, ln)
-                w.put(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last < 63:
-                c, ln = ac_codes[0x00]
-                w.put(c, ln)                            # EOB
+            prev_dc = _encode_block(
+                w, f[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], q,
+                prev_dc, dc_codes, ac_codes)
     return bytes(head) + w.flush() + b"\xff\xd9"        # EOI
 
 
+def encode_jpeg_ycbcr(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                      subsampling: str = "420",
+                      restart_interval: int = 0,
+                      q_luma: np.ndarray = JPEG_QTABLE,
+                      q_chroma: np.ndarray = JPEG_QTABLE) -> bytes:
+    """Encode pre-separated YCbCr planes as a 3-component baseline JPEG.
+
+    ``y`` is (H, W); ``cb``/``cr`` are ALREADY at their stored
+    resolution — (H/2, W/2) for ``"420"`` (H, W multiples of 16) or
+    (H, W) for ``"444"`` (multiples of 8).  Planes may be float (the
+    color path hands over un-rounded JFIF conversions) or uint8.
+    ``restart_interval`` > 0 emits DRI + RSTn every that many MCUs with
+    DC-predictor resets.  Both quant tables default to the Annex-K luma
+    table (q00=16) so the block-constant-even-value exactness the
+    grayscale closed form relies on holds for chroma too; pass the
+    Annex-K chroma table for realistic compression instead.
+
+    Scan structure: one interleaved scan, luma blocks raster-ordered
+    within each MCU then Cb then Cr, all components on Huffman table 0
+    (legal — SOS maps every component to DC0/AC0)."""
+    y = np.asarray(y, dtype=np.float64)
+    cb = np.asarray(cb, dtype=np.float64)
+    cr = np.asarray(cr, dtype=np.float64)
+    if subsampling == "420":
+        hs = vs = 2
+    elif subsampling == "444":
+        hs = vs = 1
+    else:
+        raise ValueError("subsampling must be '420' or '444'")
+    H, W = y.shape
+    if H % (8 * vs) or W % (8 * hs):
+        raise ValueError(f"dims must be multiples of {8 * hs} for "
+                         f"{subsampling}")
+    if cb.shape != (H // vs, W // hs) or cr.shape != cb.shape:
+        raise ValueError("cb/cr must be at stored (subsampled) size")
+    zz_y, zz_x = _ZZ[:, 0], _ZZ[:, 1]
+    ql = q_luma.astype(np.float64)
+    qc = q_chroma.astype(np.float64)
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    head = bytearray(b"\xff\xd8")
+    head += _seg(0xDB, bytes([0x00]) + bytes(
+        q_luma[zz_y, zz_x].astype(np.uint8)))           # DQT 0 (luma)
+    head += _seg(0xDB, bytes([0x01]) + bytes(
+        q_chroma[zz_y, zz_x].astype(np.uint8)))         # DQT 1 (chroma)
+    head += _seg(0xC0, bytes([8]) + H.to_bytes(2, "big")
+                 + W.to_bytes(2, "big")
+                 + bytes([3,
+                          1, (hs << 4) | vs, 0,         # Y
+                          2, 0x11, 1,                   # Cb
+                          3, 0x11, 1]))                 # Cr
+    head += _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS)
+                 + bytes(_DC_VALS))
+    head += _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS)
+                 + bytes(_AC_VALS))
+    if restart_interval:
+        head += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    head += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    w = _BitWriter()
+    fy, fcb, fcr = y - 128.0, cb - 128.0, cr - 128.0
+    mcus_y, mcus_x = H // (8 * vs), W // (8 * hs)
+    prev = [0, 0, 0]
+    mcu_i = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and \
+                    mcu_i % restart_interval == 0:
+                w.restart(rst)
+                rst = (rst + 1) & 7
+                prev = [0, 0, 0]
+            for v in range(vs):
+                for hh in range(hs):
+                    by, bx = my * vs + v, mx * hs + hh
+                    prev[0] = _encode_block(
+                        w, fy[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8],
+                        ql, prev[0], dc_codes, ac_codes)
+            prev[1] = _encode_block(
+                w, fcb[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8], qc,
+                prev[1], dc_codes, ac_codes)
+            prev[2] = _encode_block(
+                w, fcr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8], qc,
+                prev[2], dc_codes, ac_codes)
+            mcu_i += 1
+    return bytes(head) + w.flush() + b"\xff\xd9"
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF full-range RGB -> YCbCr, float64 (H, W, 3), un-rounded."""
+    f = np.asarray(rgb, dtype=np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """JFIF full-range YCbCr -> RGB uint8 (rint + clip)."""
+    f = np.asarray(ycc, dtype=np.float64)
+    y, cb, cr = f[..., 0], f[..., 1] - 128.0, f[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)),
+                   0, 255).astype(np.uint8)
+
+
+def encode_jpeg_color(rgb: np.ndarray, subsampling: str = "420",
+                      restart_interval: int = 0,
+                      q_luma: np.ndarray = JPEG_QTABLE,
+                      q_chroma: np.ndarray = JPEG_QTABLE) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB image as a 3-component baseline
+    JPEG: JFIF color transform (kept as floats — the DCT quantizer is
+    the only rounding step), 2x2 box-average chroma subsampling for
+    ``"420"``, then :func:`encode_jpeg_ycbcr`."""
+    px = np.asarray(rgb)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("need (H, W, 3) RGB")
+    ycc = rgb_to_ycbcr(px)
+    y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+    if subsampling == "420":
+        H, W = y.shape
+        if H % 16 or W % 16:
+            raise ValueError("420 needs 16-aligned dims")
+        cb = cb.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+        cr = cr.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+    return encode_jpeg_ycbcr(y, cb, cr, subsampling, restart_interval,
+                             q_luma, q_chroma)
+
+
 class _BitReader:
-    def __init__(self, data: bytes):
+    """Entropy-scan bit reader over the RAW (stuffed) stream: FF 00 is
+    unstuffed on the fly, any other FF xx is a marker — the reader
+    supplies zero padding instead of consuming it, so :meth:`restart`
+    can byte-align and eat the RSTn exactly where the spec puts it."""
+
+    def __init__(self, data: bytes, pos: int = 0):
         self.data = data
-        self.pos = 0
+        self.pos = pos
         self.acc = 0
         self.n = 0
 
+    def _byte(self) -> int:
+        d = self.data
+        if self.pos >= len(d):
+            return 0
+        b = d[self.pos]
+        if b != 0xFF:
+            self.pos += 1
+            return b
+        nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+        if nxt == 0x00:                 # stuffed data byte
+            self.pos += 2
+            return 0xFF
+        return 0                        # marker ahead: zero-pad, hold pos
+
     def bits(self, k: int) -> int:
         while self.n < k:
-            b = self.data[self.pos] if self.pos < len(self.data) else 0
-            self.pos += 1
-            self.acc = (self.acc << 8) | b
+            self.acc = (self.acc << 8) | self._byte()
             self.n += 8
         v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
         self.n -= k
         self.acc &= (1 << self.n) - 1
         return v
+
+    def restart(self) -> None:
+        """Discard pad bits, consume the RSTn marker at the cursor."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        if not (self.pos + 1 < len(d) and d[self.pos] == 0xFF
+                and 0xD0 <= d[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2
 
     def decode(self, table) -> int:
         mincode, maxcode, valptr, vals = table
@@ -839,22 +1016,66 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline grayscale JPEG to (H, W) uint8.  Reads quant
-    and Huffman tables from the stream; rejects progressive scans,
-    multi-component images and restart intervals (out of scope)."""
-    if payload[:2] != b"\xff\xd8":
+def _decode_block(r: "_BitReader", dc_t, ac_t, q: np.ndarray,
+                  prev_dc: int, M: np.ndarray) -> tuple:
+    """Huffman-decode + dequantize + IDCT one block; returns
+    (8x8 float spatial block, new DC predictor)."""
+    zz_y, zz_x = _ZZ[:, 0], _ZZ[:, 1]
+    z = np.zeros(64, dtype=np.int64)
+    s = r.decode(dc_t)
+    diff = _extend(r.bits(s), s) if s else 0
+    dc = prev_dc + diff
+    z[0] = dc
+    k = 1
+    while k < 64:
+        sym = r.decode(ac_t)
+        if sym == 0x00:              # EOB
+            break
+        if sym == 0xF0:              # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        s = sym & 0x0F
+        if k > 63:
+            raise ValueError("AC index overflow")
+        z[k] = _extend(r.bits(s), s)
+        k += 1
+    coef = np.zeros((8, 8), dtype=np.float64)
+    coef[zz_y, zz_x] = z * q[zz_y, zz_x]
+    return M.T @ coef @ M + 128.0, dc
+
+
+def decode_jpeg_planes(payload: bytes):
+    """Decode a baseline JPEG (SOF0, 1..3 components, arbitrary
+    sampling factors up to 4, restart intervals, non-8-aligned dims) to
+    its NATIVE component planes, before any chroma upsampling or color
+    transform.
+
+    Returns (planes, (H, W), samplings): one uint8 array per component
+    at its stored resolution (``ceil(W*h/hmax)`` x ``ceil(H*v/vmax)``,
+    edge padding cropped) plus the frame dims and per-component (h, v)
+    factors.  The oracled closed-form query checksums these planes
+    directly — plane decode is exact for block-constant even values
+    under q00=16, while RGB conversion (:func:`decode_jpeg`) rounds.
+    Rejects progressive/extended SOFs, arithmetic coding, 16-bit quant
+    tables and >3 components (CMYK)."""
+    data = payload
+    if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     qtables, htables = {}, {}
     H = W = None
+    comps = []                # (cid, h, v, qsel)
+    restart_interval = 0
     pos = 2
-    data = payload
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
         marker = data[pos + 1]
         if marker == 0xD9:
             raise ValueError("EOI before SOS")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:   # TEM/RSTn: bare
+            pos += 2
+            continue
         ln = int.from_bytes(data[pos + 2:pos + 4], "big")
         body = data[pos + 4:pos + 2 + ln]
         pos += 2 + ln
@@ -868,14 +1089,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     b[1:65], dtype=np.uint8).astype(np.int64)
                 qtables[b[0] & 0x0F] = t
                 b = b[65:]
-        elif marker == 0xC0:
-            if body[5] != 1:
-                raise ValueError("grayscale only")
+        elif marker == 0xC0 or marker == 0xC1:
+            if body[0] != 8:
+                raise ValueError("8-bit sample precision only")
             H = int.from_bytes(body[1:3], "big")
             W = int.from_bytes(body[3:5], "big")
-            qsel = body[8]
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise ValueError("baseline SOF0 only")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise ValueError("1- or 3-component baseline only")
+            comps = []
+            for i in range(nc):
+                cid = body[6 + 3 * i]
+                hv = body[7 + 3 * i]
+                comps.append([cid, hv >> 4, hv & 0x0F, body[8 + 3 * i]])
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("baseline sequential (SOF0/1) only")
         elif marker == 0xC4:
             b = body
             while b:
@@ -885,54 +1114,96 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 htables[(tc, th)] = _decode_table(bits, b[17:17 + n])
                 b = b[17 + n:]
         elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+            restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:
-            dc_sel, ac_sel = body[2] >> 4, body[2] & 0x0F
+            ns = body[0]
+            if not comps or ns != len(comps):
+                raise ValueError(
+                    "single interleaved scan expected (no progressive/"
+                    "multi-scan baseline)")
+            tsel = {}
+            for i in range(ns):
+                cid = body[1 + 2 * i]
+                tsel[cid] = (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
             break
     else:
         raise ValueError("no SOS")
-    if H is None or H % 8 or W % 8:
-        raise ValueError("need 8-aligned SOF0 dims")
-    # entropy-coded data: unstuff until EOI
-    end = data.find(b"\xff\xd9", pos)
-    if end < 0:
+    if H is None or H == 0 or W == 0:
+        raise ValueError("no SOF before SOS")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
+        raise ValueError("sampling factors must be 1..4")
+    if data.find(b"\xff\xd9", pos) < 0:
         raise ValueError("no EOI")
-    scan = data[pos:end].replace(b"\xff\x00", b"\xff")
-    r = _BitReader(scan)
-    dc_t = htables[(0, dc_sel)]
-    ac_t = htables[(1, ac_sel)]
-    q = qtables[qsel].astype(np.float64)
+    mcus_x = -(-W // (8 * hmax))
+    mcus_y = -(-H // (8 * vmax))
     M = _dct_mat()
-    out = np.zeros((H, W), dtype=np.uint8)
-    prev_dc = 0
-    zz_y, zz_x = _ZZ[:, 0], _ZZ[:, 1]
-    for by in range(H // 8):
-        for bx in range(W // 8):
-            z = np.zeros(64, dtype=np.int64)
-            s = r.decode(dc_t)
-            diff = _extend(r.bits(s), s) if s else 0
-            prev_dc += diff
-            z[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = r.decode(ac_t)
-                if sym == 0x00:          # EOB
-                    break
-                if sym == 0xF0:          # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                s = sym & 0x0F
-                if k > 63:
-                    raise ValueError("AC index overflow")
-                z[k] = _extend(r.bits(s), s)
-                k += 1
-            coef = np.zeros((8, 8), dtype=np.float64)
-            coef[zz_y, zz_x] = z * q[zz_y, zz_x]
-            blk = M.T @ coef @ M + 128.0
-            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
-                np.rint(blk), 0, 255).astype(np.uint8)
-    return out
+    r = _BitReader(data, pos)
+    planes = [np.zeros((mcus_y * v * 8, mcus_x * h * 8),
+                       dtype=np.float64) for _, h, v, _ in comps]
+    qs, dts, ats = [], [], []
+    for cid, h, v, qsel in comps:
+        qs.append(qtables[qsel].astype(np.float64))
+        dc_s, ac_s = tsel[cid]
+        dts.append(htables[(0, dc_s)])
+        ats.append(htables[(1, ac_s)])
+    prev = [0] * len(comps)
+    single = len(comps) == 1
+    if single:
+        # non-interleaved single-component scan: MCU = one data unit
+        mcus_x = -(-W // 8)
+        mcus_y = -(-H // 8)
+        planes = [np.zeros((mcus_y * 8, mcus_x * 8), dtype=np.float64)]
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and \
+                    mcu_i % restart_interval == 0:
+                r.restart()
+                prev = [0] * len(comps)
+            if single:
+                blk, prev[0] = _decode_block(r, dts[0], ats[0], qs[0],
+                                             prev[0], M)
+                planes[0][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8] = blk
+            else:
+                for ci, (_, h, v, _q) in enumerate(comps):
+                    for bv in range(v):
+                        for bh in range(h):
+                            by, bx = my * v + bv, mx * h + bh
+                            blk, prev[ci] = _decode_block(
+                                r, dts[ci], ats[ci], qs[ci], prev[ci], M)
+                            planes[ci][by * 8:by * 8 + 8,
+                                       bx * 8:bx * 8 + 8] = blk
+            mcu_i += 1
+    out = []
+    samplings = []
+    for (cid, h, v, _q), p in zip(comps, planes):
+        ch = -(-H * v // vmax) if not single else H
+        cw = -(-W * h // hmax) if not single else W
+        out.append(np.clip(np.rint(p[:ch, :cw]), 0, 255)
+                   .astype(np.uint8))
+        samplings.append((h, v))
+    return out, (H, W), samplings
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline JPEG: grayscale to (H, W) uint8, 3-component
+    YCbCr to (H, W, 3) uint8 RGB (JFIF transform, nearest-neighbor
+    chroma upsampling).  Handles 4:2:0 / 4:2:2 / 4:4:4 sampling,
+    restart intervals and non-8-aligned dims; rejects progressive
+    scans and arithmetic coding (out of scope)."""
+    planes, (H, W), samplings = decode_jpeg_planes(payload)
+    if len(planes) == 1:
+        return planes[0]
+    hmax = max(h for h, _ in samplings)
+    vmax = max(v for _, v in samplings)
+    full = []
+    for p, (h, v) in zip(planes, samplings):
+        up = np.repeat(np.repeat(p, vmax // v, axis=0),
+                       hmax // h, axis=1)
+        full.append(up[:H, :W].astype(np.float64))
+    return ycbcr_to_rgb(np.stack(full, axis=-1))
 
 
 def jpeg_unit_features(payload: bytes, mime: str) -> np.ndarray:
@@ -981,5 +1252,57 @@ def jpeg_pixel_stats(df: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame(rows, columns=[
                 "media_id", "width", "height", "sum_all",
                 "n_bright", "pos_checksum"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def jpeg_plane_stats(df: DataFrame, payload_col: str = "payload",
+                     id_col: str = "media_id") -> DataFrame:
+    """Integer per-plane statistics through the REAL color JPEG decode
+    (interleaved MCU scan, per-component quant/Huffman selection,
+    chroma subsampling, restart markers), Arrow-batched over
+    :func:`decode_jpeg_planes` — the planes BEFORE upsampling/color
+    transform, where block-constant even values decode exactly.
+    (media_id, width, height, n_comp, y_sum, y_pos_checksum, cb_sum,
+    cb_pos_checksum, cr_sum): position-weighted checksums on Y and Cb
+    pin the MCU block order and the luma/chroma interleave."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_comp", T.IntegerType()),
+        T.StructField("y_sum", T.LongType()),
+        T.StructField("y_pos_checksum", T.LongType()),
+        T.StructField("cb_sum", T.LongType()),
+        T.StructField("cb_pos_checksum", T.LongType()),
+        T.StructField("cr_sum", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx_cache: dict = {}
+        def possum(plane):
+            flat = plane.reshape(-1).astype(np.int64)
+            idx = idx_cache.get(flat.size)
+            if idx is None:
+                idx = np.arange(flat.size, dtype=np.int64)
+                idx_cache[flat.size] = idx
+            return int((idx * flat).sum())
+        for b in batches:
+            rows = []
+            for mid, p in zip(b[id_col], b[payload_col]):
+                planes, (h, w), _samp = decode_jpeg_planes(bytes(p))
+                y = planes[0].astype(np.int64)
+                cb = planes[1].astype(np.int64) if len(planes) > 1 \
+                    else np.zeros((0,), np.int64)
+                cr = planes[2].astype(np.int64) if len(planes) > 2 \
+                    else np.zeros((0,), np.int64)
+                rows.append((int(mid), w, h, len(planes),
+                             int(y.sum()), possum(y),
+                             int(cb.sum()), possum(cb),
+                             int(cr.sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "n_comp", "y_sum",
+                "y_pos_checksum", "cb_sum", "cb_pos_checksum",
+                "cr_sum"])
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)

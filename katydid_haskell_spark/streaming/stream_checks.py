@@ -202,15 +202,13 @@ def stream_route(stream: DataFrame, id_col: str,
     assignment from the raw table.  Stateless: a projection of the
     stream, no watermark, no state store — this is the firehose-side
     half of the training-prep pipeline."""
-    from katydid_haskell_spark.operators.mixing import (_HEX, _SEP,
+    from katydid_haskell_spark.operators.mixing import (_SEP,
+                                                        shard_expr,
                                                         split_assign)
     routed = split_assign(stream, id_col, fractions, seed)
     h = F.md5(F.concat_ws(_SEP, F.lit(shard_seed),
                           F.col(id_col).cast("string")))
-    shard = (
-        (F.expr(f"instr('{_HEX}', substring(__sh, 1, 1)) - 1") * 16
-         + F.expr(f"instr('{_HEX}', substring(__sh, 2, 1)) - 1"))
-        % n_shards)
     return (routed.withColumn("__sh", h)
-            .withColumn("shard", shard.cast("long"))
+            .withColumn("shard",
+                        shard_expr("__sh", n_shards).cast("long"))
             .drop("__sh"))

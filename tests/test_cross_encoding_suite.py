@@ -248,6 +248,31 @@ CASES += [
 ]
 
 
+# round 7: proto3 presence semantics, triple-encoded — a field that is
+# genuinely ABSENT from the tree (pb: not emitted; JSON: no key; XML: no
+# element) vs present.  This is the encoding-agnostic face of the pb
+# corpus family (pb_optional_presence / pb_oneof_choice pin the
+# Spark-row flavor, where null struct fields are present-childless).
+NO_NAME = {"doc": {"n": 5}}
+ONEOF_A = {"doc": {"a": 1, "id": 2}}
+ONEOF_B = {"doc": {"b": 1, "id": 2}}
+ONEOF_AB = {"doc": {"a": 1, "b": 2, "id": 3}}
+
+CASES += [
+    ('doc: {n: *; (name: *)?}', DOC, True),
+    ('doc: {n: *; (name: *)?}', NO_NAME, True),    # absent -> optional ok
+    ('doc: {n: *; name: *}', NO_NAME, False),      # absent -> required no
+    ('doc: !({n: *; name: *})', NO_NAME, True),
+    # oneof: exactly one of a/b set, id always present
+    ('doc: ({a: *; id: *} | {b: *; id: *})', ONEOF_A, True),
+    ('doc: ({a: *; id: *} | {b: *; id: *})', ONEOF_B, True),
+    ('doc: ({a: *; id: *} | {b: *; id: *})', ONEOF_AB, False),
+    # nested message whose submessage is absent entirely
+    ('.doc: !(.meta: .author: .name == "eve")', NO_NAME, True),
+    ('.doc: .meta: .author: .name == "eve"', NO_NAME, False),
+]
+
+
 def _verdicts(spec: str, tree: dict) -> dict:
     """Verdict per (encoding, engine) for one case."""
     g = compile_grammar(parse_grammar(spec))

@@ -158,8 +158,55 @@ def test_shard_shuffle_uniformity(spark):
 
 
 def test_shard_shuffle_rejects_bad_n(spark, groups_df):
+    # >256 must divide 65536 (four-hex-digit uniformity); 257 doesn't
     with pytest.raises(ValueError):
         mx.shard_shuffle(groups_df, "id", n_shards=257)
+    with pytest.raises(ValueError):
+        mx.shard_shuffle(groups_df, "id", n_shards=100_000)
+
+
+def test_shard_shuffle_1024_shards(spark):
+    """The 256-shard ceiling is gone: >256 counts parse FOUR hex digits
+    (divide-65536 rule keeps uniformity by construction) while <=256
+    keeps the original two-digit closed form every oracle mirrors."""
+    df = spark.createDataFrame([(i,) for i in range(20_000)], "id long")
+    out = mx.shard_shuffle(df, "id", n_shards=1024)
+    rows = out.collect()
+    assert {r["id"] for r in rows} == set(range(20_000))
+    shards = [r["shard"] for r in rows]
+    assert 0 <= min(shards) and max(shards) <= 1023
+    assert len(set(shards)) > 900  # ~all shards populated at 20k rows
+    # dense positions within each shard + deterministic under layout
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert all(sorted(ps) == list(range(len(ps)))
+               for ps in by_shard.values())
+    again = set(map(tuple,
+                    mx.shard_shuffle(df.repartition(13), "id",
+                                     n_shards=1024).collect()))
+    assert again == set(map(tuple, rows))
+
+
+def test_pack_blocks_1024_shards(spark):
+    """sequence packing rides the same shard closed form: 1024 shards
+    work and the block math stays exact."""
+    rows = [(i, "w " * (i % 7)) for i in range(3_000)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = ck.pack_token_blocks(df, "id", text_col="text",
+                               block_words=8, n_shards=1024).collect()
+    assert len(out) == 3_000
+    assert all(0 <= r["shard"] <= 1023 for r in out)
+    # per-shard offsets are the running word sums in (md5, id) order
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for ps in by_shard.values():
+        ps.sort(key=lambda r: r["pos"])
+        acc = 0
+        for r in ps:
+            assert r["offset"] == acc
+            acc += r["n_words"]
 
 
 def test_chunks_cover_and_overlap(spark):

@@ -1272,6 +1272,122 @@ def test_jpeg_rejects_out_of_scope():
         mm.decode_jpeg(ok[:-2])                      # no EOI
 
 
+def test_jpeg_color_ycbcr_exact_roundtrip_420_with_restarts():
+    """Block-constant EVEN YCbCr planes + q00=16 tables decode EXACTLY
+    through the full 3-component 4:2:0 interleaved pipeline, including
+    DRI/RSTn markers and per-restart DC-predictor resets."""
+    import numpy as np
+
+    qt = np.full((8, 8), 16, dtype=np.int64)
+    y = np.zeros((16, 32))
+    for by in range(2):
+        for bx in range(4):
+            y[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                2 * ((5 * by + 3 * bx + 7) % 128)
+    cb = np.zeros((8, 16))
+    cr = np.zeros((8, 16))
+    for mx in range(2):
+        cb[:, mx * 8:(mx + 1) * 8] = 2 * ((11 * mx + 5) % 128)
+        cr[:, mx * 8:(mx + 1) * 8] = 2 * ((13 * mx + 1) % 128)
+    for ri in (0, 1, 3):
+        data = mm.encode_jpeg_ycbcr(y, cb, cr, "420",
+                                    restart_interval=ri,
+                                    q_luma=qt, q_chroma=qt)
+        planes, dims, samp = mm.decode_jpeg_planes(data)
+        assert dims == (16, 32) and samp == [(2, 2), (1, 1), (1, 1)]
+        assert np.array_equal(planes[0], y.astype(np.uint8))
+        assert np.array_equal(planes[1], cb.astype(np.uint8))
+        assert np.array_equal(planes[2], cr.astype(np.uint8))
+    # restart markers actually present when requested
+    assert b"\xff\xd0" in mm.encode_jpeg_ycbcr(
+        y, cb, cr, "420", restart_interval=1, q_luma=qt, q_chroma=qt)
+
+
+def test_jpeg_color_rgb_roundtrip_bounded_error():
+    """RGB in / RGB out through the JFIF transform: block-constant
+    colors survive 4:4:4 within the DC-quantizer error bound; 4:2:0
+    with macroblock-constant chroma matches 4:4:4 exactly."""
+    import numpy as np
+
+    qt = np.full((8, 8), 16, dtype=np.int64)
+    rgb = np.zeros((16, 16, 3), dtype=np.uint8)
+    rgb[:8, :8] = [200, 30, 60]
+    rgb[:8, 8:] = [10, 250, 128]
+    rgb[8:, :8] = [77, 77, 77]
+    rgb[8:, 8:] = [0, 0, 255]
+    out444 = mm.decode_jpeg(mm.encode_jpeg_color(
+        rgb, "444", q_luma=qt, q_chroma=qt))
+    assert out444.shape == (16, 16, 3)
+    assert int(np.max(np.abs(out444.astype(int) - rgb.astype(int)))) <= 4
+    # macroblock-constant color: 2x2 box subsampling is lossless, so
+    # 420 decodes pixel-identical to 444
+    mb = np.zeros((16, 32, 3), dtype=np.uint8)
+    mb[:, :16] = [120, 64, 200]
+    mb[:, 16:] = [30, 180, 90]
+    o444 = mm.decode_jpeg(mm.encode_jpeg_color(mb, "444",
+                                               q_luma=qt, q_chroma=qt))
+    o420 = mm.decode_jpeg(mm.encode_jpeg_color(mb, "420",
+                                               q_luma=qt, q_chroma=qt))
+    assert np.array_equal(o444, o420)
+    assert int(np.max(np.abs(o444.astype(int) - mb.astype(int)))) <= 4
+
+
+def test_jpeg_decodes_foreign_encoder_files():
+    """Decode JPEGs written by OTHER encoders (shipped with the OS):
+    baseline 4:4:4 with and without restart intervals, baseline 4:2:0
+    with non-8-aligned dims, and a non-aligned tiny grayscale — plus
+    progressive files must be REJECTED, never mis-decoded."""
+    import os
+
+    import numpy as np
+
+    cases = [
+        # (path, h, w, desc)  — all baseline, verified by marker scan
+        ("/usr/lib/google-cloud-sdk/platform/google_appengine/google/"
+         "appengine/tools/java/jetty12/jetty-home/modules/demo.d/root/"
+         "images/webtide_logo.jpg", 60, 245, "444"),
+        ("/usr/lib/google-cloud-sdk/platform/gsutil/third_party/"
+         "requests/ext/flower-of-life.jpg", 161, 161, "444+DRI21"),
+        ("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+         "kittens/54893.jpg", 311, 300, "420 nonaligned"),
+        ("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+         "multi-channel/chr30.4.184.jpg", 215, 300, "420"),
+    ]
+    seen = 0
+    for path, h, w, desc in cases:
+        if not os.path.exists(path):
+            continue
+        px = mm.decode_jpeg(open(path, "rb").read())
+        assert px.shape == (h, w, 3), (desc, px.shape)
+        assert 0 < px.mean() < 255 and px.std() > 10, desc
+        seen += 1
+    # mostly-white logo: plausibility beyond "it ran"
+    logo = cases[0][0]
+    if os.path.exists(logo):
+        assert mm.decode_jpeg(open(logo, "rb").read()).mean() > 180
+    prog = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+    if os.path.exists(prog):
+        with pytest.raises(ValueError):
+            mm.decode_jpeg(open(prog, "rb").read())
+        seen += 1
+    if seen == 0:
+        pytest.skip("no system JPEGs present")
+
+
+def test_jpeg_grayscale_nonaligned_dims():
+    """Non-8-multiple frame dims decode via MCU-grid padding + crop
+    (every real crawl JPEG has arbitrary dims)."""
+    import os
+
+    p = ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+         "python3.11/site-packages/IPython/core/tests/2x2.jpg")
+    if not os.path.exists(p):
+        pytest.skip("fixture JPEG absent")
+    px = mm.decode_jpeg(open(p, "rb").read())
+    assert px.shape == (2, 2)  # scan holds one DC-0 block: mid-gray
+    assert (px == 128).all()
+
+
 def test_jpeg_default_decode_sniffs_signature():
     """A real JPEG payload never reaches the fake decoder."""
     import numpy as np

@@ -196,3 +196,33 @@ def test_packed_on_nonrepeated_scalar_is_error():
     )
     with pytest.raises(ProtoError):
         decode_protobuf(desc, "M", encode_packed_varints(1, [1, 2]))
+
+
+def test_repeated_message_groups_validate():
+    """Repeated MESSAGE fields (the reference pb suite's repeated-group
+    family, test/Suite.hs pb cases): wire occurrences decode to ONE
+    name node with Int-indexed children in wire order — the same array
+    normal form the JSON decoder produces, which is what keeps one
+    grammar encoding-agnostic — including a repeated scalar INSIDE the
+    repeated message."""
+    desc: DescMap = {
+        "Doc": {1: Field("entry", "message", repeated=True,
+                         message="Entry")},
+        "Entry": {1: Field("k", "string"),
+                  2: Field("vs", "int64", repeated=True)},
+    }
+    payload = (
+        encode_message_field(1, encode_string(1, "a")
+                             + encode_int64(2, 1) + encode_int64(2, 2))
+        + encode_message_field(1, encode_string(1, "b"))
+    )
+    f = decode_protobuf(desc, "Doc", payload)
+    g = parse('entry: (_: {k: -> type($string); (vs: (_: >= 0)*)?})*')
+    assert validate(g, f)
+    # order: ordered concat over the repeated group's indexed elements
+    assert validate(parse('entry: [_: .k == "a", _: .k == "b"]'), f)
+    assert not validate(parse('entry: [_: .k == "b", _: .k == "a"]'), f)
+    # a negative value deep inside the third occurrence flips the verdict
+    bad = payload + encode_message_field(
+        1, encode_string(1, "c") + encode_int64(2, -5))
+    assert not validate(g, decode_protobuf(desc, "Doc", bad))
