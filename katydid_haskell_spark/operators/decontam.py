@@ -92,14 +92,30 @@ def _semi_join_guarded(probe: DataFrame, build: DataFrame, key: str,
     — the actual broadcast payload — which on the left-semi path (build
     already collapsed to DISTINCT grams) equals the distinct gram count,
     and on the inner path ((gram, eval_id) rows) is the conservative
-    upper bound on it.  Deliberately NOT persisted: the probe costs one
-    recompute of the (small, eval-side) gram pipeline instead of leaking
-    a session-lifetime cache entry per call.
+    upper bound on it.
+
+    COMPUTE-ONCE discipline (round 7): the build side is persisted for
+    the probe, and the under-threshold branch pulls the (guard-bounded,
+    <= max_grams rows) gram set to the driver via Arrow and broadcasts
+    a LOCAL copy — the driver hop is exactly what BroadcastExchange does
+    anyway, so this costs nothing extra while letting the cache be
+    dropped before returning.  The r6 fix for the session-lifetime cache
+    leak dropped the persist entirely, which re-ran the eval gram
+    pipeline once for the probe and again for the join — a measured,
+    frozen-commit-attributed +35% on decontam_overlap (BENCH/HISTORY).
+    The over-threshold branch recomputes the (genuinely large) build in
+    the shuffle join rather than leaking the cache, as before.
     """
-    n_build = build.limit(max_grams + 1).count()
-    if n_build <= max_grams:
-        return probe.join(F.broadcast(build), key, how)
-    return probe.join(build, key, how)
+    build = build.persist()
+    try:
+        n_build = build.limit(max_grams + 1).count()
+        if n_build <= max_grams:
+            local = probe.sparkSession.createDataFrame(
+                build.toPandas(), schema=build.schema)
+            return probe.join(F.broadcast(local), key, how)
+        return probe.join(build, key, how)
+    finally:
+        build.unpersist()
 
 
 def ngram_overlap(train: DataFrame, eval_set: DataFrame, id_col: str,

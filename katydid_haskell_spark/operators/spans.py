@@ -195,10 +195,25 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     # counted guard, not a size estimate: Catalyst cannot see through
     # the UDF pipeline feeding `cuts`, so decide the strategy from an
     # early-exit count (LIMIT k+1 — a huge cut set never pays a full
-    # count) the way decontam._semi_join_guarded does.
-    n_cuts = cuts.limit(BROADCAST_MAX_CUTS + 1).count()
-    build = F.broadcast(cuts) if n_cuts <= BROADCAST_MAX_CUTS else cuts
-    joined = df.join(build, id_col, "left_outer")
+    # count) the way decontam._semi_join_guarded does.  Compute-once
+    # discipline (round 7, same as decontam): `cuts` is the WHOLE
+    # duplicate_spans pipeline — persist it for the probe, and under
+    # the threshold pull the guard-bounded rows to the driver and
+    # broadcast a local copy (the driver hop BroadcastExchange pays
+    # anyway), so the span pipeline never runs twice; over it, drop the
+    # cache and let the shuffle join recompute rather than leak.
+    cuts = cuts.persist()
+    try:
+        n_cuts = cuts.limit(BROADCAST_MAX_CUTS + 1).count()
+        if n_cuts <= BROADCAST_MAX_CUTS:
+            local = df.sparkSession.createDataFrame(
+                cuts.collect(), schema=cuts.schema)
+            build = F.broadcast(local)
+        else:
+            build = cuts
+        joined = df.join(build, id_col, "left_outer")
+    finally:
+        cuts.unpersist()
 
     word_re = re.compile(_WORD_SPLIT)
 
