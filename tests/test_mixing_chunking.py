@@ -483,3 +483,23 @@ def test_training_prep_plan_no_text_in_any_exchange(spark):
             m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", sec)
             assert m and "text" not in m.group(1), sec[:200]
     assert exchanges >= 3  # dedup window, split semi, pack window
+
+
+def test_quota_bucket_cutoff_properties():
+    """Pure-function contract: bounds, monotonicity, keep-all sentinel,
+    and the expected-survivor sizing the two-phase sampler relies on."""
+    from katydid_haskell_spark.operators.mixing import quota_bucket_cutoff
+
+    for n, q in [(10, 100), (100, 100), (200, 100)]:
+        assert quota_bucket_cutoff(n, q) == 65536  # group <= 2x quota
+    c = quota_bucket_cutoff(1_000_000, 100)
+    assert 0 < c < 65536
+    # expected survivors n*c/65536 land in [2q, 2q + n/65536 + 1): the
+    # +1 bucket floor overshoots by at most one bucket's worth of rows
+    exp = 1_000_000 * c / 65536
+    assert 200 <= exp < 200 + 1_000_000 / 65536 + 1
+    # monotone: bigger group -> tighter cutoff; bigger quota -> looser
+    assert quota_bucket_cutoff(10_000_000, 100) < c
+    assert quota_bucket_cutoff(1_000_000, 1000) > c
+    # never zero: +1 floor keeps at least bucket 0 eligible
+    assert quota_bucket_cutoff(10**12, 1) >= 1
