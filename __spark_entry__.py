@@ -1347,6 +1347,46 @@ def _q_multimodal_jpeg_color(spark, sf_dir):
     return mm.jpeg_plane_stats(media)
 
 
+def _q_multimodal_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE (SOF2) JPEG under the value-hash gate: the SAME
+    YCbCr closed-form planes as multimodal_jpeg_color, but encoded with
+    the multi-scan progressive script (interleaved DC first at Al=1,
+    DC refinement, per-component AC spectral bands 1-5/6-63 with EOB
+    runs) and decoded by the progressive coefficient decoder — DC
+    successive approximation and EOB-run batching ride the oracled
+    path.  Identical oracle SQL to multimodal_jpeg_color by
+    construction: both codecs must land on the identical planes."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from katydid_haskell_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    ycoef = np.array([[0, 3, 6, 9], [5, 8, 11, 14]],
+                     dtype=np.int64)          # by*5 + bx*3
+    mxs = np.arange(2, dtype=np.int64)
+
+    @pandas_udf("binary")
+    def make_jpeg(doc_id: pd.Series) -> pd.Series:
+        ones8 = np.ones((8, 8), dtype=np.int64)
+        out = []
+        for d in doc_id:
+            d = int(d)
+            y = np.kron(2 * ((d * 7 + ycoef) % 128), ones8)
+            cb = np.kron((2 * ((d * 11 + mxs * 9 + 5) % 128))[None, :],
+                         ones8)
+            cr = np.kron((2 * ((d * 13 + mxs * 3 + 1) % 128))[None, :],
+                         ones8)
+            out.append(mm.encode_jpeg_progressive(
+                y.astype(np.uint8), cb.astype(np.uint8),
+                cr.astype(np.uint8), "420"))
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        make_jpeg(F.col("doc_id")).alias("payload"))
+    return mm.jpeg_plane_stats(media)
+
+
 def _q_multimodal_wav(spark, sf_dir):
     """The audio sibling of multimodal_bmp: a 256-sample 16-bit PCM
     signal derived from doc_id is encoded to a REAL RIFF/WAVE payload,
@@ -2154,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-7 front window ---
         # new this round (never driver-sampled)
         "multimodal_jpeg_color": _q_multimodal_jpeg_color,
+        "multimodal_jpeg_progressive": _q_multimodal_jpeg_progressive,
         # longest-unsampled: no driver row since r5 or earlier (the 46
         # entries CORRECTNESS_r06 did not sample), oldest families first
         "tpch_q1": _q_tpch_q1,
@@ -3100,7 +3141,9 @@ def oracle_sql() -> dict[str, str]:
                  AS pos_checksum
         FROM b GROUP BY doc_id
         """,
-        "multimodal_jpeg_color": """
+        # one closed form, two codecs: the baseline-color and progressive
+        # entries construct the SAME planes, so they share this SQL
+        "multimodal_jpeg_color": (_jpeg_planes_sql := """
         WITH y AS (
           SELECT d.doc_id, t.by, t2.bx,
                  2 * ((d.doc_id * 7 + t.by * 5 + t2.bx * 3) % 128) AS v
@@ -3132,7 +3175,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(3 AS INTEGER) AS n_comp,
                y_sum, y_pos_checksum, cb_sum, cb_pos_checksum, cr_sum
         FROM ya JOIN ca ON ya.doc_id = ca.doc_id
-        """,
+        """),
+        "multimodal_jpeg_progressive": _jpeg_planes_sql,
         "q2_min_cost_supp": f"""
         WITH {_PARTSUPP_SQL},
         eu AS (

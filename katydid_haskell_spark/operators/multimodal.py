@@ -646,14 +646,17 @@ def _zigzag_order() -> np.ndarray:
 _ZZ = _zigzag_order()
 
 #: canonical Huffman tables we EMIT (any tables would do — they ride in
-#: DHT): all 12 DC size symbols at code length 4; all 162 AC symbols at
-#: code length 8.  Single-length canonical codes are trivially prefix-free.
+#: DHT): all 12 DC size symbols at code length 4; all AC symbols at code
+#: length 8 — the 162 baseline run/size symbols plus the 14 EOBn symbols
+#: (r<<4, s=0, r=1..14) progressive EOB runs need.  176 single-length
+#: codes < 256 stay trivially prefix-free and canonical.
 _DC_BITS = [0, 0, 0, 12] + [0] * 12
 _DC_VALS = list(range(12))
 _AC_BITS = [0] * 16
-_AC_BITS[7] = 162
+_AC_BITS[7] = 176
 _AC_VALS = [0x00, 0xF0] + [(r << 4) | s
-                           for r in range(16) for s in range(1, 11)]
+                           for r in range(16) for s in range(1, 11)] \
+    + [r << 4 for r in range(1, 15)]
 
 
 def _canonical_codes(bits, vals):
@@ -894,6 +897,174 @@ def encode_jpeg_ycbcr(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     return bytes(head) + w.flush() + b"\xff\xd9"
 
 
+def _quantize_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Level-shift + DCT + quantize (half away from zero) every 8x8
+    block of an 8-aligned float plane → int64 (bys, bxs, 64) zigzag
+    coefficients — the shared coefficient form of the baseline and
+    progressive encoders."""
+    M = _dct_mat()
+    H, W = plane.shape
+    f = plane.astype(np.float64) - 128.0
+    blks = f.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,kl->abil", M, blks, M.T) / q
+    qc = (np.sign(coef) * np.floor(np.abs(coef) + 0.5)).astype(np.int64)
+    return qc[:, :, _ZZ[:, 0], _ZZ[:, 1]]
+
+
+def _put_eobrun(w, n: int, ac_codes) -> None:
+    """Emit an EOB run of n blocks (n >= 1) as EOBn symbols."""
+    while n > 0:
+        rr = min(14, n.bit_length() - 1)
+        run = min(n, (1 << rr) + ((1 << rr) - 1))
+        run = min(run, n)
+        extra = run - (1 << rr)
+        c, ln = ac_codes[rr << 4]
+        w.put(c, ln)
+        if rr:
+            w.put(extra, rr)
+        n -= run
+
+
+def encode_jpeg_progressive(y: np.ndarray, cb: np.ndarray,
+                            cr: np.ndarray,
+                            subsampling: str = "420",
+                            q_luma: np.ndarray = JPEG_QTABLE,
+                            q_chroma: np.ndarray = JPEG_QTABLE) -> bytes:
+    """Encode YCbCr planes as a PROGRESSIVE (SOF2) JPEG with the
+    canonical scan script families real encoders use: interleaved DC
+    first pass at Al=1, DC refinement (Ah=1, Al=0), then per-component
+    AC spectral bands 1-5 and 6-63 at Al=0 (EOB runs batch empty
+    bands).  Quantized coefficients are IDENTICAL to the baseline
+    encoder's (shared :func:`_quantize_blocks`), so a progressive
+    round-trip must decode pixel-identical to the baseline round-trip
+    of the same planes — the equivalence test the decoder is gated on.
+    Same plane-shape contract as :func:`encode_jpeg_ycbcr`."""
+    y = np.asarray(y, dtype=np.float64)
+    cb = np.asarray(cb, dtype=np.float64)
+    cr = np.asarray(cr, dtype=np.float64)
+    if subsampling == "420":
+        hs = vs = 2
+    elif subsampling == "444":
+        hs = vs = 1
+    else:
+        raise ValueError("subsampling must be '420' or '444'")
+    H, W = y.shape
+    if H % (8 * vs) or W % (8 * hs):
+        raise ValueError(f"dims must be multiples of {8 * hs} for "
+                         f"{subsampling}")
+    if cb.shape != (H // vs, W // hs) or cr.shape != cb.shape:
+        raise ValueError("cb/cr must be at stored (subsampled) size")
+    zz_y, zz_x = _ZZ[:, 0], _ZZ[:, 1]
+    ql = q_luma.astype(np.float64)
+    qc = q_chroma.astype(np.float64)
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    coefs = [_quantize_blocks(y, ql), _quantize_blocks(cb, qc),
+             _quantize_blocks(cr, qc)]
+    samp = [(hs, vs), (1, 1), (1, 1)]
+
+    head = bytearray(b"\xff\xd8")
+    head += _seg(0xDB, bytes([0x00]) + bytes(
+        q_luma[zz_y, zz_x].astype(np.uint8)))
+    head += _seg(0xDB, bytes([0x01]) + bytes(
+        q_chroma[zz_y, zz_x].astype(np.uint8)))
+    head += _seg(0xC2, bytes([8]) + H.to_bytes(2, "big")
+                 + W.to_bytes(2, "big")
+                 + bytes([3,
+                          1, (hs << 4) | vs, 0,
+                          2, 0x11, 1,
+                          3, 0x11, 1]))
+    head += _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS)
+                 + bytes(_DC_VALS))
+    head += _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS)
+                 + bytes(_AC_VALS))
+    out = bytearray(head)
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: interleaved DC first, Al=1
+    out += sos([1, 2, 3], 0, 0, 0, 1)
+    w = _BitWriter()
+    mcus_y, mcus_x = H // (8 * vs), W // (8 * hs)
+    prev = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(3):
+                h, v = samp[ci]
+                for bv in range(v):
+                    for bh in range(h):
+                        dc = int(coefs[ci][my * v + bv, mx * h + bh, 0])
+                        t = dc >> 1          # arithmetic shift (floor)
+                        diff = t - prev[ci]
+                        prev[ci] = t
+                        s = _size_cat(diff)
+                        c, ln = dc_codes[s]
+                        w.put(c, ln)
+                        if s:
+                            w.put(diff if diff >= 0
+                                  else diff + (1 << s) - 1, s)
+    out += w.flush()
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
+    out += sos([1, 2, 3], 0, 0, 1, 0)
+    w = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(3):
+                h, v = samp[ci]
+                for bv in range(v):
+                    for bh in range(h):
+                        dc = int(coefs[ci][my * v + bv, mx * h + bh, 0])
+                        w.put(dc & 1, 1)
+    out += w.flush()
+    # scans 3+: per-component AC spectral bands at Al=0
+    for ci, cid in ((0, 1), (1, 2), (2, 3)):
+        bys, bxs, _ = coefs[ci].shape
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos([cid], ss, se, 0, 0)
+            w = _BitWriter()
+            eob_pending = 0
+            for by in range(bys):
+                for bx in range(bxs):
+                    z = coefs[ci][by, bx]
+                    nz = [k for k in range(ss, se + 1) if z[k]]
+                    if not nz:
+                        eob_pending += 1
+                        # EOBn max run = 2^14 + (2^14 - 1)
+                        if eob_pending == (1 << 14) + ((1 << 14) - 1):
+                            _put_eobrun(w, eob_pending, ac_codes)
+                            eob_pending = 0
+                        continue
+                    if eob_pending:
+                        _put_eobrun(w, eob_pending, ac_codes)
+                        eob_pending = 0
+                    run = 0
+                    k = ss
+                    for k in range(ss, nz[-1] + 1):
+                        v = int(z[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run >= 16:
+                            c, ln = ac_codes[0xF0]
+                            w.put(c, ln)
+                            run -= 16
+                        s = _size_cat(v)
+                        c, ln = ac_codes[(run << 4) | s]
+                        w.put(c, ln)
+                        w.put(v if v >= 0 else v + (1 << s) - 1, s)
+                        run = 0
+                    if nz[-1] < se:
+                        eob_pending += 1
+            if eob_pending:
+                _put_eobrun(w, eob_pending, ac_codes)
+            out += w.flush()
+    return bytes(out) + b"\xff\xd9"
+
+
 def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
     """JFIF full-range RGB -> YCbCr, float64 (H, W, 3), un-rounded."""
     f = np.asarray(rgb, dtype=np.float64)
@@ -1057,8 +1228,10 @@ def decode_jpeg_planes(payload: bytes):
     factors.  The oracled closed-form query checksums these planes
     directly — plane decode is exact for block-constant even values
     under q00=16, while RGB conversion (:func:`decode_jpeg`) rounds.
-    Rejects progressive/extended SOFs, arithmetic coding, 16-bit quant
-    tables and >3 components (CMYK)."""
+    Progressive streams (SOF2) delegate to the multi-scan coefficient
+    decoder (:func:`_decode_progressive_planes`); extended/lossless
+    SOFs, arithmetic coding, 16-bit quant tables and >3 components
+    (CMYK) are rejected."""
     data = payload
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
@@ -1102,9 +1275,12 @@ def decode_jpeg_planes(payload: bytes):
                 cid = body[6 + 3 * i]
                 hv = body[7 + 3 * i]
                 comps.append([cid, hv >> 4, hv & 0x0F, body[8 + 3 * i]])
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:
+            return _decode_progressive_planes(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("baseline sequential (SOF0/1) only")
+            raise ValueError(
+                "baseline (SOF0/1) or progressive (SOF2) only")
         elif marker == 0xC4:
             b = body
             while b:
@@ -1187,12 +1363,276 @@ def decode_jpeg_planes(payload: bytes):
     return out, (H, W), samplings
 
 
+def _prog_dc_scan(r, coefs, scomps, comps, dims, mcus, ri, ah, al,
+                  htables, tsel):
+    """One progressive DC scan (ss=0): first pass (ah=0) Huffman-decodes
+    DC diffs into ``coef[0] = v << al``; refinement (ah>0) appends one
+    bit per block.  Interleaved over MCUs when the scan names several
+    components; a single-component scan is non-interleaved and walks
+    the component's OWN block grid (its MCU = one data unit)."""
+    H, W = dims
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if len(scomps) == 1:
+        ci = scomps[0]
+        h, v = comps[ci][1], comps[ci][2]
+        if len(comps) == 1:
+            nby, nbx = -(-H // 8), -(-W // 8)
+        else:
+            ch = -(-H * v // vmax)
+            cw = -(-W * h // hmax)
+            nby, nbx = -(-ch // 8), -(-cw // 8)
+        mcu_list = [[(ci, by, bx)]
+                    for by in range(nby) for bx in range(nbx)]
+    else:
+        mcus_y, mcus_x = mcus
+        mcu_list = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                units = []
+                for ci in scomps:
+                    h, v = comps[ci][1], comps[ci][2]
+                    for bv in range(v):
+                        for bh in range(h):
+                            units.append((ci, my * v + bv, mx * h + bh))
+                mcu_list.append(units)
+    prev = {ci: 0 for ci in scomps}
+    for mi, units in enumerate(mcu_list):
+        if ri and mi and mi % ri == 0:
+            r.restart()
+            prev = {c: 0 for c in scomps}
+        for (ci, by, bx) in units:
+            blk = coefs[ci][by, bx]
+            if ah == 0:
+                dc_t = htables[(0, tsel[ci][0])]
+                s = r.decode(dc_t)
+                diff = _extend(r.bits(s), s) if s else 0
+                prev[ci] += diff
+                blk[0] = prev[ci] << al
+            else:
+                if r.bits(1):
+                    blk[0] = int(blk[0]) | (1 << al)
+
+
+def _prog_ac_first(r, coef_blocks, ac_t, ss, se, al, eob_run):
+    """Progressive AC first pass (ah=0) over one component's blocks in
+    raster order; returns the carried EOB run."""
+    for blk in coef_blocks:
+        if eob_run > 0:
+            eob_run -= 1
+            continue
+        k = ss
+        while k <= se:
+            sym = r.decode(ac_t)
+            rr, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if rr < 15:
+                    eob_run = (1 << rr) - 1
+                    if rr:
+                        eob_run += r.bits(rr)
+                    break
+                k += 16                       # ZRL
+                continue
+            k += rr
+            if k > se:
+                raise ValueError("AC index overflow")
+            blk[k] = _extend(r.bits(s), s) << al
+            k += 1
+    return eob_run
+
+
+def _prog_ac_refine(r, coef_blocks, ac_t, ss, se, al, eob_run):
+    """Progressive AC refinement (ah>0): the G.1.2.3 correction-bit
+    walk — new ±1<<al coefficients are placed after skipping `rr`
+    ZERO-history positions, and every already-nonzero coefficient
+    passed on the way (and, under an EOB run, through the band's end)
+    absorbs one correction bit."""
+    p1 = 1 << al
+    for blk in coef_blocks:
+        k = ss
+        if eob_run == 0:
+            while k <= se:
+                sym = r.decode(ac_t)
+                rr, s = sym >> 4, sym & 0x0F
+                val = 0
+                if s == 0:
+                    if rr < 15:
+                        eob_run = 1 << rr
+                        if rr:
+                            eob_run += r.bits(rr)
+                        break
+                    # rr == 15: ZRL — skip 16 zero-history coefficients
+                else:
+                    val = p1 if r.bits(1) else -p1
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if r.bits(1) and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else -p1)
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eob_run > 0:
+            while k <= se:
+                c = int(blk[k])
+                if c != 0 and r.bits(1) and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else -p1)
+                k += 1
+            eob_run -= 1
+    return eob_run
+
+
+def _decode_progressive_planes(data: bytes):
+    """Multi-scan progressive (SOF2, Huffman) decode to native planes —
+    same return contract as :func:`decode_jpeg_planes`.
+
+    Coefficients accumulate across scans in zigzag order (DC first +
+    refinement bits, AC spectral bands with EOB runs + the correction-
+    bit refinement walk); dequantize + IDCT run ONCE at EOI as a single
+    einsum over every block per component.  Huffman tables may be
+    redefined between scans (the stream is walked in order).  Restart
+    markers reset predictors and the EOB run."""
+    qtables, htables = {}, {}
+    H = W = None
+    comps = []        # per comp: [cid, h, v, qsel, bys, bxs]
+    coefs = []        # per comp: int64 (bys, bxs, 64) zigzag coefficients
+    mcus = (0, 0)
+    restart_interval = 0
+    pos = 2
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        ln = int.from_bytes(data[pos + 2:pos + 4], "big")
+        body = data[pos + 4:pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            b = body
+            while b:
+                if b[0] >> 4:
+                    raise ValueError("16-bit quant tables unsupported")
+                t = np.zeros((8, 8), dtype=np.int64)
+                t[_ZZ[:, 0], _ZZ[:, 1]] = np.frombuffer(
+                    b[1:65], dtype=np.uint8).astype(np.int64)
+                qtables[b[0] & 0x0F] = t
+                b = b[65:]
+        elif marker == 0xC4:
+            b = body
+            while b:
+                tc, th = b[0] >> 4, b[0] & 0x0F
+                bits = list(b[1:17])
+                n = sum(bits)
+                htables[(tc, th)] = _decode_table(bits, b[17:17 + n])
+                b = b[17 + n:]
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xC2:
+            if body[0] != 8:
+                raise ValueError("8-bit sample precision only")
+            H = int.from_bytes(body[1:3], "big")
+            W = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if nc not in (1, 3):
+                raise ValueError("1- or 3-component progressive only")
+            hmax = max(body[7 + 3 * i] >> 4 for i in range(nc))
+            vmax = max(body[7 + 3 * i] & 0x0F for i in range(nc))
+            mcus = (-(-H // (8 * vmax)), -(-W // (8 * hmax)))
+            for i in range(nc):
+                cid = body[6 + 3 * i]
+                h, v = body[7 + 3 * i] >> 4, body[7 + 3 * i] & 0x0F
+                if nc == 1:
+                    bys, bxs = -(-H // 8), -(-W // 8)
+                    h = v = 1
+                else:
+                    bys, bxs = mcus[0] * v, mcus[1] * h
+                comps.append([cid, h, v, body[8 + 3 * i], bys, bxs])
+                coefs.append(np.zeros((bys, bxs, 64), dtype=np.int64))
+        elif marker == 0xDA:
+            if H is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scomps, tsel = [], {}
+            for i in range(ns):
+                cid = body[1 + 2 * i]
+                ci = next(j for j, c in enumerate(comps) if c[0] == cid)
+                scomps.append(ci)
+                tsel[ci] = (body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0x0F)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            r = _BitReader(data, pos)
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan must have se=0")
+                _prog_dc_scan(r, coefs, scomps, comps, (H, W), mcus,
+                              restart_interval, ah, al, htables, tsel)
+            else:
+                if ns != 1:
+                    raise ValueError("AC scans are single-component")
+                ci = scomps[0]
+                bys, bxs = comps[ci][4], comps[ci][5]
+                # component-own grid for non-interleaved AC scans
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                cw = -(-W * comps[ci][1] // hmax)
+                chh = -(-H * comps[ci][2] // vmax)
+                nbx, nby = -(-cw // 8), -(-chh // 8)
+                ac_t = htables[(1, tsel[ci][1])]
+                blocks = [coefs[ci][by, bx]
+                          for by in range(nby) for bx in range(nbx)]
+                eob_run = 0
+                if restart_interval:
+                    fn = _prog_ac_first if ah == 0 else _prog_ac_refine
+                    for i0 in range(0, len(blocks), restart_interval):
+                        if i0:
+                            r.restart()
+                        eob_run = fn(r, blocks[i0:i0 + restart_interval],
+                                     ac_t, ss, se, al, 0)
+                elif ah == 0:
+                    _prog_ac_first(r, blocks, ac_t, ss, se, al, 0)
+                else:
+                    _prog_ac_refine(r, blocks, ac_t, ss, se, al, 0)
+            pos = r.pos
+        # other markers (APPn, COM): skipped by the generic ln walk
+    if H is None:
+        raise ValueError("no SOF2 frame")
+    M = _dct_mat()
+    zz_y, zz_x = _ZZ[:, 0], _ZZ[:, 1]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    single = len(comps) == 1
+    out, samplings = [], []
+    for (cid, h, v, qsel, bys, bxs), cf in zip(comps, coefs):
+        q = qtables[qsel].astype(np.float64)
+        mat = np.zeros((bys, bxs, 8, 8), dtype=np.float64)
+        mat[:, :, zz_y, zz_x] = cf * q[zz_y, zz_x]
+        blks = np.einsum("ij,abjk,kl->abil", M.T, mat, M) + 128.0
+        plane = blks.transpose(0, 2, 1, 3).reshape(bys * 8, bxs * 8)
+        ch = H if single else -(-H * v // vmax)
+        cw = W if single else -(-W * h // hmax)
+        out.append(np.clip(np.rint(plane[:ch, :cw]), 0, 255)
+                   .astype(np.uint8))
+        samplings.append((h, v))
+    return out, (H, W), samplings
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG: grayscale to (H, W) uint8, 3-component
-    YCbCr to (H, W, 3) uint8 RGB (JFIF transform, nearest-neighbor
-    chroma upsampling).  Handles 4:2:0 / 4:2:2 / 4:4:4 sampling,
-    restart intervals and non-8-aligned dims; rejects progressive
-    scans and arithmetic coding (out of scope)."""
+    """Decode a JPEG: grayscale to (H, W) uint8, 3-component YCbCr to
+    (H, W, 3) uint8 RGB (JFIF transform, nearest-neighbor chroma
+    upsampling).  Handles baseline (SOF0/1) AND progressive (SOF2,
+    Huffman: spectral selection, successive approximation, EOB runs),
+    4:2:0 / 4:2:2 / 4:4:4 sampling, restart intervals and non-8-aligned
+    dims; rejects arithmetic coding and lossless/extended SOFs."""
     planes, (H, W), samplings = decode_jpeg_planes(payload)
     if len(planes) == 1:
         return planes[0]

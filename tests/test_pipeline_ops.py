@@ -1365,13 +1365,87 @@ def test_jpeg_decodes_foreign_encoder_files():
     logo = cases[0][0]
     if os.path.exists(logo):
         assert mm.decode_jpeg(open(logo, "rb").read()).mean() > 180
-    prog = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
-    if os.path.exists(prog):
-        with pytest.raises(ValueError):
-            mm.decode_jpeg(open(prog, "rb").read())
-        seen += 1
     if seen == 0:
         pytest.skip("no system JPEGs present")
+
+
+def test_jpeg_decodes_foreign_progressive_files():
+    """PROGRESSIVE JPEGs from foreign encoders (multi-scan spectral
+    selection + successive approximation, the format ~10-20% of crawl
+    images use): correct SOF2 dims and plausible content — the
+    mostly-white images must decode mostly white, which a scan-order,
+    EOB-run or refinement bug destroys."""
+    import os
+
+    cases = [
+        ("/usr/share/doc/nodejs/thin-white-stripe.jpg", (58, 493, 3)),
+        ("/usr/share/doc/nodejs/full-white-stripe.jpg", (312, 493, 3)),
+        ("/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+         "multi-channel/grayscale.jpg", (215, 300)),
+        ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
+         "share/doc/rust/html/embedded-book/assets/f3.jpg",
+         (477, 720, 3)),   # (2,1) luma sampling
+    ]
+    seen = 0
+    for path, shape in cases:
+        if not os.path.exists(path):
+            continue
+        px = mm.decode_jpeg(open(path, "rb").read())
+        assert px.shape == shape, (path, px.shape)
+        assert px.std() > 10
+        seen += 1
+    white = cases[1][0]
+    if os.path.exists(white):
+        assert mm.decode_jpeg(open(white, "rb").read()).mean() > 230
+    if seen == 0:
+        pytest.skip("no system progressive JPEGs present")
+
+
+def test_jpeg_progressive_roundtrip_and_baseline_equivalence():
+    """The progressive encoder shares the baseline quantizer
+    (_quantize_blocks), so on ANY planes the progressive decode must be
+    pixel-identical to the baseline decode of the same input — this
+    gates DC successive approximation, spectral-band scans, ZRL and
+    EOB-run batching against the already-oracled baseline path.  Plus
+    the block-constant-even exact round-trip used by the
+    multimodal_jpeg_progressive oracle."""
+    import numpy as np
+
+    qt = np.full((8, 8), 16, dtype=np.int64)
+    y = np.zeros((16, 32))
+    for by in range(2):
+        for bx in range(4):
+            y[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                2 * ((5 * by + 3 * bx + 7) % 128)
+    cb = np.zeros((8, 16))
+    cr = np.zeros((8, 16))
+    for mx in range(2):
+        cb[:, mx * 8:(mx + 1) * 8] = 2 * ((11 * mx + 5) % 128)
+        cr[:, mx * 8:(mx + 1) * 8] = 2 * ((13 * mx + 1) % 128)
+    d = mm.encode_jpeg_progressive(y, cb, cr, "420",
+                                   q_luma=qt, q_chroma=qt)
+    planes, dims, samp = mm.decode_jpeg_planes(d)
+    assert dims == (16, 32) and samp == [(2, 2), (1, 1), (1, 1)]
+    assert np.array_equal(planes[0], y.astype(np.uint8))
+    assert np.array_equal(planes[1], cb.astype(np.uint8))
+    assert np.array_equal(planes[2], cr.astype(np.uint8))
+
+    rng = np.random.default_rng(5)
+    for sub, shape, cshape in [("444", (24, 32), (24, 32)),
+                               ("420", (32, 48), (16, 24))]:
+        Y = rng.integers(0, 256, size=shape).astype(np.float64)
+        CB = rng.integers(0, 256, size=cshape).astype(np.float64)
+        CR = rng.integers(0, 256, size=cshape).astype(np.float64)
+        for qtab in (qt, mm.JPEG_QTABLE):
+            base = mm.encode_jpeg_ycbcr(Y, CB, CR, sub,
+                                        q_luma=qtab, q_chroma=qtab)
+            prog = mm.encode_jpeg_progressive(Y, CB, CR, sub,
+                                              q_luma=qtab, q_chroma=qtab)
+            pb, db, sb = mm.decode_jpeg_planes(base)
+            pp, dp, sp = mm.decode_jpeg_planes(prog)
+            assert db == dp and sb == sp
+            for a, b in zip(pb, pp):
+                assert np.array_equal(a, b), (sub, int(qtab[0, 0]))
 
 
 def test_jpeg_grayscale_nonaligned_dims():
