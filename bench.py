@@ -76,6 +76,9 @@ HEADLINE = [
     "multimodal_bmp",
     "multimodal_png",
     "multimodal_jpeg",
+    "multimodal_jpeg_color",
+    "multimodal_jpeg_progressive",
+    "span_removal",
     "dedup_clusters",
     "duplicate_spans",
     "quota_sample",
