@@ -816,8 +816,9 @@ def encode_jpeg_ycbcr(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     """Encode pre-separated YCbCr planes as a 3-component baseline JPEG.
 
     ``y`` is (H, W); ``cb``/``cr`` are ALREADY at their stored
-    resolution — (H/2, W/2) for ``"420"`` (H, W multiples of 16) or
-    (H, W) for ``"444"`` (multiples of 8).  Planes may be float (the
+    resolution — (H/2, W/2) for ``"420"`` (H, W multiples of 16),
+    (H, W/2) for ``"422"`` (H mult. of 8, W of 16), or (H, W) for
+    ``"444"`` (multiples of 8).  Planes may be float (the
     color path hands over un-rounded JFIF conversions) or uint8.
     ``restart_interval`` > 0 emits DRI + RSTn every that many MCUs with
     DC-predictor resets.  Both quant tables default to the Annex-K luma
@@ -833,10 +834,12 @@ def encode_jpeg_ycbcr(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     cr = np.asarray(cr, dtype=np.float64)
     if subsampling == "420":
         hs = vs = 2
+    elif subsampling == "422":
+        hs, vs = 2, 1
     elif subsampling == "444":
         hs = vs = 1
     else:
-        raise ValueError("subsampling must be '420' or '444'")
+        raise ValueError("subsampling must be '420', '422' or '444'")
     H, W = y.shape
     if H % (8 * vs) or W % (8 * hs):
         raise ValueError(f"dims must be multiples of {8 * hs} for "
@@ -944,10 +947,12 @@ def encode_jpeg_progressive(y: np.ndarray, cb: np.ndarray,
     cr = np.asarray(cr, dtype=np.float64)
     if subsampling == "420":
         hs = vs = 2
+    elif subsampling == "422":
+        hs, vs = 2, 1
     elif subsampling == "444":
         hs = vs = 1
     else:
-        raise ValueError("subsampling must be '420' or '444'")
+        raise ValueError("subsampling must be '420', '422' or '444'")
     H, W = y.shape
     if H % (8 * vs) or W % (8 * hs):
         raise ValueError(f"dims must be multiples of {8 * hs} for "
@@ -1105,6 +1110,12 @@ def encode_jpeg_color(rgb: np.ndarray, subsampling: str = "420",
             raise ValueError("420 needs 16-aligned dims")
         cb = cb.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
         cr = cr.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+    elif subsampling == "422":
+        H, W = y.shape
+        if H % 8 or W % 16:
+            raise ValueError("422 needs 8/16-aligned dims")
+        cb = cb.reshape(H, W // 2, 2).mean(axis=2)
+        cr = cr.reshape(H, W // 2, 2).mean(axis=2)
     return encode_jpeg_ycbcr(y, cb, cr, subsampling, restart_interval,
                              q_luma, q_chroma)
 

@@ -1462,6 +1462,35 @@ def test_jpeg_grayscale_nonaligned_dims():
     assert (px == 128).all()
 
 
+def test_jpeg_422_roundtrip_all_encoders():
+    """4:2:2 (x-only chroma subsampling, the (2,1) luma factor the
+    foreign f3.jpg uses): baseline and progressive encoders agree on
+    random planes, and macroblock-constant RGB survives within the DC
+    quantizer bound."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    qt = np.full((8, 8), 16, dtype=np.int64)
+    Y = rng.integers(0, 256, size=(16, 32)).astype(np.float64)
+    CB = rng.integers(0, 256, size=(16, 16)).astype(np.float64)
+    CR = rng.integers(0, 256, size=(16, 16)).astype(np.float64)
+    base = mm.encode_jpeg_ycbcr(Y, CB, CR, "422", q_luma=qt, q_chroma=qt)
+    prog = mm.encode_jpeg_progressive(Y, CB, CR, "422",
+                                      q_luma=qt, q_chroma=qt)
+    pb, db, sb = mm.decode_jpeg_planes(base)
+    pp, dp, sp = mm.decode_jpeg_planes(prog)
+    assert sb == [(2, 1), (1, 1), (1, 1)] and db == (16, 32)
+    assert db == dp and sb == sp
+    for a, b in zip(pb, pp):
+        assert np.array_equal(a, b)
+    rgb = np.zeros((16, 32, 3), dtype=np.uint8)
+    rgb[:, :16] = [120, 60, 200]
+    rgb[:, 16:] = [20, 220, 90]
+    o = mm.decode_jpeg(mm.encode_jpeg_color(rgb, "422",
+                                            q_luma=qt, q_chroma=qt))
+    assert int(np.max(np.abs(o.astype(int) - rgb.astype(int)))) <= 4
+
+
 def test_jpeg_default_decode_sniffs_signature():
     """A real JPEG payload never reaches the fake decoder."""
     import numpy as np
