@@ -1415,6 +1415,235 @@ def _q_multimodal_wav(spark, sf_dir):
     return mm.wav_sample_stats(media)
 
 
+def _q_multimodal_video(spark, sf_dir):
+    """REAL video frame-sampling under the value-hash gate: per doc a
+    6-frame MJPEG-in-AVI payload (RIFF container built by
+    encode_avi_mjpeg, each frame an 8x16 grayscale baseline JPEG of
+    1x2 blocks), demuxed by the chunk-walking AVI reader, every 2nd
+    frame decoded by the real JPEG decoder.  Block values 2*((doc_id*7
+    + frame*19 + bx*3) % 128) are even and DC-only, so frame decode is
+    EXACT (the multimodal_jpeg invariant) and the oracle computes
+    sum/pos_checksum in closed form per sampled frame: sum_px =
+    64*(v0+v1), pos_checksum = 3808*v0 + 4320*v1 (512*bx + 3808,
+    W=16).  n_frames=6 / every_n=2 / the block params appear in the
+    UDF AND the SQL — change together."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from katydid_haskell_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+
+    @pandas_udf("binary")
+    def make_avi(doc_id: pd.Series) -> pd.Series:
+        ones8 = np.ones((8, 8), dtype=np.int64)
+        bx = np.arange(2, dtype=np.int64)
+        out = []
+        for d in doc_id:
+            d = int(d)
+            frames = [
+                mm.encode_jpeg(np.kron(
+                    (2 * ((d * 7 + f * 19 + bx * 3) % 128))[None, :],
+                    ones8).astype(np.uint8))
+                for f in range(6)
+            ]
+            out.append(mm.encode_avi_mjpeg(frames, fps=10))
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        make_avi(F.col("doc_id")).alias("payload"))
+    return mm.video_frame_stats(media, every_n=2)
+
+
+def _q_multimodal_spectrogram(spark, sf_dir):
+    """REAL audio feature extraction under the value-hash gate: per doc
+    a 2048-sample square wave (amplitude 1000 + doc_id%100, period
+    8 << (doc_id%5) — all periods divide n_fft) encoded to RIFF/WAVE,
+    decoded by the real chunk walker, then an ACTUAL numpy rFFT on the
+    Spark side.  The oracle needs no transcendentals: the dominant
+    power bin of a square wave whose period divides the window is
+    exactly the fundamental n_fft/p (5.8x power margin over the 3rd
+    harmonic, so the float argmax is stable), energy is the exact
+    int64 N*A^2, zero crossings exactly 2N/p - 1.  Waveform params
+    appear in the UDF AND the SQL — change together."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from katydid_haskell_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    N = 2048
+
+    @pandas_udf("binary")
+    def make_wav(doc_id: pd.Series) -> pd.Series:
+        i = np.arange(N, dtype=np.int64)
+        out = []
+        for d in doc_id:
+            d = int(d)
+            amp = 1000 + d % 100
+            p = 8 << (d % 5)
+            s = np.where((i % p) < p // 2, amp, -amp).astype(np.int16)
+            out.append(mm.encode_wav(s, rate=16000))
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        make_wav(F.col("doc_id")).alias("payload"))
+    return mm.audio_spectrum_stats(media, n_fft=N)
+
+
+def _q_warc_records(spark, sf_dir):
+    """REAL WARC/1.0 record framing under the value-hash gate: per doc
+    a two-record WARC file — a constant warcinfo member plus a response
+    member wrapping the document text in an HTTP/1.1 200 block — built
+    as per-record gzip members (mtime=0) and walked back by the real
+    parser (Content-Length framing, case-insensitive headers, HTTP
+    split).  The oracle re-derives every field from the raw text
+    column; the constant literals (warcinfo body, 60-byte HTTP header
+    block, uri prefix) appear in build_warc's input AND the SQL —
+    change together."""
+    from pyspark.sql.functions import pandas_udf
+
+    from katydid_haskell_spark.operators import warc as wr
+
+    docs = _t(spark, sf_dir, "documents")
+
+    @pandas_udf("binary")
+    def make_warc(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for d, t in zip(doc_id, text):
+            t = t if isinstance(t, str) else ""
+            body = (b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/plain; charset=utf-8\r\n"
+                    b"\r\n" + t.encode("utf-8"))
+            out.append(wr.build_warc([
+                {"type": "warcinfo",
+                 "body": "software: katydid-spark 1.0\r\n"},
+                {"type": "response",
+                 "uri": f"https://corpus.example/doc/{int(d)}",
+                 "date": "2026-01-01T00:00:00Z",
+                 "body": body},
+            ]))
+        return pd.Series(out)
+
+    media = docs.select(
+        F.col("doc_id"),
+        make_warc(F.col("doc_id"),
+                  F.coalesce(F.col("text"), F.lit(""))).alias("payload"))
+    return wr.warc_records(media)
+
+
+def _q_image_resize_real(spark, sf_dir):
+    """REAL image resize under the value-hash gate: a 32x32 grayscale
+    PNG of 8x8-constant blocks v(by,bx) = (doc_id*29 + by*17 + bx*13)
+    % 256 rides resize_media(8, 8) — signature-sniffed real decode,
+    area mean-pool (each 4x4 input region lies inside one constant
+    block, so the mean is the exact block value), PNG re-encode — then
+    png_pixel_stats re-decodes.  Output pixel (y,x) = v(y//2, x//2)
+    exactly; the oracle mirrors the block formula and the 32->8
+    mapping (change together)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from katydid_haskell_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    by = np.arange(4)[:, None]
+    bx = np.arange(4)[None, :]
+    ones8 = np.ones((8, 8), dtype=np.int64)
+
+    @pandas_udf("binary")
+    def make_png(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            v = (int(d) * 29 + by * 17 + bx * 13) % 256
+            out.append(mm.encode_png(np.kron(v, ones8).astype(np.uint8)))
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        make_png(F.col("doc_id")).alias("payload"),
+                        F.lit("image/png").alias("mime"))
+    return mm.png_pixel_stats(mm.resize_media(media, 8, 8))
+
+
+def _q_multimodal_gif(spark, sf_dir):
+    """REAL GIF decode under the value-hash gate: per doc a 2-frame
+    animated GIF89a (12x20, 16-color closed-form palette, frame delays
+    3/9 cs) built by the real LZW encoder, decoded by the real LZW
+    decoder, reduced to per-frame RGB sums + the flat (y,x,c)
+    position-weighted checksum.  Closed forms mirrored in SQL (change
+    together): pal[i] = ((17i+3)%256, (29i+7)%256, (43i+11)%256);
+    index(y,x) = (doc_id + f*5 + y*3 + x) % 16; delay = 3 + 6f."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from katydid_haskell_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    pal = np.stack([(17 * np.arange(16) + 3) % 256,
+                    (29 * np.arange(16) + 7) % 256,
+                    (43 * np.arange(16) + 11) % 256],
+                   axis=1).astype(np.uint8)
+    yy = np.arange(12)[:, None]
+    xx = np.arange(20)[None, :]
+
+    @pandas_udf("binary")
+    def make_gif(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for d in doc_id:
+            d = int(d)
+            frames = [((d + f * 5 + yy * 3 + xx) % 16).astype(np.uint8)
+                      for f in (0, 1)]
+            out.append(mm.encode_gif(frames, pal, delays=[3, 9]))
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        make_gif(F.col("doc_id")).alias("payload"))
+    return mm.gif_frame_stats(media)
+
+
+def _q_image_phash_neardup(spark, sf_dir):
+    """Image near-dup via perceptual hash under the value-hash gate:
+    per doc (doc_id < 240, the active cap) a 48x64 grayscale pattern
+    determined ONLY by group = doc_id % 12 (per-group Weyl-style mix,
+    min pairwise pHash hamming 16 across the 12 groups — pinned by
+    test_phash_group_patterns_are_far), encoded as a REAL PNG, hashed
+    through the real decode + 32x32 DCT pHash, then banded 16-bit
+    bucketing + exact bit_count hamming verification.  Same-group docs
+    are byte-identical (hamming 0); cross-group pairs are >3 away, so
+    the oracle derives the pair set purely from group membership —
+    the cap (240) and group rule (% 12) are mirrored in the SQL;
+    change both sides together."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from katydid_haskell_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    yy = np.arange(48, dtype=np.int64)[:, None]
+    xx = np.arange(64, dtype=np.int64)[None, :]
+
+    @pandas_udf("binary")
+    def make_png(doc_id: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for d in doc_id:
+            g = int(d) % 12
+            png = cache.get(g)
+            if png is None:
+                img = (((yy * 13 + xx * 7 + g * 101) * (2 * g + 3)
+                        * 40503) // 256 % 256).astype(np.uint8)
+                png = mm.encode_png(img)
+                cache[g] = png
+            out.append(png)
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        make_png(F.col("doc_id")).alias("payload"),
+                        F.lit("image/png").alias("mime"))
+    hashes = mm.phash_df(media)
+    return mm.phash_neardup_pairs(hashes, max_hamming=3)
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     # exact word-3-gram Jaccard within a lang blocking key — the
     # verification-grade dedup operator (candidate sets at scale come
@@ -2195,8 +2424,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round (never driver-sampled)
         "multimodal_jpeg_color": _q_multimodal_jpeg_color,
         "multimodal_jpeg_progressive": _q_multimodal_jpeg_progressive,
+        "multimodal_video": _q_multimodal_video,
+        "multimodal_spectrogram": _q_multimodal_spectrogram,
+        "image_phash_neardup": _q_image_phash_neardup,
+        "multimodal_gif": _q_multimodal_gif,
+        "image_resize_real": _q_image_resize_real,
+        "warc_records": _q_warc_records,
+        # changed in round 7 (plan-shape rewrites — want fresh rows)
+        "retrieval_pairs": _q_retrieval_pairs,
+        "vocab_topk": _q_vocab_topk,
+        "quota_sample": _q_quota_sample,
         # longest-unsampled: no driver row since r5 or earlier (the 46
         # entries CORRECTNESS_r06 did not sample), oldest families first
+        # (with 4 new + 3 rewritten ahead of them the last ~3 of this
+        # block sit past the ~50 window; they are r5-green and rotate in
+        # next round)
         "tpch_q1": _q_tpch_q1,
         "unique_dup_custkeys": _q_unique_dup_custkeys,
         "top_orders_per_cust": _q_top_orders_per_cust,
@@ -2243,10 +2485,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": _q_set_ops_customers,
         "sessionize_events": _q_sessionize_events,
         "q3_shipping_priority": _q_q3_shipping,
-        # changed in round 7 (plan-shape rewrites — want fresh rows)
-        "retrieval_pairs": _q_retrieval_pairs,
-        "vocab_topk": _q_vocab_topk,
-        "quota_sample": _q_quota_sample,
         # --- past the ~50-entry sample window from here down ---
         # round-7-touched but r6-green (shared shard_expr refactor /
         # decoder rewrite with unchanged closed forms) — first in line
@@ -2777,6 +3015,115 @@ def oracle_sql() -> dict[str, str]:
                CAST(list_sum(list_transform(range(0, 256),
                     i -> i * ((doc_id*13 + 5*i) % 65536 - 32768))) AS BIGINT)
                  AS pos_checksum
+        FROM documents
+        """,
+        "multimodal_video": """
+        WITH v AS (
+          SELECT d.doc_id, f.frame_idx,
+                 2 * ((d.doc_id * 7 + f.frame_idx * 19) % 128) AS v0,
+                 2 * ((d.doc_id * 7 + f.frame_idx * 19 + 3) % 128) AS v1
+          FROM documents d,
+               (SELECT unnest([0, 2, 4]) AS frame_idx) f
+        )
+        SELECT doc_id AS media_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(6 AS BIGINT) AS n_frames,
+               CAST(16 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height,
+               CAST(64 * (v0 + v1) AS BIGINT) AS sum_px,
+               CAST(3808 * v0 + 4320 * v1 AS BIGINT) AS pos_checksum
+        FROM v
+        """,
+        "warc_records": """
+        WITH t AS (
+          SELECT doc_id, COALESCE(text, '') AS txt FROM documents
+        )
+        SELECT doc_id, CAST(0 AS BIGINT) AS record_idx,
+               'warcinfo' AS warc_type, '' AS target_uri,
+               CAST(29 AS BIGINT) AS content_length,
+               CAST(-1 AS BIGINT) AS http_status,
+               CAST(-1 AS BIGINT) AS n_http_headers,
+               CAST(29 AS BIGINT) AS body_len,
+               md5('software: katydid-spark 1.0' || chr(13) || chr(10))
+                 AS body_md5
+        FROM t
+        UNION ALL
+        SELECT doc_id, CAST(1 AS BIGINT) AS record_idx,
+               'response' AS warc_type,
+               'https://corpus.example/doc/' || doc_id AS target_uri,
+               CAST(60 + octet_length(encode(txt)) AS BIGINT) AS content_length,
+               CAST(200 AS BIGINT) AS http_status,
+               CAST(1 AS BIGINT) AS n_http_headers,
+               CAST(octet_length(encode(txt)) AS BIGINT) AS body_len,
+               md5(txt) AS body_md5
+        FROM t
+        """,
+        "image_resize_real": """
+        SELECT doc_id AS media_id,
+               CAST(8 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(list_sum(list_transform(range(0, 64),
+                    i -> (doc_id*29 + ((i//8)//2)*17 + ((i%8)//2)*13)
+                         % 256)) AS BIGINT) AS sum_all,
+               CAST(len(list_filter(range(0, 64),
+                    i -> (doc_id*29 + ((i//8)//2)*17 + ((i%8)//2)*13)
+                         % 256 >= 128)) AS BIGINT) AS n_bright,
+               CAST(list_sum(list_transform(range(0, 64),
+                    i -> i * ((doc_id*29 + ((i//8)//2)*17 + ((i%8)//2)*13)
+                              % 256))) AS BIGINT) AS pos_checksum
+        FROM documents
+        """,
+        "multimodal_gif": """
+        WITH f AS (SELECT unnest([0, 1]) AS frame_idx),
+        px AS (
+          SELECT d.doc_id, f.frame_idx, i.i,
+                 (d.doc_id + f.frame_idx * 5
+                  + ((i.i // 3) // 20) * 3 + (i.i // 3) % 20) % 16 AS pi
+          FROM documents d, f, (SELECT unnest(range(0, 720)) AS i) i
+        ),
+        v AS (
+          SELECT doc_id, frame_idx, i,
+                 CASE i % 3
+                   WHEN 0 THEN (17 * pi + 3) % 256
+                   WHEN 1 THEN (29 * pi + 7) % 256
+                   ELSE (43 * pi + 11) % 256
+                 END AS val
+          FROM px
+        )
+        SELECT doc_id AS media_id,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(2 AS BIGINT) AS n_frames,
+               CAST(20 AS INTEGER) AS width,
+               CAST(12 AS INTEGER) AS height,
+               CAST(3 + 6 * frame_idx AS BIGINT) AS delay_cs,
+               CAST(SUM(CASE WHEN i % 3 = 0 THEN val ELSE 0 END)
+                 AS BIGINT) AS r_sum,
+               CAST(SUM(CASE WHEN i % 3 = 1 THEN val ELSE 0 END)
+                 AS BIGINT) AS g_sum,
+               CAST(SUM(CASE WHEN i % 3 = 2 THEN val ELSE 0 END)
+                 AS BIGINT) AS b_sum,
+               CAST(SUM(i * val) AS BIGINT) AS pos_checksum
+        FROM v
+        GROUP BY doc_id, frame_idx
+        """,
+        "image_phash_neardup": """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(0 AS INTEGER) AS hamming
+        FROM documents a JOIN documents b
+          ON a.doc_id % 12 = b.doc_id % 12 AND a.doc_id < b.doc_id
+        WHERE a.doc_id < 240 AND b.doc_id < 240
+        """,
+        "multimodal_spectrogram": """
+        SELECT doc_id AS media_id,
+               CAST(16000 AS INTEGER) AS rate,
+               CAST(2048 AS BIGINT) AS n_samples,
+               CAST(2048 // (8 * (1 << (doc_id % 5))) AS BIGINT)
+                 AS dominant_bin,
+               CAST(2048 * (1000 + doc_id % 100) * (1000 + doc_id % 100)
+                 AS BIGINT) AS energy,
+               CAST(2 * (2048 // (8 * (1 << (doc_id % 5)))) - 1 AS BIGINT)
+                 AS zero_crossings
         FROM documents
         """,
         "ngram_jaccard": r"""

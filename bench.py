@@ -78,6 +78,12 @@ HEADLINE = [
     "multimodal_jpeg",
     "multimodal_jpeg_color",
     "multimodal_jpeg_progressive",
+    "multimodal_video",
+    "multimodal_spectrogram",
+    "image_phash_neardup",
+    "multimodal_gif",
+    "image_resize_real",
+    "warc_records",
     "span_removal",
     "dedup_clusters",
     "duplicate_spans",

@@ -108,8 +108,10 @@ def resize_media(df: DataFrame, width: int, height: int,
                  payload_col: str = "payload", mime_col: str = "mime",
                  id_col: str = "media_id") -> DataFrame:
     """media → (media_id, payload: binary, width, height) resized via
-    Arrow-batched mapInPandas (the codec itself is pluggable —
-    register_resizer; the sandbox default is a deterministic fake)."""
+    Arrow-batched mapInPandas.  The default sniffs PNG/JPEG/BMP and
+    resamples for REAL (_default_resize, PNG output); unparseable
+    payloads fall back to the deterministic fake; register_resizer
+    swaps in an external codec."""
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("payload", T.BinaryType()),
@@ -118,7 +120,7 @@ def resize_media(df: DataFrame, width: int, height: int,
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        resize = _RESIZER or _fake_resize
+        resize = _RESIZER or _default_resize
         for b in batches:
             out = [
                 resize(p if p is not None else b"", m, width, height)
@@ -1757,3 +1759,747 @@ def jpeg_plane_stats(df: DataFrame, payload_col: str = "payload",
                 "cr_sum"])
 
     return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Real codec #5: MJPEG-in-AVI video container (pure stdlib struct)
+# ---------------------------------------------------------------------------
+#
+# The brief's video axis ("frame-sample") was fake-decoded through round 6
+# because MP4/H.264 needs external libs.  Motion-JPEG in a RIFF/AVI
+# container needs neither: the container is plain chunk arithmetic and the
+# per-frame payloads are baseline JPEGs this repo already decodes for real
+# (decode_jpeg above).  Scope: single 'vids' stream, 'MJPG' fourcc,
+# '00dc'/'00db' frame chunks, idx1 index — the layout every MJPEG-writing
+# camera/ffmpeg emits.  A foreign MJPEG AVI therefore decodes for real;
+# the deterministic fake stays only for true MP4 payloads.
+
+_AVIF_HASINDEX = 0x00000010
+_AVIIF_KEYFRAME = 0x00000010
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    return fourcc + _struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) & 1 else b"")
+
+
+def _riff_list(listtype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", listtype + body)
+
+
+def encode_avi_mjpeg(frames: list, fps: int = 10) -> bytes:
+    """JPEG frame payloads → RIFF/AVI bytes (MJPG vids stream + idx1).
+
+    ``frames`` is a non-empty list of baseline-JPEG byte strings; the
+    frame dimensions are read from the first frame's SOF so the AVI
+    headers agree with the actual stream (a real muxer's obligation)."""
+    if not frames:
+        raise ValueError("encode_avi_mjpeg needs at least one frame")
+    _, (h, w), _ = decode_jpeg_planes(bytes(frames[0]))
+    n = len(frames)
+    avih = _struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,          # dwMicroSecPerFrame
+        sum(len(f) for f in frames) * fps // max(n, 1),  # dwMaxBytesPerSec
+        0,                         # dwPaddingGranularity
+        _AVIF_HASINDEX,            # dwFlags
+        n,                         # dwTotalFrames
+        0, 1,                      # dwInitialFrames, dwStreams
+        max(len(f) for f in frames),   # dwSuggestedBufferSize
+        w, h, 0, 0, 0, 0)          # dwWidth, dwHeight, dwReserved[4]
+    strh = (b"vids" + b"MJPG"
+            + _struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+                           1, fps,            # dwScale / dwRate
+                           0, n,              # dwStart / dwLength
+                           max(len(f) for f in frames),
+                           0xFFFFFFFF, 0, 0)  # quality, sampleSize, rcFrame
+            + _struct.pack("<HH", w, h))
+    strf = _struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                        w * h * 3, 0, 0, 0, 0)
+    hdrl = _riff_list(b"hdrl",
+                      _riff_chunk(b"avih", avih)
+                      + _riff_list(b"strl",
+                                   _riff_chunk(b"strh", strh)
+                                   + _riff_chunk(b"strf", strf)))
+    movi_body = b"movi"
+    offsets = []
+    for f in frames:
+        offsets.append(len(movi_body))   # offset of the ckid, from 'movi'
+        movi_body += _riff_chunk(b"00dc", bytes(f))
+    movi = _riff_chunk(b"LIST", movi_body)
+    idx1 = b"".join(
+        b"00dc" + _struct.pack("<III", _AVIIF_KEYFRAME, off, len(f))
+        for off, f in zip(offsets, frames))
+    riff_body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx1)
+    return b"RIFF" + _struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_frames(payload: bytes):
+    """RIFF/AVI bytes → ((fps, n_frames, width, height), [jpeg_bytes]).
+
+    Walks the RIFF tree like a real demuxer: reads avih for the header
+    dims/frame count, collects '??dc'/'??db' chunk bodies from the movi
+    list in stream order.  Tolerates extra chunks (JUNK, INFO, vprp) and
+    ignores idx1 — stream order is authoritative, as for a player that
+    must handle index-less files."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    meta = {"fps": 0, "n_frames": 0, "width": 0, "height": 0}
+    frames: list = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = buf[pos:pos + 4]
+            ln = _struct.unpack_from("<I", buf, pos + 4)[0]
+            body_start = pos + 8
+            body_end = min(body_start + ln, end)
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_end)
+            elif cid == b"avih" and ln >= 40:
+                (usec, _mbps, _pad, _flags, total, _init, _streams,
+                 _buf, w, h) = _struct.unpack_from("<IIIIIIIIII",
+                                                   buf, body_start)
+                meta.update(fps=(1_000_000 // usec if usec else 0),
+                            n_frames=total, width=w, height=h)
+            elif cid[2:4] in (b"dc", b"db"):
+                frames.append(buf[body_start:body_end])
+            pos = body_start + ln + (ln & 1)
+
+    walk(payload, 12, len(payload))
+    if not frames:
+        raise ValueError("AVI contains no video frame chunks")
+    return (meta["fps"], meta["n_frames"], meta["width"],
+            meta["height"]), frames
+
+
+def video_frame_stats(df: DataFrame, every_n: int = 1,
+                      payload_col: str = "payload",
+                      id_col: str = "media_id") -> DataFrame:
+    """Frame-sampled integer pixel stats through the REAL video path:
+    AVI demux → take every ``every_n``-th frame → real JPEG decode →
+    (media_id, frame_idx, n_frames, width, height, sum_px,
+    pos_checksum), one row per SAMPLED frame.  The container header and
+    the per-frame codec are both on the oracled path (n_frames/dims
+    from avih, pixel sums from the decoded plane); pos_checksum pins
+    the scanline layout per frame."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sum_px", T.LongType()),
+        T.StructField("pos_checksum", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx_cache: dict = {}
+        for b in batches:
+            rows = []
+            for mid, p in zip(b[id_col], b[payload_col]):
+                (fps, n_frames, aw, ah), frames = decode_avi_frames(
+                    bytes(p))
+                for fi in range(0, len(frames), every_n):
+                    px = decode_jpeg(frames[fi])
+                    h, w = px.shape[:2]
+                    flat = px.reshape(-1).astype(np.int64)
+                    idx = idx_cache.get(flat.size)
+                    if idx is None:
+                        idx = np.arange(flat.size, dtype=np.int64)
+                        idx_cache[flat.size] = idx
+                    rows.append((int(mid), fi, n_frames, w, h,
+                                 int(flat.sum()),
+                                 int((idx * flat).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "n_frames", "width", "height",
+                "sum_px", "pos_checksum"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Real audio DSP: spectrogram features over the real WAV decode
+# ---------------------------------------------------------------------------
+#
+# The audio axis's "feature-extract" step, for real: framed power
+# spectrogram via numpy rFFT (no external DSP libs).  The oracled query
+# uses integer square waves — dominant-bin, energy and zero-crossing
+# closed forms involve NO transcendentals, so Spark and DuckDB agree
+# bit-exactly while the actual FFT runs on the Spark side.
+
+
+def spectrogram(samples: np.ndarray, n_fft: int = 256,
+                hop: int = 128) -> np.ndarray:
+    """int16[n] PCM → float64[n_frames, n_fft//2 + 1] power spectrogram
+    (rectangular window; frames that would run past the end are
+    dropped, the standard 'center=False' convention)."""
+    s = np.asarray(samples, dtype=np.float64).reshape(-1)
+    if s.size < n_fft:
+        return np.zeros((0, n_fft // 2 + 1))
+    n_frames = 1 + (s.size - n_fft) // hop
+    idx = (np.arange(n_fft)[None, :]
+           + hop * np.arange(n_frames)[:, None])
+    spec = np.fft.rfft(s[idx], axis=1)
+    return (spec.real ** 2 + spec.imag ** 2)
+
+
+def band_energies(samples: np.ndarray, n_fft: int = 256,
+                  hop: int = 128, n_bands: int = FEATURE_DIM) -> np.ndarray:
+    """int16[n] PCM → float32[n_bands] log-power band profile: the
+    spectrogram averaged over time, bins folded into n_bands equal
+    groups — the fixed-width feature vector the similarity operators
+    join on (same contract as extract_features)."""
+    spec = spectrogram(samples, n_fft, hop)
+    if spec.shape[0] == 0:
+        return np.zeros(n_bands, dtype=np.float32)
+    prof = spec.mean(axis=0)[1:]          # drop DC
+    edges = np.linspace(0, prof.size, n_bands + 1).astype(int)
+    out = np.array([prof[a:b].mean() if b > a else 0.0
+                    for a, b in zip(edges[:-1], edges[1:])])
+    return np.log1p(out).astype(np.float32)
+
+
+def audio_spectrum_stats(df: DataFrame, n_fft: int = 2048,
+                         payload_col: str = "payload",
+                         id_col: str = "media_id") -> DataFrame:
+    """Integer spectral stats through the REAL WAV decode + rFFT,
+    Arrow-batched: (media_id, rate, n_samples, dominant_bin, energy,
+    zero_crossings).  dominant_bin is the argmax of the power spectrum
+    over bins 1..n_fft/2 of the first n_fft samples — for the oracled
+    square-wave corpus that lands exactly on the fundamental n_fft/p
+    with a 9.5 dB margin over the 3rd harmonic, so the float FFT's
+    verdict is stable; energy and zero_crossings are exact int64."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("dominant_bin", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, p in zip(b[id_col], b[payload_col]):
+                rate, s = decode_wav(bytes(p))
+                s = s.reshape(-1)
+                head = s[:n_fft].astype(np.float64)
+                spec = np.fft.rfft(head)
+                power = spec.real ** 2 + spec.imag ** 2
+                dom = int(np.argmax(power[1:])) + 1 if power.size > 1 else 0
+                s64 = s.astype(np.int64)
+                signs = np.sign(s64)
+                nz = signs[signs != 0]
+                zc = int((nz[1:] != nz[:-1]).sum()) if nz.size else 0
+                rows.append((int(mid), rate, s.size, dom,
+                             int((s64 * s64).sum()), zc))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "rate", "n_samples", "dominant_bin",
+                "energy", "zero_crossings"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (pHash) + banded hamming near-dup
+# ---------------------------------------------------------------------------
+#
+# The image half of corpus dedup: a 63-bit DCT perceptual hash (classic
+# pHash: mean-pool to 32x32, 2D orthonormal DCT-II, sign-vs-median of the
+# top-left 8x8 minus DC) computed through the REAL decoders above, then
+# the SAME banded candidate shape as MinHash-LSH over text
+# (dedup._lsh_candidates): only (doc_id, band, key) crosses the shuffle,
+# buckets are capped, and candidates are verified by exact hamming
+# distance JVM-side (bit_count(xor)).  Pixels never leave the map side.
+
+_PHASH_N = 32
+
+
+def _dct_mat_n(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    m[0] *= np.sqrt(1.0 / n)
+    m[1:] *= np.sqrt(2.0 / n)
+    return m
+
+
+_PHASH_DCT = _dct_mat_n(_PHASH_N)
+
+
+def phash64(gray: np.ndarray) -> int:
+    """uint8[h, w] grayscale → 63-bit perceptual hash (int, sign bit 0).
+
+    Mean-pool (area) resize to 32x32 when the image is at least that
+    big, nearest-index mapping below; orthonormal 2D DCT-II; bit i set
+    iff the i-th of the 63 non-DC top-left-8x8 coefficients (row-major)
+    exceeds their median.  Deterministic for identical pixels; robust to
+    the perturbations the unit tests pin (brightness shift, mild noise,
+    JPEG re-encode)."""
+    g = np.asarray(gray, dtype=np.float64)
+    if g.ndim == 3 and g.shape[2] == 1:              # gray with channel dim
+        g = g[..., 0]
+    elif g.ndim == 3:                    # RGB(A) → luma, the JFIF weights
+        g = 0.299 * g[..., 0] + 0.587 * g[..., 1] + 0.114 * g[..., 2]
+    h, w = g.shape
+    n = _PHASH_N
+    if h >= n and w >= n:
+        ye = np.linspace(0, h, n + 1).astype(np.int64)
+        xe = np.linspace(0, w, n + 1).astype(np.int64)
+        small = np.add.reduceat(np.add.reduceat(g, ye[:-1], axis=0),
+                                xe[:-1], axis=1)
+        small /= np.outer(np.diff(ye), np.diff(xe))
+    else:
+        small = g[(np.arange(n) * h) // n][:, (np.arange(n) * w) // n]
+    d = _PHASH_DCT @ small @ _PHASH_DCT.T
+    coefs = d[:8, :8].reshape(-1)[1:]            # drop DC
+    med = np.median(coefs)
+    bits = coefs > med
+    return int(np.packbits(
+        np.concatenate([bits, [False]]).astype(np.uint8),
+        bitorder="little").view("<u8")[0])
+
+
+def phash_df(df: DataFrame, payload_col: str = "payload",
+             mime_col: str = "mime", id_col: str = "media_id") -> DataFrame:
+    """media → (media_id, phash: long) through the real decoders,
+    Arrow-batched.  Payloads are sniffed like _default_decode: PNG, JPEG
+    (baseline or progressive) and BMP all hash for real."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, p in zip(b[id_col], b[payload_col]):
+                p = bytes(p) if p is not None else b""
+                if p[:8] == b"\x89PNG\r\n\x1a\n":
+                    px = decode_png(p)
+                elif p[:2] == b"\xff\xd8":
+                    px = decode_jpeg(p)
+                elif p[:2] == b"BM":
+                    px = decode_bmp(p)
+                else:
+                    raise ValueError("phash_df: unsupported payload")
+                rows.append((int(mid), phash64(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3,
+                        max_bucket: int = 512,
+                        id_col: str = "media_id",
+                        hash_col: str = "phash") -> DataFrame:
+    """(id_a < id_b, hamming) image near-dup pairs from a 63-bit pHash
+    column: four 16-bit bands bucket the candidates (pigeonhole — any
+    pair within hamming ≤ 3 of 64 bits shares at least one exact band
+    when 4 bands are used), each (band, key) bucket capped to its first
+    ``max_bucket`` ids, then exact hamming verification JVM-side via
+    bit_count(xor).  Only (id, band, key) crosses the shuffle; the
+    hashes rejoin by id for the verify step — same 100-TB shape as
+    minhash_lsh_pairs."""
+    from pyspark.sql.window import Window
+
+    if max_hamming >= 4:
+        raise ValueError("4 bands guarantee recall only for hamming <= 3")
+    h = hashes.select(F.col(id_col).alias("doc_id"),
+                      F.col(hash_col).alias("phash"))
+    banded = h.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     (F.shiftrightunsigned(F.col("phash"), 16 * b)
+                      .bitwiseAND(F.lit(0xFFFF))).alias("key"))
+            for b in range(4)
+        ])).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.key").alias("key"))
+    w = Window.partitionBy("band", "key").orderBy("doc_id")
+    banded = (banded.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= max_bucket).drop("__rn"))
+    cands = (banded.alias("l")
+             .join(banded.alias("r"), ["band", "key"])
+             .where(F.col("l.doc_id") < F.col("r.doc_id"))
+             .select(F.col("l.doc_id").alias("id_a"),
+                     F.col("r.doc_id").alias("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    ha = h.select(F.col("doc_id").alias("id_a"),
+                  F.col("phash").alias("__ha"))
+    hb = h.select(F.col("doc_id").alias("id_b"),
+                  F.col("phash").alias("__hb"))
+    return (cands.join(ha, "id_a").join(hb, "id_b")
+            .withColumn("hamming", F.bit_count(
+                F.col("__ha").bitwiseXOR(F.col("__hb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Real codec #6: GIF (pure Python LZW — no image libraries)
+# ---------------------------------------------------------------------------
+#
+# GIF87a/89a: logical screen + global/local color tables, variable-width
+# LZW, 4-pass interlacing, GIF89a graphic-control extensions
+# (transparency, frame delays, disposal) — the full static subset plus
+# animation frame extraction, validated against OS-shipped GIFs from
+# foreign encoders like the PNG/JPEG codecs.  The encoder emits a real
+# compressed LZW stream (dictionary resets on overflow), so round-trips
+# exercise both directions of the bit-level format.
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list:
+    """GIF LZW: variable-width codes, clear/end codes, 12-bit cap."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    dict_base = [(i,) for i in range(clear)] + [None, None]
+    table = list(dict_base)
+    width = min_code_size + 1
+    out: list = []
+    prev = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while pos < n or nbits >= width:
+        if nbits < width:
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+            continue
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(dict_base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + (entry[0],))
+        elif code == len(table):
+            entry = prev + (prev[0],)
+            if len(table) < 4096:
+                table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        out.extend(entry)
+        prev = entry
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF LZW encoder: emits CLEAR up front and on dictionary overflow
+    (the standard reset strategy every decoder handles)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    put(clear, width)
+    buf: tuple = ()
+    for sym in indices:
+        cand = buf + (int(sym),)
+        if cand in table:
+            buf = cand
+            continue
+        put(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            put(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        buf = (int(sym),)
+    if buf:
+        put(table[buf], width)
+    put(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(frames, palette: np.ndarray, delays=None,
+               transparent: int = -1) -> bytes:
+    """Indexed frames → GIF bytes.
+
+    ``frames``: one uint8[h, w] index array or a list of them (equal
+    dims; >1 frame emits a GIF89a animation with per-frame delays in
+    centiseconds, default 10).  ``palette``: uint8[n, 3] RGB, n ≤ 256.
+    ``transparent`` ≥ 0 marks that palette index transparent in every
+    frame's graphic-control extension."""
+    if isinstance(frames, np.ndarray) and frames.ndim == 2:
+        frames = [frames]
+    pal = np.asarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or pal.shape[0] > 256:
+        raise ValueError("palette must be uint8[n<=256, 3]")
+    n_pal = pal.shape[0]
+    pal_bits = max(1, (n_pal - 1).bit_length())
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((pal_bits - 1) & 7), 0, 0])   # GCT flag + size
+    table = np.zeros((1 << pal_bits, 3), dtype=np.uint8)
+    table[:n_pal] = pal
+    out += table.tobytes()
+    delays = list(delays) if delays is not None else [10] * len(frames)
+    animated = len(frames) > 1
+    if animated:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for fi, fr in enumerate(frames):
+        fr = np.asarray(fr, dtype=np.uint8)
+        if fr.shape != (h, w):
+            raise ValueError("all frames need identical dims")
+        if int(fr.max(initial=0)) >= n_pal:
+            raise ValueError("frame index outside palette")
+        if animated or transparent >= 0:
+            flags = 0x01 if transparent >= 0 else 0x00
+            out += (b"\x21\xf9\x04"
+                    + bytes([flags])
+                    + _struct.pack("<H", delays[fi] if animated else 0)
+                    + bytes([transparent if transparent >= 0 else 0, 0]))
+        out += b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        min_code = max(2, pal_bits)
+        out += bytes([min_code])
+        stream = _lzw_encode(fr.reshape(-1).tolist(), min_code)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """GIF bytes → (uint8[n_frames, h, w, 3] RGB, delays_cs list).
+
+    Full static + animation subset: global/local color tables,
+    interlacing, GIF89a graphic control (transparency composes over
+    the previous frame; disposal 2 restores background).  Frames are
+    returned fully composed at logical-screen size."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = _struct.unpack_from("<HH", payload, 6)
+    packed, bg_idx, _aspect = payload[10], payload[11], payload[12]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    frames = []
+    delays = []
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None and bg_idx < gct.shape[0]:
+        canvas[:] = gct[bg_idx]
+    transparent = -1
+    delay = 0
+    disposal = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:                      # trailer
+            break
+        if block == 0x21:                      # extension
+            label = payload[pos]
+            pos += 1
+            subs = []
+            while payload[pos]:
+                ln = payload[pos]
+                subs.append(payload[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            if label == 0xF9 and subs:
+                gce = subs[0]
+                disposal = (gce[0] >> 2) & 7
+                delay = _struct.unpack_from("<H", gce, 1)[0]
+                transparent = gce[3] if gce[0] & 1 else -1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        il, it, iw, ih = _struct.unpack_from("<HHHH", payload, pos)
+        ipacked = payload[pos + 8]
+        pos += 9
+        lct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            lct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if lct is None:
+            raise ValueError("GIF image without any color table")
+        min_code = payload[pos]
+        pos += 1
+        stream = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            stream += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = np.array(_lzw_decode(bytes(stream), min_code),
+                       dtype=np.int64)[:iw * ih].reshape(ih, iw)
+        if ipacked & 0x40:                     # interlaced
+            de = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                rows = range(start, ih, step)
+                for r in rows:
+                    de[r] = idx[src]
+                    src += 1
+            idx = de
+        prev = canvas.copy()
+        region = canvas[it:it + ih, il:il + iw]
+        rgb = lct[np.clip(idx, 0, lct.shape[0] - 1)]
+        if transparent >= 0:
+            mask = (idx != transparent)[..., None]
+            region[:] = np.where(mask, rgb, region)
+        else:
+            region[:] = rgb
+        frames.append(canvas.copy())
+        delays.append(delay)
+        if disposal == 2:                      # restore to background
+            bg = (gct[bg_idx] if gct is not None
+                  and bg_idx < gct.shape[0] else 0)
+            canvas[it:it + ih, il:il + iw] = bg
+        elif disposal == 3:                    # restore to previous
+            canvas = prev
+        transparent = -1
+        delay = 0
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return np.stack(frames), delays
+
+
+def gif_frame_stats(df: DataFrame, payload_col: str = "payload",
+                    id_col: str = "media_id") -> DataFrame:
+    """Integer per-frame RGB statistics through the REAL GIF decode
+    (LZW, color tables, graphic-control delays), Arrow-batched: one row
+    per frame — (media_id, frame_idx, n_frames, width, height,
+    delay_cs, r_sum, g_sum, b_sum, pos_checksum) with the
+    position-weighted checksum over the flat (y, x, c) RGB layout, the
+    discipline every codec surface here shares."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("delay_cs", T.LongType()),
+        T.StructField("r_sum", T.LongType()),
+        T.StructField("g_sum", T.LongType()),
+        T.StructField("b_sum", T.LongType()),
+        T.StructField("pos_checksum", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx_cache: dict = {}
+        for b in batches:
+            rows = []
+            for mid, p in zip(b[id_col], b[payload_col]):
+                frames, delays = decode_gif(bytes(p))
+                n, h, w, _ = frames.shape
+                for fi in range(n):
+                    fr = frames[fi].astype(np.int64)
+                    flat = fr.reshape(-1)
+                    idx = idx_cache.get(flat.size)
+                    if idx is None:
+                        idx = np.arange(flat.size, dtype=np.int64)
+                        idx_cache[flat.size] = idx
+                    rows.append((int(mid), fi, n, w, h,
+                                 int(delays[fi]),
+                                 int(fr[..., 0].sum()),
+                                 int(fr[..., 1].sum()),
+                                 int(fr[..., 2].sum()),
+                                 int((idx * flat).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "n_frames", "width", "height",
+                "delay_cs", "r_sum", "g_sum", "b_sum", "pos_checksum"])
+
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Real image resize (area downsample / nearest upsample, pure numpy)
+# ---------------------------------------------------------------------------
+#
+# With every common crawl image format decodable for real above, the
+# default resize path no longer needs the fake: sniff the payload,
+# decode, resample, re-encode as (lossless) PNG.  The fake remains only
+# for payloads no real reader could parse — mirroring _default_decode.
+
+
+def resize_image(px: np.ndarray, w: int, h: int) -> np.ndarray:
+    """uint8[h0, w0(, c)] → uint8[h, w(, c)]: per-axis area mean-pool
+    when shrinking (linspace edges, the pHash discipline), nearest
+    index mapping when growing.  Means over constant regions are exact
+    integers — the property the closed-form oracle relies on."""
+    g = np.asarray(px, dtype=np.float64)
+    squeeze = g.ndim == 2
+    if squeeze:
+        g = g[..., None]
+
+    def one_axis(a: np.ndarray, out: int, axis: int) -> np.ndarray:
+        n = a.shape[axis]
+        if out == n:
+            return a
+        if out < n:
+            edges = np.linspace(0, n, out + 1).astype(np.int64)
+            s = np.add.reduceat(a, edges[:-1], axis=axis)
+            shape = [1, 1, 1]
+            shape[axis] = out
+            return s / np.diff(edges).reshape(shape)
+        return np.take(a, (np.arange(out) * n) // out, axis=axis)
+
+    g = one_axis(one_axis(g, h, 0), w, 1)
+    g = np.rint(g).clip(0, 255).astype(np.uint8)
+    return g[..., 0] if squeeze else g
+
+
+def _default_resize(payload: bytes, mime: str, w: int, h: int) -> bytes:
+    """Signature-sniffing REAL resize: PNG/JPEG/BMP payloads decode,
+    resample and re-encode as PNG (lossless, any dims); anything else
+    falls back to the deterministic fake, like _default_decode."""
+    p = payload or b""
+    try:
+        if p[:8] == b"\x89PNG\r\n\x1a\n":
+            px = decode_png(p)
+        elif p[:2] == b"\xff\xd8":
+            px = decode_jpeg(p)
+        elif p[:2] == b"BM":
+            px = decode_bmp(p)
+        else:
+            return _fake_resize(p, mime, w, h)
+    except ValueError:
+        return _fake_resize(p, mime, w, h)
+    return encode_png(resize_image(px, w, h))

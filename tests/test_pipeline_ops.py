@@ -1644,3 +1644,407 @@ def test_contrastive_pairs_negatives_deterministic(spark, vectors):
     assert a == b
     negs = lambda rows: {t for t in rows if t[2] == "neg"}  # noqa: E731
     assert negs(a) != negs(c)  # seed changes the negative draw
+
+
+def test_avi_mjpeg_codec_roundtrip_and_foreign_layout():
+    """AVI container: encode→demux returns the exact JPEG frame bytes
+    and the header meta; the walker tolerates JUNK chunks and a missing
+    idx1 (stream order is authoritative), like a real player."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    qt = np.full((8, 8), 16, dtype=np.int64)
+    frames = [
+        mm.encode_jpeg(rng.integers(0, 256, size=(8, 16)).astype(np.uint8),
+                       qtable=qt)
+        for _ in range(4)
+    ]
+    avi = mm.encode_avi_mjpeg(frames, fps=25)
+    (fps, n, w, h), got = mm.decode_avi_frames(avi)
+    assert (fps, n, w, h) == (25, 4, 16, 8)
+    assert [bytes(f) for f in got] == [bytes(f) for f in frames]
+    # foreign-style layout: JUNK padding chunk between hdrl and movi,
+    # no idx1 — rebuild by splicing the encoder's output
+    movi_at = avi.index(b"LIST", 12 + 8)  # first LIST is hdrl
+    movi_at = avi.index(b"movi") - 8
+    idx_at = avi.index(b"idx1")
+    junk = b"JUNK" + struct.pack("<I", 6) + b"abcdef"
+    body = avi[12:movi_at] + junk + avi[movi_at:idx_at]
+    foreign = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    (fps2, n2, w2, h2), got2 = mm.decode_avi_frames(foreign)
+    assert (fps2, n2, w2, h2) == (25, 4, 16, 8)
+    assert [bytes(f) for f in got2] == [bytes(f) for f in frames]
+    with pytest.raises(ValueError):
+        mm.decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_video_frame_stats_closed_form(spark):
+    """video_frame_stats through the real AVI demux + JPEG decode
+    equals the closed-form integer math the DuckDB oracle uses
+    (6 frames, every 2nd sampled, 1x2 DC-only blocks)."""
+    import numpy as np
+
+    ones8 = np.ones((8, 8), dtype=np.int64)
+    bx = np.arange(2, dtype=np.int64)
+    rows = []
+    for d in (0, 3, 129, 5041):
+        frames = [
+            mm.encode_jpeg(np.kron(
+                (2 * ((d * 7 + f * 19 + bx * 3) % 128))[None, :],
+                ones8).astype(np.uint8))
+            for f in range(6)
+        ]
+        rows.append((d, bytearray(mm.encode_avi_mjpeg(frames, fps=10))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {(r.media_id, r.frame_idx): r
+           for r in mm.video_frame_stats(df, every_n=2).collect()}
+    assert len(got) == 4 * 3
+    for d, _ in rows:
+        for f in (0, 2, 4):
+            r = got[(d, f)]
+            v0 = 2 * ((d * 7 + f * 19) % 128)
+            v1 = 2 * ((d * 7 + f * 19 + 3) % 128)
+            assert (r.n_frames, r.width, r.height) == (6, 16, 8)
+            assert r.sum_px == 64 * (v0 + v1)
+            assert r.pos_checksum == 3808 * v0 + 4320 * v1
+
+
+def test_spectrogram_matches_naive_dft():
+    """The framed rFFT spectrogram equals a naive per-frame DFT within
+    float tolerance, and band_energies has the fixed feature width."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(-3000, 3000, size=1000, dtype=np.int16)
+    spec = mm.spectrogram(s, n_fft=256, hop=128)
+    assert spec.shape == (1 + (1000 - 256) // 128, 129)
+    frame0 = s[:256].astype(np.float64)
+    naive = np.abs(np.fft.rfft(frame0)) ** 2
+    assert np.allclose(spec[0], naive, rtol=1e-9, atol=1e-6)
+    feats = mm.band_energies(s)
+    assert feats.shape == (mm.FEATURE_DIM,) and feats.dtype == np.float32
+    assert mm.spectrogram(s[:100], n_fft=256).shape == (0, 129)
+
+
+def test_audio_spectrum_stats_closed_form(spark):
+    """audio_spectrum_stats through the real WAV decode + rFFT equals
+    the square-wave closed forms the DuckDB oracle uses (dominant bin =
+    fundamental n_fft/p, energy = N*A^2, crossings = 2N/p - 1)."""
+    import numpy as np
+
+    N = 2048
+    i = np.arange(N, dtype=np.int64)
+    rows = []
+    for d in (0, 1, 7, 123, 5042):
+        amp = 1000 + d % 100
+        p = 8 << (d % 5)
+        s = np.where((i % p) < p // 2, amp, -amp).astype(np.int16)
+        rows.append((d, bytearray(mm.encode_wav(s, rate=16000))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r
+           for r in mm.audio_spectrum_stats(df, n_fft=N).collect()}
+    for d, _ in rows:
+        amp = 1000 + d % 100
+        p = 8 << (d % 5)
+        r = got[d]
+        assert (r.rate, r.n_samples) == (16000, N)
+        assert r.dominant_bin == N // p
+        assert r.energy == N * amp * amp
+        assert r.zero_crossings == 2 * N // p - 1
+
+
+def test_phash_properties_and_invariance():
+    """pHash: deterministic bit packing (bit i == coefficient i),
+    robustness to brightness shift / mild noise / JPEG re-encode,
+    separation for unrelated content, and RGB luma folding."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(48, 64)).astype(np.uint8)
+    h = mm.phash64(img)
+    assert 0 <= h < 2 ** 63
+    assert mm.phash64(img.copy()) == h
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    shifted = np.clip(img.astype(int) + 20, 0, 255).astype(np.uint8)
+    assert ham(h, mm.phash64(shifted)) <= 3
+    noisy = np.clip(img.astype(int)
+                    + rng.integers(-4, 5, size=img.shape), 0,
+                    255).astype(np.uint8)
+    assert ham(h, mm.phash64(noisy)) <= 3
+    other = rng.integers(0, 256, size=(48, 64)).astype(np.uint8)
+    assert ham(h, mm.phash64(other)) > 10
+    # block-structured image survives a real JPEG round trip exactly
+    blocky = (np.kron(rng.integers(0, 32, size=(8, 8)),
+                      np.ones((8, 8))) * 8).astype(np.uint8)
+    assert ham(mm.phash64(blocky),
+               mm.phash64(mm.decode_jpeg(mm.encode_jpeg(blocky)))) == 0
+    rgb = np.stack([img, img, img], axis=-1)
+    assert mm.phash64(rgb) == h
+    # small images take the nearest-map path and still hash
+    assert 0 <= mm.phash64(img[:16, :16]) < 2 ** 63
+
+
+def test_phash_group_patterns_are_far():
+    """The image_phash_neardup oracle's correctness condition: the 12
+    construct-in-query group patterns are pairwise > max_hamming apart
+    (measured: min 16), so cross-group candidates never survive the
+    exact hamming verify.  Change the pattern formula in the entry UDF
+    and this pin together."""
+    import numpy as np
+
+    yy = np.arange(48, dtype=np.int64)[:, None]
+    xx = np.arange(64, dtype=np.int64)[None, :]
+    hashes = []
+    for g in range(12):
+        img = (((yy * 13 + xx * 7 + g * 101) * (2 * g + 3)
+                * 40503) // 256 % 256).astype(np.uint8)
+        hashes.append(mm.phash64(mm.decode_png(mm.encode_png(img))))
+    mn = min(bin(hashes[i] ^ hashes[j]).count("1")
+             for i in range(12) for j in range(i + 1, 12))
+    assert mn > 3, mn
+    assert mn == 16  # re-measure if the pattern or pHash changes
+
+
+def test_phash_neardup_pairs_banding(spark):
+    """phash_neardup_pairs finds exactly the near pairs: two identical
+    hashes (hamming 0), one hash 3 bits away (candidate via the
+    pigeonholed untouched band, kept), one 8 bits away spread over all
+    four bands (never bucketed together / would fail verify), and the
+    bucket cap keeps determinism."""
+    h0 = 0x123456789ABCDEF
+    h3 = h0 ^ 0b111                      # 3 flips inside band 0
+    h8 = h0 ^ 0x0101_0101_0101_0101     # 2 flips in every band
+    df = spark.createDataFrame(
+        [(1, h0), (2, h0), (3, h3), (4, h8)],
+        "media_id long, phash long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in mm.phash_neardup_pairs(df, max_hamming=3).collect()}
+    assert got == {(1, 2): 0, (1, 3): 3, (2, 3): 3}
+    with pytest.raises(ValueError):
+        mm.phash_neardup_pairs(df, max_hamming=4)
+
+
+def test_gif_codec_roundtrip_and_foreign_files():
+    """GIF codec: palette roundtrip (single + animated, delays,
+    256-color LZW dictionary overflow), every OS-shipped foreign GIF
+    on the box decodes (GIF87a + GIF89a), and a hand-interlaced
+    variant of our own stream deinterlaces to identical pixels."""
+    import glob
+    import struct
+
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    img = rng.integers(0, 16, size=(23, 37)).astype(np.uint8)
+    frames, delays = mm.decode_gif(mm.encode_gif(img, pal))
+    assert frames.shape == (1, 23, 37, 3) and delays == [0]
+    assert np.array_equal(frames[0], pal[img])
+    f2 = (img + 3) % 16
+    frames2, delays2 = mm.decode_gif(
+        mm.encode_gif([img, f2], pal, delays=[5, 7]))
+    assert delays2 == [5, 7]
+    assert np.array_equal(frames2[0], pal[img])
+    assert np.array_equal(frames2[1], pal[f2])
+    pal256 = rng.integers(0, 256, size=(256, 3)).astype(np.uint8)
+    big = rng.integers(0, 256, size=(64, 150)).astype(np.uint8)
+    frames3, _ = mm.decode_gif(mm.encode_gif(big, pal256))
+    assert np.array_equal(frames3[0], pal256[big])
+    # interlaced: permute our encoder's rows into pass order and set
+    # the interlace flag — the decoder must undo it exactly
+    h, w = img.shape
+    order = [r for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for r in range(s, h, st)]
+    inter = mm.encode_gif(img[order], pal)
+    desc_at = inter.index(b"\x2c")
+    patched = bytearray(inter)
+    patched[desc_at + 9] |= 0x40
+    got, _ = mm.decode_gif(bytes(patched))
+    assert np.array_equal(got[0], pal[img])
+    # foreign decoders' output parses (87a + 89a + one interlaced file)
+    files = sorted(glob.glob("/usr/share/doc/libxslt1-dev/html/*.gif"))
+    assert len(files) >= 5
+    for f in files:
+        data = open(f, "rb").read()
+        fr, _ = mm.decode_gif(data)
+        ww, hh = struct.unpack_from("<HH", data, 6)
+        assert fr.shape[1:] == (hh, ww, 3)
+    with pytest.raises(ValueError):
+        mm.decode_gif(b"NOTGIF")
+
+
+def test_gif_frame_stats_closed_form(spark):
+    """gif_frame_stats through the real encode/decode equals the
+    closed-form math the DuckDB oracle uses (2 frames, 16-color
+    palette, delays 3/9)."""
+    import numpy as np
+
+    pal = np.stack([(17 * np.arange(16) + 3) % 256,
+                    (29 * np.arange(16) + 7) % 256,
+                    (43 * np.arange(16) + 11) % 256],
+                   axis=1).astype(np.uint8)
+    yy = np.arange(12)[:, None]
+    xx = np.arange(20)[None, :]
+    rows = []
+    for d in (0, 7, 123, 5043):
+        frames = [((d + f * 5 + yy * 3 + xx) % 16).astype(np.uint8)
+                  for f in (0, 1)]
+        rows.append((d, bytearray(mm.encode_gif(frames, pal,
+                                                delays=[3, 9]))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {(r.media_id, r.frame_idx): r
+           for r in mm.gif_frame_stats(df).collect()}
+    assert len(got) == 8
+    for d, _ in rows:
+        for f in (0, 1):
+            rgb = pal[(d + f * 5 + yy * 3 + xx) % 16].astype(np.int64)
+            r = got[(d, f)]
+            assert (r.n_frames, r.width, r.height) == (2, 20, 12)
+            assert r.delay_cs == 3 + 6 * f
+            assert r.r_sum == int(rgb[..., 0].sum())
+            assert r.g_sum == int(rgb[..., 1].sum())
+            assert r.b_sum == int(rgb[..., 2].sum())
+            flat = rgb.reshape(-1)
+            assert r.pos_checksum == int(
+                (np.arange(flat.size) * flat).sum())
+
+
+def test_resize_image_and_default_resize():
+    """Real resize: area mean-pool is exact on block-constant images
+    (the oracle's property), nearest upsample, per-axis mixing, RGB,
+    and _default_resize sniffing (PNG/JPEG/BMP real, junk → fake)."""
+    import numpy as np
+
+    d = 77
+    by = np.arange(4)[:, None]
+    bx = np.arange(4)[None, :]
+    v = (d * 29 + by * 17 + bx * 13) % 256
+    img = np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+    exp = np.kron(v, np.ones((2, 2), dtype=np.int64)).astype(np.uint8)
+    assert np.array_equal(mm.resize_image(img, 8, 8), exp)
+    up = mm.resize_image(img, 64, 48)
+    assert up.shape == (48, 64)
+    assert mm.resize_image(img, 64, 8).shape == (8, 64)  # mixed axes
+    rgb = np.stack([img] * 3, axis=-1)
+    assert np.array_equal(mm.resize_image(rgb, 8, 8)[..., 0], exp)
+    out = mm.decode_png(mm._default_resize(mm.encode_png(img),
+                                           "image/png", 8, 8))
+    assert out.shape == (8, 8, 1) and np.array_equal(out[..., 0], exp)
+    out = mm.decode_png(mm._default_resize(mm.encode_bmp(rgb),
+                                           "image/bmp", 8, 8))
+    assert np.array_equal(out[..., 0], exp)
+    blocky = np.kron((2 * (v % 128)), np.ones((8, 8))).astype(np.uint8)
+    out = mm.decode_png(mm._default_resize(mm.encode_jpeg(blocky),
+                                           "image/jpeg", 8, 8))
+    assert np.array_equal(out[..., 0],
+                          np.kron(2 * (v % 128),
+                                  np.ones((2, 2))).astype(np.uint8))
+    fk = mm._default_resize(b"not an image", "image/png", 8, 8)
+    assert fk.startswith(b"resized:8x8:")
+
+
+def test_resize_media_real_path(spark):
+    """resize_media's default now resizes real payloads for real: a
+    block-constant PNG comes back as a PNG whose pixels equal the
+    closed-form block values; junk payloads still take the fake."""
+    import numpy as np
+
+    by = np.arange(4)[:, None]
+    bx = np.arange(4)[None, :]
+    rows = []
+    for d in (3, 88):
+        v = (d * 29 + by * 17 + bx * 13) % 256
+        img = np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        rows.append((d, bytearray(mm.encode_png(img)), "image/png"))
+    rows.append((99, bytearray(b"junk payload"), "image/png"))
+    df = spark.createDataFrame(rows,
+                               "media_id long, payload binary, mime string")
+    got = {r.media_id: r for r in mm.resize_media(df, 8, 8).collect()}
+    for d in (3, 88):
+        v = (d * 29 + by * 17 + bx * 13) % 256
+        exp = np.kron(v, np.ones((2, 2), dtype=np.int64)).astype(np.uint8)
+        px = mm.decode_png(bytes(got[d].payload))
+        assert np.array_equal(px[..., 0], exp)
+        assert (got[d].width, got[d].height) == (8, 8)
+    assert bytes(got[99].payload).startswith(b"resized:8x8:")
+
+
+def test_warc_build_parse_roundtrip():
+    """WARC/1.0 framing: build → parse roundtrip (gzip members and
+    plain), HTTP response splitting, case-insensitive headers, LF-only
+    foreign layout, and malformed input rejection."""
+    import hashlib
+
+    from katydid_haskell_spark.operators import warc as wr
+
+    recs = [
+        {"type": "warcinfo", "body": "software: test\r\n"},
+        {"type": "response", "uri": "https://example.com/a",
+         "date": "2026-01-01T00:00:00Z",
+         "body": b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                 b"X-Y: z\r\n\r\nhello body"},
+    ]
+    for compress in (True, False):
+        out = wr.parse_warc_records(wr.build_warc(recs, compress=compress))
+        assert [r["type"] for r in out] == ["warcinfo", "response"]
+        assert out[0]["body"] == b"software: test\r\n"
+        r = out[1]
+        assert r["uri"] == "https://example.com/a"
+        assert r["http_status"] == 200
+        assert r["http_headers"] == {"content-type": "text/plain",
+                                     "x-y": "z"}
+        assert r["http_body"] == b"hello body"
+        assert r["content_length"] == len(recs[1]["body"])
+    # deterministic bytes (mtime=0 discipline)
+    assert wr.build_warc(recs) == wr.build_warc(recs)
+    # LF-only foreign file with correct framing
+    body = b"HTTP/1.1 301 Moved\nLocation: /b\n\nmoved"
+    rec = (b"WARC/1.0\nWARC-Type: response\nWARC-Target-URI: http://x/\n"
+           + b"Content-Length: " + str(len(body)).encode() + b"\n\n"
+           + body + b"\n\n")
+    out = wr.parse_warc_records(rec)
+    assert out[0]["http_status"] == 301
+    assert out[0]["http_headers"] == {"location": "/b"}
+    assert out[0]["http_body"] == b"moved"
+    # body bytes that LOOK like a WARC header must not confuse framing
+    tricky = wr.build_warc([{"type": "resource",
+                             "body": b"WARC/1.0\r\nWARC-Type: fake\r\n"}],
+                           compress=False)
+    out = wr.parse_warc_records(tricky)
+    assert len(out) == 1 and out[0]["type"] == "resource"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        wr.parse_warc_records(b"HTTP/1.1 200 OK\r\n\r\n")
+
+
+def test_warc_records_spark(spark):
+    """warc_records explodes one row per record through the real
+    parser with the sentinel discipline (non-null columns)."""
+    import hashlib
+
+    from katydid_haskell_spark.operators import warc as wr
+
+    rows = []
+    for d, txt in ((1, "hello"), (2, "wörld")):
+        body = (b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/plain; charset=utf-8\r\n"
+                b"\r\n" + txt.encode("utf-8"))
+        rows.append((d, bytearray(wr.build_warc([
+            {"type": "warcinfo", "body": "software: t\r\n"},
+            {"type": "response", "uri": f"https://x/{d}", "body": body},
+        ]))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {(r.doc_id, r.record_idx): r
+           for r in wr.warc_records(df).collect()}
+    assert len(got) == 4
+    for d, txt in ((1, "hello"), (2, "wörld")):
+        wi = got[(d, 0)]
+        assert (wi.warc_type, wi.target_uri, wi.http_status,
+                wi.n_http_headers) == ("warcinfo", "", -1, -1)
+        r = got[(d, 1)]
+        assert r.warc_type == "response" and r.http_status == 200
+        assert r.body_len == len(txt.encode("utf-8"))
+        assert r.body_md5 == hashlib.md5(txt.encode("utf-8")).hexdigest()
+        assert r.content_length == 60 + len(txt.encode("utf-8"))
