@@ -41,6 +41,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id column of documents, repartitioned up to the session's
+    default parallelism (sources/partitioning.py:udf_parallelize — the
+    documented ingest seam for split-bound Arrow sweeps).  The
+    construct-in-query codec queries derive everything from doc_id, so
+    the exchange carries 8-byte rows while the per-doc codec work runs
+    at full parallelism; small single-file test inputs would otherwise
+    serialize every Python codec stage behind one input split."""
+    from katydid_haskell_spark.sources.partitioning import udf_parallelize
+
+    return udf_parallelize(
+        _t(spark, sf_dir, "documents").select("doc_id"))
+
+
 def _relapse_col(spec: str, schema) -> F.Column:
     return compile_to_column(compile_grammar(parse_grammar(spec)), schema)
 
@@ -1213,7 +1227,7 @@ def _q_multimodal_bmp(spark, sf_dir):
 
     from katydid_haskell_spark.operators import multimodal as mm
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_ids(spark, sf_dir)
     W, H = 10, 7
 
     @pandas_udf("binary")
@@ -1248,7 +1262,7 @@ def _q_multimodal_png(spark, sf_dir):
 
     from katydid_haskell_spark.operators import multimodal as mm
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_ids(spark, sf_dir)
     W, H, C = 6, 5, 4
 
     @pandas_udf("binary")
@@ -1284,7 +1298,7 @@ def _q_multimodal_jpeg(spark, sf_dir):
 
     from katydid_haskell_spark.operators import multimodal as mm
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_ids(spark, sf_dir)
     coef = np.array([[0, 3], [5, 8]], dtype=np.int64)  # by*5 + bx*3
 
     @pandas_udf("binary")
@@ -1321,7 +1335,7 @@ def _q_multimodal_jpeg_color(spark, sf_dir):
 
     from katydid_haskell_spark.operators import multimodal as mm
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_ids(spark, sf_dir)
     ycoef = np.array([[0, 3, 6, 9], [5, 8, 11, 14]],
                      dtype=np.int64)          # by*5 + bx*3
     mxs = np.arange(2, dtype=np.int64)
@@ -1361,7 +1375,7 @@ def _q_multimodal_jpeg_progressive(spark, sf_dir):
 
     from katydid_haskell_spark.operators import multimodal as mm
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_ids(spark, sf_dir)
     ycoef = np.array([[0, 3, 6, 9], [5, 8, 11, 14]],
                      dtype=np.int64)          # by*5 + bx*3
     mxs = np.arange(2, dtype=np.int64)
@@ -1398,7 +1412,7 @@ def _q_multimodal_wav(spark, sf_dir):
 
     from katydid_haskell_spark.operators import multimodal as mm
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_ids(spark, sf_dir)
     N = 256
 
     @pandas_udf("binary")
@@ -1432,7 +1446,7 @@ def _q_multimodal_video(spark, sf_dir):
 
     from katydid_haskell_spark.operators import multimodal as mm
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_ids(spark, sf_dir)
 
     @pandas_udf("binary")
     def make_avi(doc_id: pd.Series) -> pd.Series:
@@ -1471,7 +1485,7 @@ def _q_multimodal_spectrogram(spark, sf_dir):
 
     from katydid_haskell_spark.operators import multimodal as mm
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_ids(spark, sf_dir)
     N = 2048
 
     @pandas_udf("binary")
@@ -1489,6 +1503,85 @@ def _q_multimodal_spectrogram(spark, sf_dir):
     media = docs.select(F.col("doc_id").alias("media_id"),
                         make_wav(F.col("doc_id")).alias("payload"))
     return mm.audio_spectrum_stats(media, n_fft=N)
+
+
+def _q_media_curation_full(spark, sf_dir):
+    """The image-axis composite (training_prep_full's sibling): per doc
+    (doc_id < 240) a 32x32 block-constant PNG determined only by group
+    g = doc_id % 12 (v = (g*29 + by*17 + bx*13) % 256; pairwise pHash
+    hamming ≥ 10 across groups, pinned) → REAL pHash dedup (groupBy
+    hash, keep min id + member count) → broadcast the 12 winners back
+    onto their payloads → REAL resize to 8x8 → REAL PNG re-decode
+    stats.  Every stage's output is closed-form: winners are min
+    doc_id per residue class, counts come from the group sizes, and
+    the resized pixels are the exact block values (the
+    image_resize_real property).  Group rule/cap/block params mirrored
+    in the SQL — change together."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from katydid_haskell_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    by = np.arange(4)[:, None]
+    bx = np.arange(4)[None, :]
+    ones8 = np.ones((8, 8), dtype=np.int64)
+
+    @pandas_udf("binary")
+    def make_png(doc_id: pd.Series) -> pd.Series:
+        cache: dict = {}
+        out = []
+        for d in doc_id:
+            g = int(d) % 12
+            png = cache.get(g)
+            if png is None:
+                v = (g * 29 + by * 17 + bx * 13) % 256
+                png = mm.encode_png(np.kron(v, ones8).astype(np.uint8))
+                cache[g] = png
+            out.append(png)
+        return pd.Series(out)
+
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        make_png(F.col("doc_id")).alias("payload"),
+                        F.lit("image/png").alias("mime"))
+    winners = (mm.phash_df(media)
+               .groupBy("phash")
+               .agg(F.min("media_id").alias("media_id"),
+                    F.count(F.lit(1)).alias("n_members")))
+    survivors = media.join(
+        F.broadcast(winners.select("media_id", "n_members")), "media_id")
+    stats = mm.png_pixel_stats(mm.resize_media(survivors, 8, 8))
+    return (stats.join(
+        F.broadcast(winners.select("media_id", "n_members")), "media_id")
+        .select("media_id", "n_members", "width", "height", "channels",
+                "sum_all", "n_bright", "pos_checksum"))
+
+
+def _q_bpe_tokenize(spark, sf_dir):
+    """REAL byte-pair encoding under the value-hash gate: a merge
+    table trained by the deterministic BPE trainer (fixed demo
+    word-frequency corpus, ties broken lexicographically) tokenizes a
+    6-word text constructed per doc from the 16-entry DEMO_WORDS list
+    (word i = DEMO_WORDS[(doc_id*3 + i*5) % 16]); the Spark side runs
+    the actual merge-rank application loop word-by-word, the oracle
+    embeds each word's token count as a list literal derived from the
+    SAME shared trainer (tokenize.demo_token_counts — the auto_n_cells
+    shared-fn discipline).  Trainer or encoder drift breaks the
+    hash."""
+    from katydid_haskell_spark.operators import tokenize as tk
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.array(*[F.lit(w) for w in tk.DEMO_WORDS])
+    n = len(tk.DEMO_WORDS)
+    parts = [
+        F.element_at(words,
+                     ((F.col("doc_id") * 3 + i * 5) % n + 1)
+                     .cast("int"))
+        for i in range(6)
+    ]
+    text = F.concat_ws(" ", *parts)
+    src = docs.select("doc_id", text.alias("text"))
+    return tk.bpe_token_counts(src, tk.demo_merges())
 
 
 def _q_warc_records(spark, sf_dir):
@@ -1546,7 +1639,7 @@ def _q_image_resize_real(spark, sf_dir):
 
     from katydid_haskell_spark.operators import multimodal as mm
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_ids(spark, sf_dir)
     by = np.arange(4)[:, None]
     bx = np.arange(4)[None, :]
     ones8 = np.ones((8, 8), dtype=np.int64)
@@ -1578,7 +1671,7 @@ def _q_multimodal_gif(spark, sf_dir):
 
     from katydid_haskell_spark.operators import multimodal as mm
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_ids(spark, sf_dir)
     pal = np.stack([(17 * np.arange(16) + 3) % 256,
                     (29 * np.arange(16) + 7) % 256,
                     (43 * np.arange(16) + 11) % 256],
@@ -2430,6 +2523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif": _q_multimodal_gif,
         "image_resize_real": _q_image_resize_real,
         "warc_records": _q_warc_records,
+        "bpe_tokenize": _q_bpe_tokenize,
+        "media_curation_full": _q_media_curation_full,
         # changed in round 7 (plan-shape rewrites — want fresh rows)
         "retrieval_pairs": _q_retrieval_pairs,
         "vocab_topk": _q_vocab_topk,
@@ -2587,6 +2682,10 @@ def oracle_sql() -> dict[str, str]:
 
     oracle_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
                                "/root/testdata/sf0.01")
+    from katydid_haskell_spark.operators import tokenize as _tk
+    _bpe_counts = _tk.demo_token_counts()
+    _bpe_lit = "[" + ", ".join(
+        str(_bpe_counts[w]) for w in _tk.DEMO_WORDS) + "]"
     lang_hits = ",\n        ".join(
         f"len(list_distinct(list_intersect(w, {prof}))) AS hits_{lang}"
         for lang, prof in _LANG_PROFILES_SQL.items()
@@ -3033,6 +3132,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(64 * (v0 + v1) AS BIGINT) AS sum_px,
                CAST(3808 * v0 + 4320 * v1 AS BIGINT) AS pos_checksum
         FROM v
+        """,
+        "media_curation_full": """
+        WITH m AS (
+          SELECT doc_id % 12 AS g,
+                 MIN(doc_id) AS media_id,
+                 COUNT(*) AS n_members
+          FROM documents WHERE doc_id < 240 GROUP BY 1
+        )
+        SELECT media_id,
+               CAST(n_members AS BIGINT) AS n_members,
+               CAST(8 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS channels,
+               CAST(list_sum(list_transform(range(0, 64),
+                    i -> (g*29 + ((i//8)//2)*17 + ((i%8)//2)*13) % 256))
+                 AS BIGINT) AS sum_all,
+               CAST(len(list_filter(range(0, 64),
+                    i -> (g*29 + ((i//8)//2)*17 + ((i%8)//2)*13) % 256
+                         >= 128)) AS BIGINT) AS n_bright,
+               CAST(list_sum(list_transform(range(0, 64),
+                    i -> i * ((g*29 + ((i//8)//2)*17 + ((i%8)//2)*13)
+                              % 256))) AS BIGINT) AS pos_checksum
+        FROM m
+        """,
+        "bpe_tokenize": f"""
+        SELECT doc_id,
+               CAST(6 AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(range(0, 6),
+                    i -> list_extract({_bpe_lit},
+                         CAST((doc_id*3 + i*5) % 16 + 1 AS INTEGER))))
+                 AS BIGINT) AS n_tokens
+        FROM documents
         """,
         "warc_records": """
         WITH t AS (

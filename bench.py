@@ -84,6 +84,8 @@ HEADLINE = [
     "multimodal_gif",
     "image_resize_real",
     "warc_records",
+    "bpe_tokenize",
+    "media_curation_full",
     "span_removal",
     "dedup_clusters",
     "duplicate_spans",

@@ -2048,3 +2048,71 @@ def test_warc_records_spark(spark):
         assert r.body_len == len(txt.encode("utf-8"))
         assert r.body_md5 == hashlib.md5(txt.encode("utf-8")).hexdigest()
         assert r.content_length == 60 + len(txt.encode("utf-8"))
+
+
+def test_bpe_trainer_and_encoder():
+    """BPE: hand-checkable merges on a one-word corpus, deterministic
+    training (lexicographic tie-break), rank-order application,
+    unseen-word partial merges, and the demo literals the oracle
+    embeds."""
+    from katydid_haskell_spark.operators import tokenize as tk
+
+    m = tk.train_bpe({"aaab": 10}, 3)
+    assert m == [("a", "a"), ("a", "b</w>"), ("aa", "ab</w>")]
+    r = tk.merge_ranks(m)
+    assert tk.bpe_encode("aaab", r) == ["aaab</w>"]
+    assert tk.bpe_encode("aab", r) == ["aa", "b</w>"]
+    assert tk.bpe_encode("ba", r) == ["b", "a</w>"]
+    # determinism: same corpus, same merges, twice
+    assert tk.train_bpe(tk._DEMO_FREQS, tk.DEMO_N_MERGES) \
+        == tk.demo_merges()
+    counts = tk.demo_token_counts()
+    assert counts["the"] == 1                 # fully merged (seen)
+    assert counts["internationalization"] > 1  # long rare word
+    assert counts["foo"] == 2                  # unseen: f + oo? chars merge
+    # every token count positive and reconstruction lossless
+    ranks = tk.merge_ranks(tk.demo_merges())
+    for w in tk.DEMO_WORDS:
+        toks = tk.bpe_encode(w, ranks)
+        assert len(toks) == counts[w]
+        assert "".join(toks).replace("</w>", "") == w
+
+
+def test_bpe_token_counts_spark(spark):
+    """bpe_token_counts through Spark equals the per-word reference
+    (whitespace split on the shared explicit class)."""
+    from katydid_haskell_spark.operators import tokenize as tk
+
+    ranks = tk.merge_ranks(tk.demo_merges())
+    rows = [(1, "the data training"), (2, "internationalization foo"),
+            (3, ""), (4, "the\tdataset\x0bterse")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           tk.bpe_token_counts(df, tk.demo_merges()).collect()}
+    import re
+    ws = re.compile(tx.WS_RE)
+    for d, t in rows:
+        words = [w for w in ws.split(t) if w]
+        assert got[d].n_words == len(words)
+        assert got[d].n_tokens == sum(
+            len(tk.bpe_encode(w, ranks)) for w in words)
+
+
+def test_media_curation_block_patterns_separable():
+    """media_curation_full's correctness conditions: the 12
+    block-constant group patterns have pairwise-DISTINCT pHashes
+    (exact-equality dedup groups = residue classes; measured min
+    hamming 10) and each is byte-identical per group by construction."""
+    import numpy as np
+
+    by = np.arange(4)[:, None]
+    bx = np.arange(4)[None, :]
+    hs = []
+    for g in range(12):
+        v = (g * 29 + by * 17 + bx * 13) % 256
+        img = np.kron(v, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+        hs.append(mm.phash64(mm.decode_png(mm.encode_png(img))))
+    assert len(set(hs)) == 12
+    mn = min(bin(hs[i] ^ hs[j]).count("1")
+             for i in range(12) for j in range(i + 1, 12))
+    assert mn == 10  # re-measure if the pattern or pHash changes
