@@ -1505,6 +1505,29 @@ def _q_multimodal_spectrogram(spark, sf_dir):
     return mm.audio_spectrum_stats(media, n_fft=N)
 
 
+def _q_csv_roundtrip(spark, sf_dir):
+    """Native CSV format layer under the value-hash gate: each row's
+    (doc_id, lang, n_chars) is serialized by Spark's to_csv and parsed
+    back by from_csv (JVM-side, zero Python); the parsed fields and
+    the line's byte length must equal the oracle's direct re-derivation
+    (lang values are comma-free tokens by construction, so the
+    unquoted closed form 'id,lang,n' holds on both sides)."""
+    docs = _t(spark, sf_dir, "documents")
+    line = F.to_csv(F.struct(
+        F.col("doc_id"),
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars")))
+    parsed = F.from_csv(
+        line, "doc_id BIGINT, lang STRING, n_chars BIGINT")
+    return docs.select(
+        F.col("doc_id"),
+        F.octet_length(line).alias("line_len"),
+        parsed["doc_id"].alias("parsed_id"),
+        F.coalesce(parsed["lang"], F.lit("")).alias("parsed_lang"),
+        parsed["n_chars"].alias("parsed_n_chars"),
+    )
+
+
 def _q_media_curation_full(spark, sf_dir):
     """The image-axis composite (training_prep_full's sibling): per doc
     (doc_id < 240) a 32x32 block-constant PNG determined only by group
@@ -2525,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_records": _q_warc_records,
         "bpe_tokenize": _q_bpe_tokenize,
         "media_curation_full": _q_media_curation_full,
+        "csv_roundtrip": _q_csv_roundtrip,
         # changed in round 7 (plan-shape rewrites — want fresh rows)
         "retrieval_pairs": _q_retrieval_pairs,
         "vocab_topk": _q_vocab_topk,
@@ -3132,6 +3156,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(64 * (v0 + v1) AS BIGINT) AS sum_px,
                CAST(3808 * v0 + 4320 * v1 AS BIGINT) AS pos_checksum
         FROM v
+        """,
+        "csv_roundtrip": """
+        SELECT doc_id,
+               CAST(octet_length(encode(
+                    doc_id || ',' || COALESCE(lang, '') || ','
+                    || COALESCE(n_chars, 0))) AS INTEGER) AS line_len,
+               doc_id AS parsed_id,
+               COALESCE(lang, '') AS parsed_lang,
+               CAST(COALESCE(n_chars, 0) AS BIGINT) AS parsed_n_chars
+        FROM documents
         """,
         "media_curation_full": """
         WITH m AS (

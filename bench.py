@@ -86,6 +86,7 @@ HEADLINE = [
     "warc_records",
     "bpe_tokenize",
     "media_curation_full",
+    "csv_roundtrip",
     "span_removal",
     "dedup_clusters",
     "duplicate_spans",

@@ -68,3 +68,40 @@ def test_avi_roundtrip_random_frames(seed, n_frames, fps):
     assert (n, w, h) == (n_frames, 16, 8)
     assert got_fps == 1_000_000 // (1_000_000 // fps)
     assert [bytes(f) for f in got] == [bytes(f) for f in frames]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n_recs=st.integers(1, 6),
+    compress=st.booleans(),
+)
+def test_warc_roundtrip_random_records(seed, n_recs, compress):
+    """build_warc → parse_warc_records is the identity on types, URIs
+    and body bytes for random record lists — including bodies that
+    contain WARC-header look-alikes and CRLF runs (framing is
+    Content-Length-driven, never delimiter-driven)."""
+    import numpy as np
+
+    from katydid_haskell_spark.operators import warc as wr
+
+    rng = np.random.default_rng(seed)
+    recs = []
+    for i in range(n_recs):
+        kind = ["resource", "metadata", "response"][int(rng.integers(3))]
+        body = bytes(rng.integers(0, 256, size=int(rng.integers(0, 400)),
+                                  dtype=np.uint8))
+        if kind == "response":
+            body = b"HTTP/1.1 200 OK\r\nX-N: " + str(i).encode() \
+                + b"\r\n\r\n" + body
+        else:
+            # adversarial: embed a fake record header inside the body
+            body = b"WARC/1.0\r\nWARC-Type: fake\r\n\r\n" + body
+        recs.append({"type": kind, "uri": f"https://x/{i}", "body": body})
+    out = wr.parse_warc_records(wr.build_warc(recs, compress=compress))
+    assert len(out) == n_recs
+    for rec, got in zip(recs, out):
+        assert got["type"] == rec["type"]
+        assert got["uri"] == rec["uri"]
+        assert got["body"] == rec["body"]
+        assert got["content_length"] == len(rec["body"])

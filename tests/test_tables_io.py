@@ -74,3 +74,37 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bj_a")
         spark.sql("DROP TABLE IF EXISTS bj_b")
+
+
+def test_multi_format_roundtrip(spark, tmp_path):
+    """Source-format coverage beyond parquet: the same frame written
+    and re-read as ORC, CSV (with header) and JSONL keeps row content;
+    schema fidelity is exact for ORC (self-describing), and CSV/JSONL
+    re-reads apply an explicit schema (the production contract — crawl
+    CSV/JSONL always ships with a declared schema)."""
+    from pyspark.sql import functions as F
+
+    src = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id")).alias("w"),
+        (F.col("id") * 2).alias("n"),
+    )
+    rows = sorted((r.doc_id, r.w, r.n) for r in src.collect())
+
+    orc_p = str(tmp_path / "t.orc")
+    src.write.format("orc").save(orc_p)
+    orc = spark.read.format("orc").load(orc_p)
+    # ORC re-reads are nullable-by-default; names and types are exact
+    assert [(f.name, f.dataType) for f in orc.schema] \
+        == [(f.name, f.dataType) for f in src.schema]
+    assert sorted((r.doc_id, r.w, r.n) for r in orc.collect()) == rows
+
+    csv_p = str(tmp_path / "t.csv")
+    src.write.option("header", True).csv(csv_p)
+    csv = spark.read.option("header", True).schema(src.schema).csv(csv_p)
+    assert sorted((r.doc_id, r.w, r.n) for r in csv.collect()) == rows
+
+    jl_p = str(tmp_path / "t.jsonl")
+    src.write.json(jl_p)
+    jl = spark.read.schema(src.schema).json(jl_p)
+    assert sorted((r.doc_id, r.w, r.n) for r in jl.collect()) == rows
