@@ -1505,6 +1505,112 @@ def _q_multimodal_spectrogram(spark, sf_dir):
     return mm.audio_spectrum_stats(media, n_fft=N)
 
 
+def _q_asof_join_events(spark, sf_dir):
+    """As-of join under the value-hash gate (operators/joins.py): every
+    non-state event picks up the LATEST state event at-or-before its
+    timestamp for the same user (state rows = event_id % 17 == 0,
+    disjoint by construction) via the union-and-window composition —
+    one shuffle on user_id, no range explosion.  The oracle is
+    DuckDB's NATIVE ASOF LEFT JOIN, so the composition is checked
+    against an independent first-class implementation.  (user_id, ts)
+    is unique among state rows at every SF (verified), so the match is
+    well-defined; values are >= 0, so the -1 sentinels are
+    unambiguous."""
+    from katydid_haskell_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_id") % 17 != 0)
+    right = ev.filter(F.col("event_id") % 17 == 0)
+    out = asof_join(left, right, on="user_id",
+                    right_cols=["event_id", "value"],
+                    tiebreak="event_id")
+    return out.select(
+        "event_id", "user_id",
+        F.coalesce(F.col("asof_event_id"), F.lit(-1)).cast("long")
+         .alias("state_event_id"),
+        F.coalesce(F.col("asof_value"), F.lit(-1.0))
+         .alias("state_value"),
+    )
+
+
+def _q_range_join_windows(spark, sf_dir):
+    """Range join under the value-hash gate (operators/joins.py):
+    30-minute windows anchored at every event_id % 23 == 0 event count
+    the same user's events in [start, start + 30 min) via the
+    time-bucket equi-join (windows explode to <= 2 half-hour buckets,
+    events map to one; exact containment filters after the hash join —
+    the plan test pins that no BroadcastNestedLoopJoin appears).  The
+    oracle is the plain BETWEEN join DuckDB plans natively, so the
+    bucket decomposition is cross-checked against the direct
+    formulation."""
+    from katydid_haskell_spark.operators.joins import range_join_count
+
+    ev = _t(spark, sf_dir, "events")
+    windows = (ev.filter(F.col("event_id") % 23 == 0)
+               .select(F.col("event_id").alias("window_id"),
+                       "user_id", "ts"))
+    return range_join_count(ev, windows, on="user_id", event_ts="ts",
+                            window_id="window_id", start_ts="ts")
+
+
+def _q_stream_warc(spark, sf_dir):
+    """SIXTH streaming surface under the value-hash gate: a file
+    stream of documents rows gets the SAME per-doc two-record WARC
+    payload construction as warc_records, demuxed by the real parser
+    as a stateless streaming projection (stream_warc_records) into a
+    memory sink.  Streaming == batch by construction, so the oracle is
+    warc_records' SQL verbatim."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql.functions import pandas_udf
+
+    from katydid_haskell_spark.operators import warc as wr
+    from katydid_haskell_spark.streaming.stream_checks import (
+        stream_warc_records,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
+    sch = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(sch).parquet(d)
+
+    @pandas_udf("binary")
+    def make_warc(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for did, t in zip(doc_id, text):
+            t = t if isinstance(t, str) else ""
+            body = (b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/plain; charset=utf-8\r\n"
+                    b"\r\n" + t.encode("utf-8"))
+            out.append(wr.build_warc([
+                {"type": "warcinfo",
+                 "body": "software: katydid-spark 1.0\r\n"},
+                {"type": "response",
+                 "uri": f"https://corpus.example/doc/{int(did)}",
+                 "date": "2026-01-01T00:00:00Z",
+                 "body": body},
+            ]))
+        return pd.Series(out)
+
+    payloads = stream.select(
+        F.col("doc_id"),
+        make_warc(F.col("doc_id"),
+                  F.coalesce(F.col("text"), F.lit(""))).alias("payload"))
+    out = stream_warc_records(payloads)
+    name = "stream_warc_" + uuid.uuid4().hex[:12]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _q_csv_roundtrip(spark, sf_dir):
     """Native CSV format layer under the value-hash gate: each row's
     (doc_id, lang, n_chars) is serialized by Spark's to_csv and parsed
@@ -2549,6 +2655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": _q_bpe_tokenize,
         "media_curation_full": _q_media_curation_full,
         "csv_roundtrip": _q_csv_roundtrip,
+        "stream_warc": _q_stream_warc,
+        "asof_join_events": _q_asof_join_events,
+        "range_join_windows": _q_range_join_windows,
         # changed in round 7 (plan-shape rewrites — want fresh rows)
         "retrieval_pairs": _q_retrieval_pairs,
         "vocab_topk": _q_vocab_topk,
@@ -3157,6 +3266,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(3808 * v0 + 4320 * v1 AS BIGINT) AS pos_checksum
         FROM v
         """,
+        "asof_join_events": """
+        SELECT l.event_id, l.user_id,
+               COALESCE(r.event_id, -1) AS state_event_id,
+               COALESCE(r.value, -1.0) AS state_value
+        FROM (SELECT * FROM events WHERE event_id % 17 <> 0) l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_id % 17 = 0) r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_windows": """
+        SELECT w.event_id AS window_id, w.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_id % 23 = 0) w
+        JOIN events e
+          ON e.user_id = w.user_id
+         AND e.ts >= w.ts AND e.ts < w.ts + INTERVAL 30 MINUTE
+        GROUP BY 1, 2
+        """,
         "csv_roundtrip": """
         SELECT doc_id,
                CAST(octet_length(encode(
@@ -3199,7 +3326,7 @@ def oracle_sql() -> dict[str, str]:
                  AS BIGINT) AS n_tokens
         FROM documents
         """,
-        "warc_records": """
+        "warc_records": (_warc_sql := """
         WITH t AS (
           SELECT doc_id, COALESCE(text, '') AS txt FROM documents
         )
@@ -3222,7 +3349,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(octet_length(encode(txt)) AS BIGINT) AS body_len,
                md5(txt) AS body_md5
         FROM t
-        """,
+        """),
+        "stream_warc": _warc_sql,
         "image_resize_real": """
         SELECT doc_id AS media_id,
                CAST(8 AS INTEGER) AS width,

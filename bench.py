@@ -87,6 +87,9 @@ HEADLINE = [
     "bpe_tokenize",
     "media_curation_full",
     "csv_roundtrip",
+    "stream_warc",
+    "asof_join_events",
+    "range_join_windows",
     "span_removal",
     "dedup_clusters",
     "duplicate_spans",

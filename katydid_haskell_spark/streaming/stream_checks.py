@@ -212,3 +212,20 @@ def stream_route(stream: DataFrame, id_col: str,
             .withColumn("shard",
                         shard_expr("__sh", n_shards).cast("long"))
             .drop("__sh"))
+
+
+def stream_warc_records(stream: DataFrame,
+                        payload_col: str = "payload",
+                        id_col: str = "doc_id") -> DataFrame:
+    """SIXTH streaming surface: stateless crawl-container ingest — the
+    REAL WARC/1.0 demux (operators/warc.py: gzip members,
+    Content-Length framing, HTTP splitting) applied to a stream of
+    binary payloads as an Arrow-batched projection.  One row per
+    record, no watermark, no state store: a restart re-parses
+    identically and the batch oracle stays valid verbatim (the
+    stream_route discipline).  The crawl firehose shape: fetchers
+    append WARC files; this side turns them into typed record rows
+    without the bytes ever crossing an exchange."""
+    from katydid_haskell_spark.operators.warc import warc_records
+
+    return warc_records(stream, payload_col=payload_col, id_col=id_col)

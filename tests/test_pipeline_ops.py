@@ -2116,3 +2116,55 @@ def test_media_curation_block_patterns_separable():
     mn = min(bin(hs[i] ^ hs[j]).count("1")
              for i in range(12) for j in range(i + 1, 12))
     assert mn == 10  # re-measure if the pattern or pHash changes
+
+
+def test_asof_join_hand_cases(spark):
+    """asof_join: at-or-before matching, equal-timestamp right row
+    visible to the same-instant left row, no-match nulls, and
+    deterministic tiebreak (greatest id wins among equal (key, ts))."""
+    import datetime as dt
+
+    from katydid_haskell_spark.operators.joins import asof_join
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (2, 10, t(2)), (3, 10, t(1)), (4, 20, t(9))],
+        "lid long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, 10, t(2), 1.5), (101, 10, t(4), 2.5),
+         (102, 10, t(2), 9.9), (103, 30, t(0), 7.0)],
+        "rid long, user_id long, ts timestamp, v double")
+    out = {r.lid: r for r in asof_join(
+        left, right, on="user_id", right_cols=["rid", "v"],
+        tiebreak="rid").collect()}
+    assert (out[1].asof_rid, out[1].asof_v) == (101, 2.5)   # ts 5 -> ts 4
+    assert (out[2].asof_rid, out[2].asof_v) == (102, 9.9)   # tie: max rid
+    assert out[3].asof_rid is None                          # before first
+    assert out[4].asof_rid is None                          # no key match
+
+
+def test_range_join_plan_and_hand_case(spark):
+    """range_join_count: exact [start, start+30min) containment, and
+    the physical plan is a hash join on (key, bucket) — never a
+    BroadcastNestedLoopJoin / CartesianProduct."""
+    import datetime as dt
+
+    from katydid_haskell_spark.operators.joins import range_join_count
+
+    t = lambda m, s=0: dt.datetime(2026, 1, 1, 1, m, s)  # noqa: E731
+    events = spark.createDataFrame(
+        [(1, 10, t(0)), (2, 10, t(29, 59)), (3, 10, t(30)),
+         (4, 10, t(45)), (5, 20, t(1))],
+        "event_id long, user_id long, ts timestamp")
+    windows = spark.createDataFrame(
+        [(900, 10, t(0)), (901, 20, t(50))],
+        "window_id long, user_id long, ts timestamp")
+    out = range_join_count(events, windows, on="user_id",
+                           event_ts="ts", window_id="window_id",
+                           start_ts="ts")
+    got = {r.window_id: r.n_events for r in out.collect()}
+    # window 900: events at :00 and :29:59 in, :30 excluded (half-open)
+    assert got == {900: 2}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
