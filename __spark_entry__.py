@@ -1505,6 +1505,29 @@ def _q_multimodal_spectrogram(spark, sf_dir):
     return mm.audio_spectrum_stats(media, n_fft=N)
 
 
+def _q_rollup_cascade(spark, sf_dir):
+    """Hypertable-style continuous-aggregate cascade under the
+    value-hash gate: hourly partials (count + exact-decimal sum) are
+    the materialized unit, and the daily rollup re-aggregates the
+    PARTIALS — never the raw rows — exactly how a 100-TB hypertable
+    serves day/month queries from hour chunks.  The oracle computes
+    the daily answer DIRECTLY from raw rows, so the gate checks the
+    mergeability of the partials (decimal sums are associative;
+    double sums would not hash — the round-5 exact-decimal
+    discipline, ROUND(decimal, 2) then cast double on both sides)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.col("value").cast("decimal(18,4)"))
+                    .alias("s")))
+    daily = (hourly.groupBy(
+        F.date_format(F.date_trunc("day", F.col("h")),
+                      "yyyy-MM-dd").alias("day"))
+        .agg(F.sum("n").alias("n_events"),
+             F.round(F.sum("s"), 2).cast("double").alias("sum_value")))
+    return daily
+
+
 def _q_asof_join_events(spark, sf_dir):
     """As-of join under the value-hash gate (operators/joins.py): every
     non-state event picks up the LATEST state event at-or-before its
@@ -2656,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_curation_full": _q_media_curation_full,
         "csv_roundtrip": _q_csv_roundtrip,
         "stream_warc": _q_stream_warc,
+        "rollup_cascade": _q_rollup_cascade,
         "asof_join_events": _q_asof_join_events,
         "range_join_windows": _q_range_join_windows,
         # changed in round 7 (plan-shape rewrites — want fresh rows)
@@ -3265,6 +3289,14 @@ def oracle_sql() -> dict[str, str]:
                CAST(64 * (v0 + v1) AS BIGINT) AS sum_px,
                CAST(3808 * v0 + 4320 * v1 AS BIGINT) AS pos_checksum
         FROM v
+        """,
+        "rollup_cascade": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2)
+                 AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1
         """,
         "asof_join_events": """
         SELECT l.event_id, l.user_id,

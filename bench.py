@@ -88,6 +88,7 @@ HEADLINE = [
     "media_curation_full",
     "csv_roundtrip",
     "stream_warc",
+    "rollup_cascade",
     "asof_join_events",
     "range_join_windows",
     "span_removal",
