@@ -108,3 +108,63 @@ def test_multi_format_roundtrip(spark, tmp_path):
     src.write.json(jl_p)
     jl = spark.read.schema(src.schema).json(jl_p)
     assert sorted((r.doc_id, r.w, r.n) for r in jl.collect()) == rows
+
+
+def test_zorder_write_narrows_file_spans(spark, tmp_path):
+    """Z-order clustering: after zorder_write on (x, y), each output
+    file's min/max span is narrow in BOTH dimensions, vs a naive
+    insertion-order write where late files span the full y range —
+    the property min/max data skipping prunes on."""
+    from pyspark.sql import functions as F
+
+    from katydid_haskell_spark.sources.layout import (
+        file_spans,
+        zorder_write,
+    )
+
+    n = 20_000
+    # x is insertion-ordered, y is decorrelated: naive layout is
+    # perfect on x and useless on y
+    df = spark.range(n).select(
+        F.col("id").alias("x"),
+        ((F.col("id") * 7919) % n).alias("y"),
+    )
+    naive = str(tmp_path / "naive")
+    df.repartitionByRange(8, "x").write.parquet(naive)
+    zo = str(tmp_path / "zo")
+    zorder_write(df, zo, ["x", "y"], n_files=8)
+
+    def avg_span(spans, c):
+        return sum(s[f"max_{c}"] - s[f"min_{c}"] for s in spans) / len(spans)
+
+    nv = file_spans(spark, naive, ["x", "y"])
+    zv = file_spans(spark, zo, ["x", "y"])
+    assert avg_span(nv, "y") > 0.9 * n          # naive: y unpruned
+    assert avg_span(zv, "y") < 0.6 * n          # z-order: y narrowed
+    assert avg_span(zv, "x") < 0.6 * n          # ... without losing x
+    # content preserved
+    assert spark.read.parquet(zo).count() == n
+
+
+def test_compact_files_roundtrip(spark, tmp_path):
+    """compact_files bin-packs many small files into few, preserves
+    rows exactly, and leaves no staging debris."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from katydid_haskell_spark.sources.layout import compact_files
+
+    target = str(tmp_path / "t")
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"))
+    df.repartition(40).write.parquet(target)
+    before = sum(1 for f in os.listdir(target) if f.endswith(".parquet"))
+    assert before >= 30
+    rows_before = sorted(r.id for r in spark.read.parquet(target).collect())
+    n_after = compact_files(spark, target, target_bytes=1 << 30)
+    assert n_after == 1
+    assert sorted(r.id for r in
+                  spark.read.parquet(target).collect()) == rows_before
+    assert not os.path.exists(target + ".__compact__")
+    assert not os.path.exists(target + ".__old__")
