@@ -1505,6 +1505,33 @@ def _q_multimodal_spectrogram(spark, sf_dir):
     return mm.audio_spectrum_stats(media, n_fft=N)
 
 
+def _q_embedding_quantize(spark, sf_dir):
+    """int8 embedding quantization under the value-hash gate
+    (similarity.quantize_embeddings): codes = clamp(round(v*127)),
+    reduced to integer per-vector stats (sum, sum-abs, index-weighted
+    checksum) — all exact int64 on both engines; the rounding
+    semantics (half away from zero) and the zero-boundary-hit property
+    are documented in the operator.  Scale literal 127 appears in the
+    operator call AND the SQL — change together."""
+    from katydid_haskell_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "embedding", "vec_id", scale=127)
+    return q.select(
+        "vec_id",
+        F.size("codes").cast("long").alias("n_dims"),
+        F.expr("aggregate(codes, 0L, (a, c) -> a + c)")
+         .alias("sum_codes"),
+        F.expr("aggregate(codes, 0L, (a, c) -> a + abs(c))")
+         .alias("sum_abs"),
+        F.expr("aggregate(zip_with(codes, sequence(0, size(codes)-1),"
+               " (c, i) -> CAST(c AS BIGINT) * i), 0L, (a, x) -> a + x)")
+         .alias("pos_checksum"),
+    )
+
+
 def _q_rollup_cascade(spark, sf_dir):
     """Hypertable-style continuous-aggregate cascade under the
     value-hash gate: hourly partials (count + exact-decimal sum) are
@@ -2679,6 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_curation_full": _q_media_curation_full,
         "csv_roundtrip": _q_csv_roundtrip,
         "stream_warc": _q_stream_warc,
+        "embedding_quantize": _q_embedding_quantize,
         "rollup_cascade": _q_rollup_cascade,
         "asof_join_events": _q_asof_join_events,
         "range_join_windows": _q_range_join_windows,
@@ -3289,6 +3317,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(64 * (v0 + v1) AS BIGINT) AS sum_px,
                CAST(3808 * v0 + 4320 * v1 AS BIGINT) AS pos_checksum
         FROM v
+        """,
+        "embedding_quantize": """
+        WITH c AS (
+          SELECT vec_id,
+                 list_transform(embedding, v ->
+                   CAST(greatest(-127, least(127,
+                        round(CAST(v AS DOUBLE) * 127))) AS BIGINT))
+                   AS codes
+          FROM embeddings
+        )
+        SELECT vec_id,
+               CAST(len(codes) AS BIGINT) AS n_dims,
+               CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+               CAST(list_sum(list_transform(codes, x -> abs(x)))
+                 AS BIGINT) AS sum_abs,
+               CAST(list_sum(list_transform(range(0, len(codes)),
+                    i -> i * codes[i + 1])) AS BIGINT) AS pos_checksum
+        FROM c
         """,
         "rollup_cascade": """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

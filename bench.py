@@ -89,6 +89,7 @@ HEADLINE = [
     "csv_roundtrip",
     "stream_warc",
     "rollup_cascade",
+    "embedding_quantize",
     "asof_join_events",
     "range_join_windows",
     "span_removal",
