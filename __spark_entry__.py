@@ -1505,6 +1505,42 @@ def _q_multimodal_spectrogram(spark, sf_dir):
     return mm.audio_spectrum_stats(media, n_fft=N)
 
 
+def _q_pq_codes(spark, sf_dir):
+    """Product-quantization codes under the value-hash gate: the Spark
+    trainer reads the ordered 2048-row sample (ORDER BY vec_id), trains
+    the m=8 x ksub=16 sub-codebooks with the shared train_pq, and the
+    Arrow encoder assigns codes with the _ordered_matmul parity
+    discipline (score = c.c-literal - 2 * ordered-dot; ties to lowest
+    code).  The oracle re-derives the SAME codebooks from the same
+    parquet and expresses each argmin in SQL — codes agree bit-exactly
+    (cross-checked in oracles.pq_codes_sql's docstring test).  PQ is
+    the memory-bound ANN path: 64x smaller corpus residency; the ADC
+    search (similarity.pq_topk) is recall-gated in tests."""
+    import numpy as np
+
+    from katydid_haskell_spark.operators.similarity import (
+        pq_codes_df,
+        train_pq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = np.array(
+        [r.embedding for r in
+         emb.orderBy("vec_id").limit(2048).collect()],
+        dtype=np.float64)
+    books = train_pq(sample, m=8, ksub=16, iters=8, seed=7)
+    codes = pq_codes_df(emb, books)
+    return codes.select(
+        "vec_id",
+        F.lit(8).cast("long").alias("m"),
+        F.expr("aggregate(codes, 0L, (a, c) -> a + c)")
+         .alias("sum_codes"),
+        F.expr("aggregate(zip_with(codes, sequence(0, size(codes)-1),"
+               " (c, j) -> CAST(c AS BIGINT) * j), 0L, (a, x) -> a + x)")
+         .alias("pos_checksum"),
+    )
+
+
 def _q_embedding_quantize(spark, sf_dir):
     """int8 embedding quantization under the value-hash gate
     (similarity.quantize_embeddings): codes = clamp(round(v*127)),
@@ -2706,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_curation_full": _q_media_curation_full,
         "csv_roundtrip": _q_csv_roundtrip,
         "stream_warc": _q_stream_warc,
+        "pq_codes": _q_pq_codes,
         "embedding_quantize": _q_embedding_quantize,
         "rollup_cascade": _q_rollup_cascade,
         "asof_join_events": _q_asof_join_events,
@@ -3318,6 +3355,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(3808 * v0 + 4320 * v1 AS BIGINT) AS pos_checksum
         FROM v
         """,
+        "pq_codes": orc.pq_codes_sql(oracle_sf),
         "embedding_quantize": """
         WITH c AS (
           SELECT vec_id,

@@ -90,6 +90,7 @@ HEADLINE = [
     "stream_warc",
     "rollup_cascade",
     "embedding_quantize",
+    "pq_codes",
     "asof_join_events",
     "range_join_windows",
     "span_removal",

@@ -643,3 +643,166 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
             F.least(F.lit(scale),
                     F.round(v.cast("double") * scale, 0).cast("int"))))
     return df.select(F.col(id_col), codes.alias("codes"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN scale path
+# ---------------------------------------------------------------------------
+#
+# IVF prunes WHICH vectors a query scores; PQ shrinks WHAT each scored
+# vector costs: m sub-codebooks of ksub centroids turn a float32[dim]
+# into m uint8 codes (64x smaller at dim=64/m=8), and asymmetric
+# distance (ADC) scores candidates from an m x ksub lookup table without
+# touching the original floats.  Training is driver-side over a bounded
+# ordered sample (the IVF-trainer precedent); encoding follows the
+# _ordered_matmul parity discipline so the DuckDB oracle reproduces
+# every code bit-exactly (scores are c.c-literal - 2 * ordered-dot, and
+# both engines fold the dot left-to-right).
+
+
+def kmeans_plain(x: "np.ndarray", k: int, iters: int = 8,
+                 seed: int = 7) -> "np.ndarray":
+    """Plain-L2 Lloyd k-means on float64 rows, deterministic: seeded
+    init, first-index argmin ties, empty clusters keep their centroid.
+    Shared by the Spark-side trainer and the oracle builder — both must
+    produce bit-identical centroids from the same sample."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def train_pq(x: "np.ndarray", m: int = 8, ksub: int = 16,
+             iters: int = 8, seed: int = 7) -> List[List[List[float]]]:
+    """(n, dim) float64 sample → m sub-codebooks of ksub centroids
+    (dim % m == 0; subspace j trains with seed + j)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    if x.shape[1] % m:
+        raise ValueError("dim must divide into m subspaces")
+    d = x.shape[1] // m
+    return [
+        kmeans_plain(x[:, j * d:(j + 1) * d], ksub, iters, seed + j).tolist()
+        for j in range(m)
+    ]
+
+
+def _ordered_sq(v) -> float:
+    """Strict left-to-right sum of squares (the literal the oracle
+    inlines; no SQL-side recomputation, hence no fold-order hazard)."""
+    acc = 0.0
+    for w in v:
+        acc += float(w) * float(w)
+    return acc
+
+
+def pq_encode_batch(x: "np.ndarray",
+                    books: List[List[List[float]]]) -> "np.ndarray":
+    """(n, dim) → (n, m) int codes.  Per subspace: score_c =
+    (c.c literal) - 2 * ordered_dot(sub, c); argmin, first index on
+    exact ties — bit-identical to the oracle's ORDER BY score, code."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    m = len(books)
+    d = x.shape[1] // m
+    out = np.empty((x.shape[0], m), dtype=np.int64)
+    for j, book in enumerate(books):
+        cents = np.asarray(book, dtype=np.float64)
+        sub = x[:, j * d:(j + 1) * d]
+        sq = np.array([_ordered_sq(c) for c in book])
+        scores = sq[None, :] - 2.0 * _ordered_matmul(sub, cents.T)
+        out[:, j] = scores.argmin(axis=1)
+    return out
+
+
+def pq_codes_df(df: DataFrame, books: List[List[List[float]]],
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """corpus → (vec_id, codes: array<int>) through the Arrow-batched
+    parity-disciplined encoder; the codebooks ride the closure
+    (m x ksub x d floats — bounded, never corpus-scale)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    dim = len(books) * len(books[0][0])
+    out_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("codes", T.ArrayType(T.IntegerType())),
+    ])
+
+    def run(batches):
+        for b in batches:
+            x = _stack(b[vec_col], dim)
+            codes = pq_encode_batch(x, books)
+            yield pd.DataFrame({
+                "vec_id": b[id_col].astype("int64"),
+                "codes": [c.astype("int32").tolist() for c in codes],
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(run, out_schema)
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int,
+            books: List[List[List[float]]], k: int = 10,
+            vec_col: str = "embedding",
+            id_col: str = "vec_id") -> DataFrame:
+    """ADC search: corpus stored ONLY as PQ codes; each query builds an
+    m x ksub inner-product lookup table and candidates score as
+    sum_j table[j][code_j] ≈ q . v — the memory shape that lets one
+    executor hold 64x more corpus.  Approximate by construction; gate
+    with a recall test against brute force, never an exact oracle."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    m = len(books)
+    codes = pq_codes_df(corpus, books, vec_col, id_col)
+    qrows = queries.select(id_col, vec_col).collect()
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qids = [int(r[0]) for r in qrows]
+    d = dim // m
+    # lookup[q][j][c] = q_sub . cent_c
+    luts = []
+    for qi in range(len(qids)):
+        lut = np.empty((m, len(books[0])))
+        for j, book in enumerate(books):
+            cents = np.asarray(book, dtype=np.float64)
+            lut[j] = cents @ qmat[qi, j * d:(j + 1) * d]
+        luts.append(lut)
+    luts_b = np.stack(luts) if luts else np.zeros((0, m, 1))
+
+    out_schema = T.StructType([
+        T.StructField("q_id", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+
+    def run(batches):
+        for b in batches:
+            ids = b["vec_id"].to_numpy()
+            cd = np.stack(b["codes"].to_numpy())          # (n, m)
+            rows = {"q_id": [], "vec_id": [], "score": []}
+            for qi, qid in enumerate(qids):
+                s = luts_b[qi][np.arange(m)[None, :], cd].sum(axis=1)
+                rows["q_id"].extend([qid] * len(ids))
+                rows["vec_id"].extend(ids.tolist())
+                rows["score"].extend(s.tolist())
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql.window import Window
+
+    scored = codes.mapInPandas(run, out_schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "vec_id", "rank"))

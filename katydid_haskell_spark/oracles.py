@@ -751,3 +751,73 @@ def minhash_lookup_sql(num_hashes: int = 32, bands: int = 8,
       FROM withsets
     ) WHERE jaccard >= {min_jaccard}
     """
+
+
+def pq_codes_sql(sf_dir: str, dim: int = 64, m: int = 8, ksub: int = 16,
+                 sample: int = 2048, iters: int = 8, seed: int = 7) -> str:
+    """PQ-code oracle: sub-codebooks re-derived from the SAME ordered
+    training sample the Spark trainer reads (``ORDER BY vec_id LIMIT
+    sample``) via the shared ``train_pq`` — bit-identical float64
+    constants — then each subspace's argmin expressed in SQL with the
+    score form the encoder uses: (c.c literal) - 2 *
+    list_inner_product(sub, cent).  The inner product is DuckDB's
+    left-to-right fold, matched on the Spark side by _ordered_matmul,
+    so codes agree bit-exactly (ties break to the lowest code on both
+    sides)."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT {sample}"
+    ).fetchall()
+    con.close()
+    from .operators.similarity import _ordered_sq, train_pq
+
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    books = train_pq(x, m=m, ksub=ksub, iters=iters, seed=seed)
+    d = dim // m
+
+    def clit(c):
+        return "[" + ", ".join(repr(float(w)) for w in c) + "]"
+
+    score_cols = []
+    whens = []
+    for j, book in enumerate(books):
+        a, b = j * d + 1, (j + 1) * d
+        for c, cent in enumerate(book):
+            sq = _ordered_sq(cent)
+            score_cols.append(
+                f"({sq!r}) - 2 * list_inner_product("
+                f"CAST(embedding[{a}:{b}] AS DOUBLE[]), {clit(cent)})"
+                f" AS s_{j}_{c}")
+            whens.append(f"WHEN j = {j} AND c = {c} THEN s_{j}_{c}")
+    jc_values = ", ".join(
+        f"({j}, {c})" for j in range(m) for c in range(ksub))
+    score_block = ",\n             ".join(score_cols)
+    return f"""
+    WITH sims AS (
+      SELECT vec_id,
+             {score_block}
+      FROM embeddings
+    ),
+    long AS (
+      SELECT vec_id, t.j, t.c,
+             CASE {' '.join(whens)} END AS score
+      FROM sims CROSS JOIN (VALUES {jc_values}) AS t(j, c)
+    ),
+    codes AS (
+      SELECT vec_id, j, c AS code FROM (
+        SELECT vec_id, j, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                  ORDER BY score ASC, c ASC) AS rn
+        FROM long) WHERE rn = 1
+    )
+    SELECT vec_id,
+           CAST({m} AS BIGINT) AS m,
+           CAST(SUM(code) AS BIGINT) AS sum_codes,
+           CAST(SUM(j * code) AS BIGINT) AS pos_checksum
+    FROM codes
+    GROUP BY vec_id
+    """

@@ -2168,3 +2168,59 @@ def test_range_join_plan_and_hand_case(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_trainer_encoder_deterministic():
+    """PQ: shared trainer is deterministic, codes reconstruct within
+    quantization error, and the parity-disciplined encoder matches a
+    naive per-row argmin."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(500, 64))
+    b1 = sim.train_pq(x, m=8, ksub=16)
+    b2 = sim.train_pq(x, m=8, ksub=16)
+    assert b1 == b2
+    codes = sim.pq_encode_batch(x, b1)
+    assert codes.shape == (500, 8) and codes.min() >= 0 and codes.max() < 16
+    # naive reference: plain L2 argmin per subspace
+    for j in range(8):
+        cents = np.asarray(b1[j])
+        sub = x[:, j * 8:(j + 1) * 8]
+        d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        naive = d2.argmin(axis=1)
+        # identical except where the ordered-fold score ties differently
+        # at ulp scale — on random data that never happens
+        assert (codes[:, j] == naive).all()
+    # reconstruction beats the all-zero-code baseline by a wide margin
+    recon = np.concatenate(
+        [np.asarray(b1[j])[codes[:, j]] for j in range(8)], axis=1)
+    err = ((x - recon) ** 2).mean()
+    base = (x ** 2).mean()
+    assert err < 0.7 * base
+
+
+def test_pq_topk_recall_gates(spark):
+    """PQ ADC search on the sandbox embeddings (structure-free random
+    directions — the WORST case for PQ): direct top-10 recall >= 0.35
+    (measured 0.50 at m=16), and the production two-stage read — ADC
+    shortlist of 100 then exact re-rank — retains >= 0.9 of the true
+    top-10 (measured 0.98)."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    sample = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").limit(2048).collect()],
+        dtype=np.float64)
+    books = sim.train_pq(sample, m=16)
+    q = emb.filter("vec_id < 5")
+    qq = q.select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec"))
+    want = {(r.q_id, r.vec_id)
+            for r in sim.brute_force_topk(emb, qq, k=10).collect()}
+    got = {(r.q_id, r.vec_id)
+           for r in sim.pq_topk(emb, q, 64, books, k=10).collect()}
+    assert len(got & want) / len(want) >= 0.35
+    short = {(r.q_id, r.vec_id)
+             for r in sim.pq_topk(emb, q, 64, books, k=100).collect()}
+    assert len(short & want) / len(want) >= 0.9
