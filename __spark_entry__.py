@@ -1505,6 +1505,25 @@ def _q_multimodal_spectrogram(spark, sf_dir):
     return mm.audio_spectrum_stats(media, n_fft=N)
 
 
+def _q_triangle_count(spark, sf_dir):
+    """Triangle counting under the value-hash gate (dedup.triangle_count
+    — the degree-oriented wedge join, each triangle enumerated once at
+    its lowest-degree corner): a 30-node pseudo-random graph built
+    closed-form from doc_ids (edge (doc_id % 30, (doc_id*7 + 1) % 30),
+    doc_id < 400, self-loops dropped, deduped) — the oracle builds the
+    SAME edge set and counts triangles with the direct a<b<c
+    three-way join, so the wedge decomposition is cross-checked
+    against the textbook formulation.  Edge-construction literals
+    mirrored in SQL — change together."""
+    from katydid_haskell_spark.operators.dedup import triangle_count
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    edges = docs.select(
+        (F.col("doc_id") % 30).alias("id_a"),
+        ((F.col("doc_id") * 7 + 1) % 30).alias("id_b"))
+    return triangle_count(edges)
+
+
 def _q_pq_codes(spark, sf_dir):
     """Product-quantization codes under the value-hash gate: the Spark
     trainer reads the ordered 2048-row sample (ORDER BY vec_id), trains
@@ -2742,6 +2761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_curation_full": _q_media_curation_full,
         "csv_roundtrip": _q_csv_roundtrip,
         "stream_warc": _q_stream_warc,
+        "triangle_count": _q_triangle_count,
         "pq_codes": _q_pq_codes,
         "embedding_quantize": _q_embedding_quantize,
         "rollup_cascade": _q_rollup_cascade,
@@ -3354,6 +3374,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(64 * (v0 + v1) AS BIGINT) AS sum_px,
                CAST(3808 * v0 + 4320 * v1 AS BIGINT) AS pos_checksum
         FROM v
+        """,
+        "triangle_count": """
+        WITH raw AS (
+          SELECT doc_id % 30 AS a, (doc_id * 7 + 1) % 30 AS b
+          FROM documents WHERE doc_id < 400
+        ),
+        e AS (
+          SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y
+          FROM raw WHERE a <> b
+        ),
+        t AS (
+          SELECT e1.x AS a, e1.y AS b, e2.y AS c
+          FROM e e1
+          JOIN e e2 ON e2.x = e1.y
+          JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+        )
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+          SELECT unnest([a, b, c]) AS node FROM t
+        ) GROUP BY node
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT) AS node,
+               CAST(COUNT(*) AS BIGINT) AS n_triangles FROM t
         """,
         "pq_codes": orc.pq_codes_sql(oracle_sf),
         "embedding_quantize": """

@@ -91,6 +91,7 @@ HEADLINE = [
     "rollup_cascade",
     "embedding_quantize",
     "pq_codes",
+    "triangle_count",
     "asof_join_events",
     "range_join_windows",
     "span_removal",

@@ -948,3 +948,50 @@ def minhash_lookup(batch: DataFrame, corpus: DataFrame, id_col: str,
         "new_id", "corpus_id",
         jaccard_distinct(F.col("hh_a"), F.col("hh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard))
+
+
+def triangle_count(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b") -> DataFrame:
+    """(node, n_triangles) per node, plus the graph total under node -1.
+
+    The degree-ordering trick that makes triangle counting feasible at
+    graph scale: orient every undirected edge from the lower-degree
+    endpoint to the higher (ties by id), so each wedge is enumerated
+    exactly once at its lowest-degree corner and the heaviest join side
+    is bounded by sum(min-degree) — skewed hubs never self-join.  Two
+    hash joins on node ids, everything integer; the oracle counts the
+    same triangles with a direct three-way join."""
+    e = (pairs.select(F.col(id_a).cast("long").alias("a"),
+                      F.col(id_b).cast("long").alias("b"))
+         .where(F.col("a") != F.col("b"))
+         .select(F.least("a", "b").alias("a"),
+                 F.greatest("a", "b").alias("b"))
+         .distinct())
+    deg = (e.select(F.col("a").alias("n"))
+           .unionAll(e.select(F.col("b").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    # orient low-degree -> high-degree (ties: lower id first)
+    oriented = (e.join(da, "a").join(db, "b")
+                .select(F.when((F.col("da") < F.col("db"))
+                               | ((F.col("da") == F.col("db"))
+                                  & (F.col("a") < F.col("b"))),
+                               F.struct(F.col("a").alias("src"),
+                                        F.col("b").alias("dst")))
+                .otherwise(F.struct(F.col("b").alias("src"),
+                                    F.col("a").alias("dst")))
+                .alias("e"))
+                .select("e.src", "e.dst"))
+    w1 = oriented.select(F.col("src").alias("p"), F.col("dst").alias("x"))
+    w2 = oriented.select(F.col("src").alias("p"), F.col("dst").alias("y"))
+    wedges = (w1.join(w2, "p").where(F.col("x") < F.col("y")))
+    closing = oriented.select(F.least("src", "dst").alias("x"),
+                              F.greatest("src", "dst").alias("y"))
+    tri = (wedges.join(closing, ["x", "y"])
+           .select("p", "x", "y"))
+    per_node = (tri.select(F.explode(F.array("p", "x", "y")).alias("node"))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+    total = tri.agg(F.count(F.lit(1)).alias("n_triangles")).select(
+        F.lit(-1).cast("long").alias("node"), "n_triangles")
+    return per_node.unionByName(total)

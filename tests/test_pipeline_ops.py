@@ -2224,3 +2224,27 @@ def test_pq_topk_recall_gates(spark):
     short = {(r.q_id, r.vec_id)
              for r in sim.pq_topk(emb, q, 64, books, k=100).collect()}
     assert len(short & want) / len(want) >= 0.9
+
+
+def test_triangle_count_hand_graphs(spark):
+    """triangle_count: K4 (4 triangles, 3 per node), a square + one
+    diagonal (2 triangles), skew robustness (star graph: 0), and
+    duplicate/reversed/self-loop edge hygiene."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(k4 + [(2, 1), (3, 3)],
+                               "id_a long, id_b long")
+    got = {r.node: r.n_triangles
+           for r in dd.triangle_count(df).collect()}
+    assert got[-1] == 4
+    assert all(got[n] == 3 for n in range(4))
+    sq = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)], "id_a long, id_b long")
+    got = {r.node: r.n_triangles
+           for r in dd.triangle_count(sq).collect()}
+    assert got[-1] == 2 and got[0] == 2 and got[2] == 2
+    assert got[1] == 1 and got[3] == 1
+    star = spark.createDataFrame([(0, i) for i in range(1, 9)],
+                                 "id_a long, id_b long")
+    got = {r.node: r.n_triangles
+           for r in dd.triangle_count(star).collect()}
+    assert got == {-1: 0}
