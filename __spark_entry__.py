@@ -1505,6 +1505,23 @@ def _q_multimodal_spectrogram(spark, sf_dir):
     return mm.audio_spectrum_stats(media, n_fft=N)
 
 
+def _q_label_propagation(spark, sf_dir):
+    """Synchronous label propagation under the value-hash gate
+    (dedup.label_propagation, 3 rounds, mode-of-neighbors with
+    smallest-label ties — deterministic integers end-to-end): a
+    40-node closed-form graph (edge (doc_id % 40, (doc_id*11 + 3) %
+    40), doc_id < 300); the oracle unrolls the SAME three rounds as
+    chained SQL CTEs.  Graph literals and the iteration count mirrored
+    — change together."""
+    from katydid_haskell_spark.operators.dedup import label_propagation
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    edges = docs.select(
+        (F.col("doc_id") % 40).alias("id_a"),
+        ((F.col("doc_id") * 11 + 3) % 40).alias("id_b"))
+    return label_propagation(edges, iters=3)
+
+
 def _q_triangle_count(spark, sf_dir):
     """Triangle counting under the value-hash gate (dedup.triangle_count
     — the degree-oriented wedge join, each triangle enumerated once at
@@ -2761,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_curation_full": _q_media_curation_full,
         "csv_roundtrip": _q_csv_roundtrip,
         "stream_warc": _q_stream_warc,
+        "label_propagation": _q_label_propagation,
         "triangle_count": _q_triangle_count,
         "pq_codes": _q_pq_codes,
         "embedding_quantize": _q_embedding_quantize,
@@ -3374,6 +3392,61 @@ def oracle_sql() -> dict[str, str]:
                CAST(64 * (v0 + v1) AS BIGINT) AS sum_px,
                CAST(3808 * v0 + 4320 * v1 AS BIGINT) AS pos_checksum
         FROM v
+        """,
+        "label_propagation": """
+        WITH raw AS (
+          SELECT doc_id % 40 AS a, (doc_id * 11 + 3) % 40 AS b
+          FROM documents WHERE doc_id < 300
+        ),
+        e AS (
+          SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+          FROM raw WHERE a <> b
+        ),
+        ed AS (
+          SELECT a AS src, b AS dst FROM e
+          UNION ALL
+          SELECT b AS src, a AS dst FROM e
+        ),
+        l0 AS (
+          SELECT DISTINCT src AS node, src AS label FROM ed
+        ),
+        m1 AS (
+          SELECT ed.dst, l0.label, COUNT(*) AS cnt
+          FROM ed JOIN l0 ON l0.node = ed.src
+          GROUP BY 1, 2
+        ),
+        l1 AS (
+          SELECT dst AS node, label FROM (
+            SELECT dst, label,
+                   ROW_NUMBER() OVER (PARTITION BY dst
+                                      ORDER BY cnt DESC, label ASC) AS rn
+            FROM m1) WHERE rn = 1
+        ),
+        m2 AS (
+          SELECT ed.dst, l1.label, COUNT(*) AS cnt
+          FROM ed JOIN l1 ON l1.node = ed.src
+          GROUP BY 1, 2
+        ),
+        l2 AS (
+          SELECT dst AS node, label FROM (
+            SELECT dst, label,
+                   ROW_NUMBER() OVER (PARTITION BY dst
+                                      ORDER BY cnt DESC, label ASC) AS rn
+            FROM m2) WHERE rn = 1
+        ),
+        m3 AS (
+          SELECT ed.dst, l2.label, COUNT(*) AS cnt
+          FROM ed JOIN l2 ON l2.node = ed.src
+          GROUP BY 1, 2
+        ),
+        l3 AS (
+          SELECT dst AS node, label FROM (
+            SELECT dst, label,
+                   ROW_NUMBER() OVER (PARTITION BY dst
+                                      ORDER BY cnt DESC, label ASC) AS rn
+            FROM m3) WHERE rn = 1
+        )
+        SELECT node, CAST(label AS BIGINT) AS label FROM l3
         """,
         "triangle_count": """
         WITH raw AS (

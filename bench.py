@@ -92,6 +92,7 @@ HEADLINE = [
     "embedding_quantize",
     "pq_codes",
     "triangle_count",
+    "label_propagation",
     "asof_join_events",
     "range_join_windows",
     "span_removal",

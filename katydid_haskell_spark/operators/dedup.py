@@ -995,3 +995,34 @@ def triangle_count(pairs: DataFrame, id_a: str = "id_a",
     total = tri.agg(F.count(F.lit(1)).alias("n_triangles")).select(
         F.lit(-1).cast("long").alias("node"), "n_triangles")
     return per_node.unionByName(total)
+
+
+def label_propagation(pairs: DataFrame, iters: int = 3,
+                      id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """(node, label) after ``iters`` SYNCHRONOUS label-propagation
+    rounds: every node starts as its own label; each round it adopts
+    the most frequent label among its neighbors, ties to the SMALLEST
+    label — fully deterministic integers, so a fixed iteration count is
+    oracle-expressible as unrolled SQL (unlike classic asynchronous
+    LPA, whose result depends on visit order).  Each round is one
+    shuffle of (node, neighbor_label) pairs + a count/argmax window;
+    labels-only traffic, the connected_components discipline."""
+    from pyspark.sql.window import Window
+
+    e = (pairs.select(F.col(id_a).cast("long").alias("a"),
+                      F.col(id_b).cast("long").alias("b"))
+         .where(F.col("a") != F.col("b")).distinct())
+    both = (e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionAll(e.select(F.col("b").alias("src"),
+                               F.col("a").alias("dst"))))
+    labels = (both.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("label")))
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iters):
+        msgs = (both.join(labels.withColumnRenamed("node", "src"), "src")
+                .groupBy("dst", "label").agg(F.count(F.lit(1)).alias("cnt")))
+        labels = (msgs.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1)
+                  .select(F.col("dst").alias("node"), "label"))
+        labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -2248,3 +2248,23 @@ def test_triangle_count_hand_graphs(spark):
     got = {r.node: r.n_triangles
            for r in dd.triangle_count(star).collect()}
     assert got == {-1: 0}
+
+
+def test_label_propagation_hand_graphs(spark):
+    """Synchronous LPA: two cliques joined by one bridge edge converge
+    to their min labels in 3 rounds; determinism (two runs identical);
+    a path graph shows the smallest-label tie rule."""
+    cl = [(a, b) for a in range(4) for b in range(4) if a < b] \
+        + [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b] \
+        + [(3, 10)]
+    df = spark.createDataFrame(cl, "id_a long, id_b long")
+    got = {r.node: r.label for r in dd.label_propagation(df, 3).collect()}
+    assert all(got[n] == 0 for n in range(3))          # clique A core
+    assert all(got[n] == 10 for n in range(11, 14))    # clique B core
+    got2 = {r.node: r.label for r in dd.label_propagation(df, 3).collect()}
+    assert got == got2
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
+                                 "id_a long, id_b long")
+    gp = {r.node: r.label for r in dd.label_propagation(path, 1).collect()}
+    # one round: each node takes its smallest neighbor's label
+    assert gp == {0: 1, 1: 0, 2: 1, 3: 2}
