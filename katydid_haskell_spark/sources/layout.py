@@ -28,13 +28,30 @@ from pyspark.sql import functions as F
 
 
 def _rank_expr(col: str, edges: List[float], bits: int) -> Column:
-    """value → quantile-bucket index in [0, 2^bits) via a chain of
-    comparisons against the precomputed edges (bounded: 2^bits - 1
-    comparisons, whole-stage-codegen'd)."""
-    idx: Column = F.lit(0)
-    for e in edges:
-        idx = idx + F.when(F.col(col) > F.lit(e), 1).otherwise(0)
-    return idx
+    """value → quantile-bucket index in [0, 2^bits) as ONE expression:
+    the count of precomputed edges strictly below the value
+    (``size(filter(edges, e -> e < col))``).  A when-chain of 2^bits
+    comparisons falls out of whole-stage codegen past ~64-deep nesting
+    (Catalyst interprets it); a single higher-order filter over a
+    constant array literal keeps the plan one node at any bits."""
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    return F.size(F.filter(arr, lambda e: e < F.col(col)))
+
+
+def _interleave(ranks: Sequence[Column], bits: int) -> Column:
+    """Morton-interleave ``len(ranks)`` rank columns of ``bits`` bits
+    each into one long.  All arithmetic runs in 64-bit from the first
+    shift: Spark's shiftleft on an INT column wraps at 32 bits, so an
+    int accumulator silently corrupts any key wider than 31 bits even
+    though the caller's guard permits 63 (the cast-after-the-wrap
+    bug)."""
+    key: Column = F.lit(0).cast("long")
+    for bit in range(bits - 1, -1, -1):
+        for r in ranks:
+            key = F.shiftleft(key, 1).bitwiseOR(
+                F.shiftright(r.cast("long"), bit)
+                .bitwiseAND(F.lit(1).cast("long")))
+    return key
 
 
 def zorder_key(df: DataFrame, cols: Sequence[str],
@@ -50,12 +67,7 @@ def zorder_key(df: DataFrame, cols: Sequence[str],
     for c in cols:
         edges = df.approxQuantile(c, probs, 0.001)
         ranks.append(_rank_expr(c, edges, bits))
-    key: Column = F.lit(0)
-    for bit in range(bits - 1, -1, -1):
-        for r in ranks:
-            key = F.shiftleft(key, 1).bitwiseOR(
-                F.shiftright(r, bit).bitwiseAND(F.lit(1)))
-    return key.cast("long")
+    return _interleave(ranks, bits)
 
 
 def zorder_write(df: DataFrame, target: str, cols: Sequence[str],

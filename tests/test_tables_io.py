@@ -146,6 +146,51 @@ def test_zorder_write_narrows_file_spans(spark, tmp_path):
     assert spark.read.parquet(zo).count() == n
 
 
+def test_zorder_interleave_64bit(spark):
+    """The Morton interleave must run in 64-bit arithmetic end-to-end:
+    3 cols x 12 bits = a 36-bit key, which a 32-bit accumulator
+    (Spark shiftleft on INT wraps) silently corrupts.  Compare the
+    Catalyst interleave against the Python closed form bit-by-bit."""
+    from pyspark.sql import functions as F
+
+    from katydid_haskell_spark.sources.layout import _interleave
+
+    bits, ncols = 12, 3
+    rows = [(0, 0, 0), (4095, 4095, 4095), (2048, 1024, 512),
+            (1, 2, 3), (4094, 1, 2047), (3000, 123, 4001)]
+    df = spark.createDataFrame(rows, "r0 int, r1 int, r2 int")
+    got = df.select(
+        "r0", "r1", "r2",
+        _interleave([F.col("r0"), F.col("r1"), F.col("r2")],
+                    bits).alias("z")).collect()
+
+    def morton(rs):
+        key = 0
+        for bit in range(bits - 1, -1, -1):
+            for r in rs:
+                key = (key << 1) | ((r >> bit) & 1)
+        return key
+
+    for row in got:
+        assert row.z == morton([row.r0, row.r1, row.r2])
+        assert row.z < (1 << (bits * ncols))
+    assert max(r.z for r in got) >= (1 << 32)   # the wrap regime
+
+
+def test_zorder_rank_expr_single_expression(spark):
+    """_rank_expr is one size(filter(...)) node (not a 2^bits-deep
+    when-chain) and counts edges strictly below the value, nulls -> 0."""
+    from pyspark.sql import functions as F
+
+    from katydid_haskell_spark.sources.layout import _rank_expr
+
+    edges = [float(e) for e in range(1, 8)]      # bits=3 -> 7 edges
+    df = spark.createDataFrame(
+        [(0.5,), (1.0,), (1.5,), (7.5,), (None,)], "v double")
+    out = df.select(_rank_expr("v", edges, 3).alias("r")).collect()
+    assert [r.r for r in out] == [0, 0, 1, 7, 0]
+
+
 def test_compact_files_roundtrip(spark, tmp_path):
     """compact_files bin-packs many small files into few, preserves
     rows exactly, and leaves no staging debris."""
