@@ -732,18 +732,15 @@ def _seg(marker: int, body: bytes) -> bytes:
         + body
 
 
-def _encode_block(w: "_BitWriter", blk: np.ndarray, q: np.ndarray,
+def _encode_block(w: "_BitWriter", z: np.ndarray,
                   prev_dc: int, dc_codes, ac_codes) -> int:
-    """DCT + quantize + Huffman-code one level-shifted 8x8 block into
-    ``w``; returns the new DC predictor.  Quantization rounds half away
-    from zero (the common choice; the DECODER never needs to know)."""
-    M = _dct_mat()
-    zz_y, zz_x = _ZZ[:, 0], _ZZ[:, 1]
-    coef = M @ blk @ M.T
-    sc = coef / q
-    qc = np.sign(sc) * np.floor(np.abs(sc) + 0.5)
-    z = qc[zz_y, zz_x].astype(np.int64)
-    # DC
+    """Huffman-code one block's PRE-QUANTIZED zigzag coefficients
+    (int64[64], from :func:`_quantize_blocks`) into ``w``; returns the
+    new DC predictor.  Taking coefficients rather than pixels makes the
+    baseline and progressive encoders share the IDENTICAL quantizer by
+    construction — a sequential ``M @ blk @ M.T`` and the vectorized
+    einsum disagree on ~1.5% of random blocks at half-ulp rounding
+    boundaries, which silently broke baseline==progressive equality."""
     diff = int(z[0]) - prev_dc
     s = _size_cat(diff)
     c, ln = dc_codes[s]
@@ -782,7 +779,6 @@ def encode_jpeg(pixels: np.ndarray,
     if px.ndim != 2 or px.shape[0] % 8 or px.shape[1] % 8:
         raise ValueError("need (H, W) grayscale with 8-aligned dims")
     H, W = px.shape
-    q = qtable.astype(np.float64)
     zz_y, zz_x = _ZZ[:, 0], _ZZ[:, 1]
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
@@ -801,12 +797,12 @@ def encode_jpeg(pixels: np.ndarray,
 
     w = _BitWriter()
     prev_dc = 0
-    f = px.astype(np.float64) - 128.0
+    zs = _quantize_blocks(px.astype(np.float64),
+                          qtable.astype(np.float64))
     for by in range(H // 8):
         for bx in range(W // 8):
             prev_dc = _encode_block(
-                w, f[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], q,
-                prev_dc, dc_codes, ac_codes)
+                w, zs[by, bx], prev_dc, dc_codes, ac_codes)
     return bytes(head) + w.flush() + b"\xff\xd9"        # EOI
 
 
@@ -874,7 +870,9 @@ def encode_jpeg_ycbcr(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     head += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
 
     w = _BitWriter()
-    fy, fcb, fcr = y - 128.0, cb - 128.0, cr - 128.0
+    zsy = _quantize_blocks(y, ql)
+    zscb = _quantize_blocks(cb, qc)
+    zscr = _quantize_blocks(cr, qc)
     mcus_y, mcus_x = H // (8 * vs), W // (8 * hs)
     prev = [0, 0, 0]
     mcu_i = 0
@@ -890,14 +888,11 @@ def encode_jpeg_ycbcr(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                 for hh in range(hs):
                     by, bx = my * vs + v, mx * hs + hh
                     prev[0] = _encode_block(
-                        w, fy[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8],
-                        ql, prev[0], dc_codes, ac_codes)
+                        w, zsy[by, bx], prev[0], dc_codes, ac_codes)
             prev[1] = _encode_block(
-                w, fcb[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8], qc,
-                prev[1], dc_codes, ac_codes)
+                w, zscb[my, mx], prev[1], dc_codes, ac_codes)
             prev[2] = _encode_block(
-                w, fcr[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8], qc,
-                prev[2], dc_codes, ac_codes)
+                w, zscr[my, mx], prev[2], dc_codes, ac_codes)
             mcu_i += 1
     return bytes(head) + w.flush() + b"\xff\xd9"
 

@@ -1447,6 +1447,27 @@ def test_jpeg_progressive_roundtrip_and_baseline_equivalence():
             for a, b in zip(pb, pp):
                 assert np.array_equal(a, b), (sub, int(qtab[0, 0]))
 
+    # The regime where the pre-refactor encoders disagreed: random
+    # 16x16 planes hit half-ulp quantization boundaries where a
+    # sequential M @ blk @ M.T and the einsum differed on a DC coef
+    # (~6/400 planes).  Both encoders now consume _quantize_blocks
+    # output, so equality holds by construction — sweep many seeds.
+    for seed in range(40):
+        r = np.random.default_rng(100 + seed)
+        Y = r.integers(0, 256, size=(16, 16)).astype(np.float64)
+        CB = r.integers(0, 256, size=(16, 16)).astype(np.float64)
+        CR = r.integers(0, 256, size=(16, 16)).astype(np.float64)
+        base = mm.encode_jpeg_ycbcr(Y, CB, CR, "444",
+                                    q_luma=mm.JPEG_QTABLE,
+                                    q_chroma=mm.JPEG_QTABLE)
+        prog = mm.encode_jpeg_progressive(Y, CB, CR, "444",
+                                          q_luma=mm.JPEG_QTABLE,
+                                          q_chroma=mm.JPEG_QTABLE)
+        pb, _, _ = mm.decode_jpeg_planes(base)
+        pp, _, _ = mm.decode_jpeg_planes(prog)
+        for a, b in zip(pb, pp):
+            assert np.array_equal(a, b), seed
+
 
 def test_jpeg_grayscale_nonaligned_dims():
     """Non-8-multiple frame dims decode via MCU-grid padding + crop
