@@ -51,19 +51,78 @@ def cosine(a: Column, b: Column) -> Column:
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
-    """Exact top-k neighbors per query: broadcast-join + window rank.
+    """Exact top-k neighbors per query, TWO-PHASE.
+
+    Phase 1 (map-side, zero shuffle of corpus rows): every scan partition
+    scores its rows against the collected query matrix in Arrow batches
+    and keeps a bounded per-query partial top-k (carry <= |Q|*k rows),
+    emitting at most k rows per (query, partition).  Phase 2: exact
+    window rank over the k*P survivors per query.  Winners are identical
+    to a global sort — top-k under a strict total order ((-cos, vec_id);
+    vec_id unique) is prefix-closed, so every global winner survives its
+    own partition's cut.
+
+    The pre-r8 shape (corpus x queries crossJoin + per-query window) put
+    the WHOLE corpus through one task's sort per query — at 100 TB a
+    single q_id partition would sort ~|corpus| rows.  Now the only
+    exchange carries k rows per query per partition.  The query-side
+    collect is bounded by the ANN contract (small query sets — the same
+    discipline as pq_topk / probe_cells).
+
+    Cosine parity: per-batch math is bit-identical to the previous
+    cosine_pairs_udf ((x*y).sum(axis=1), np.linalg.norm per row), so cos
+    values, ranks and ties are unchanged.
 
     Output: q_id, vec_id, cos, rank (1-based). Ties broken by vec_id for
     determinism.
     """
-    joined = corpus.crossJoin(F.broadcast(queries)).select(
-        F.col(q_id_col).alias("q_id"),
-        F.col(id_col).alias("vec_id"),
-        cosine_pairs_udf(0)(F.col(vec_col), F.col(q_vec_col)).alias("cos"),
-    )
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    q_rows = queries.select(q_id_col, q_vec_col).collect()
+    schema = StructType([
+        StructField("q_id", queries.schema[q_id_col].dataType),
+        StructField("vec_id", corpus.schema[id_col].dataType),
+        StructField("cos", DoubleType()),
+    ])
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], schema.add(StructField("rank", IntegerType())))
+    q_ids = [r[0] for r in q_rows]
+    qm = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(qm, axis=1)
+    m = len(q_ids)
+
+    def part_topk(batches):
+        carry = None
+        for pdf in batches:
+            x = _stack(pdf[vec_col], qm.shape[1])
+            if not len(x):
+                continue
+            nx = np.linalg.norm(x, axis=1)
+            frames = []
+            for j in range(m):
+                d = (x * qm[j]).sum(axis=1)
+                denom = nx * qn[j]
+                cos = np.where(denom > 0,
+                               d / np.where(denom > 0, denom, 1.0), 0.0)
+                frames.append(pd.DataFrame(
+                    {"q_id": q_ids[j], "vec_id": pdf[id_col].values,
+                     "cos": cos}))
+            batch_all = pd.concat(frames, ignore_index=True)
+            carry = (batch_all if carry is None
+                     else pd.concat([carry, batch_all], ignore_index=True))
+            carry = (carry
+                     .sort_values(["cos", "vec_id"],
+                                  ascending=[False, True], kind="mergesort")
+                     .groupby("q_id", sort=False).head(k)
+                     .reset_index(drop=True))
+        if carry is not None:
+            yield carry
+
+    part = corpus.select(id_col, vec_col).mapInPandas(part_topk, schema)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
-        joined.withColumn("rank", F.row_number().over(w))
+        part.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

@@ -180,6 +180,42 @@ def test_brute_force_topk(spark, vectors):
     assert out[1]["cos"] > 0.99
 
 
+def test_brute_force_topk_two_phase_multipartition(spark, vectors):
+    """Two-phase partial top-k: winners identical across partitionings
+    (prefix-closure of top-k under the strict (-cos, vec_id) order), and
+    the plan never puts the corpus through a per-query window sort — the
+    window's input is the MapInPandas partial top-k (<= k rows per query
+    per partition), with no crossJoin of corpus x queries."""
+    q = vectors.filter("vec_id < 3").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    ref = sim.brute_force_topk(vectors.coalesce(1), q, k=5)
+    ref_rows = {(r.q_id, r.rank): (r.vec_id, round(r.cos, 12))
+                for r in ref.collect()}
+    out = sim.brute_force_topk(vectors.repartition(7), q, k=5)
+    out_rows = {(r.q_id, r.rank): (r.vec_id, round(r.cos, 12))
+                for r in out.collect()}
+    assert out_rows == ref_rows and len(out_rows) == 15
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "MapInPandas" in plan and "Window" in plan
+    # root-first tree order: the window sits ABOVE the partial-top-k
+    # MapInPandas (its input is the k-per-partition survivors, never the
+    # corpus scan)
+    assert plan.index("Window") < plan.index("MapInPandas")
+
+
+def test_brute_force_topk_empty_queries(spark, vectors):
+    q = vectors.filter("vec_id < 0").select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    out = sim.brute_force_topk(vectors, q, k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == \
+        ["q_id", "vec_id", "cos", "rank"]
+
+
 def test_lsh_topk_contains_self(spark, vectors):
     q = vectors.filter("vec_id = 0").select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
