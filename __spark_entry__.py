@@ -1631,8 +1631,11 @@ def _q_asof_join_events(spark, sf_dir):
     """As-of join under the value-hash gate (operators/joins.py): every
     non-state event picks up the LATEST state event at-or-before its
     timestamp for the same user (state rows = event_id % 17 == 0,
-    disjoint by construction) via the union-and-window composition —
-    one shuffle on user_id, no range explosion.  The oracle is
+    disjoint by construction) via the time-BUCKETED union-and-window
+    composition — windows partition on (user_id, hour bucket) so no
+    partition spans a whole key, cross-bucket state rides the tiny
+    (key x bucket) closing-state table, no range explosion.  The
+    oracle is
     DuckDB's NATIVE ASOF LEFT JOIN, so the composition is checked
     against an independent first-class implementation.  (user_id, ts)
     is unique among state rows at every SF (verified), so the match is

@@ -3,13 +3,20 @@
 - :func:`asof_join` — for each left row, the single right row with the
   greatest ``right_ts <= left_ts`` for the same key.  The naive
   formulation (inequality join + row_number) explodes into a range join
-  (O(|L|x|R|) per key, BroadcastNestedLoop at worst); this one is the
-  union-and-window composition: tag both sides, union on (key, ts),
-  carry the latest right values forward with ``last(ignorenulls)`` over
-  an ordered window, keep the left rows.  ONE shuffle on the key, state
-  per partition is a single running value — the shape every
-  streams-and-snapshots pipeline (quotes x trades, crawl state x fetch)
-  needs at 100 TB.
+  (O(|L|x|R|) per key, BroadcastNestedLoop at worst); a plain per-key
+  union-and-window fixes that but funnels every row of a hot key
+  through ONE task's sort (the r7 review's skew hazard — one user/host
+  with 10^9 events at 100 TB).  This one is the time-BUCKETED
+  union-and-window: both sides union on (key, time bucket), the window
+  carries the latest right-row STRUCT forward *within each bucket*
+  (partition size bounded by bucket width, never by key volume), and a
+  second pass over the tiny (key x bucket) closing-state table — one
+  row per bucket per key, bounded by time-span / bucket_seconds,
+  independent of event count — derives each bucket's opening state.
+  Carried value = coalesce(in-bucket carry, bucket opening state).
+  The struct carry also gives per-row ASOF semantics: a matched right
+  row's NULLs come through, and all carried columns come from the SAME
+  right row (a per-column last(ignorenulls) would mix rows).
 
 - :func:`range_join_count` — events aggregated into [start, end)
   windows via a time-BUCKET equi-join: windows explode into the few
@@ -36,47 +43,89 @@ from pyspark.sql.window import Window
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str = "ts", right_ts: str = "ts",
               right_cols: Optional[Sequence[str]] = None,
-              tiebreak: Optional[str] = None) -> DataFrame:
+              tiebreak: Optional[str] = None,
+              bucket_seconds: int = 3600) -> DataFrame:
     """Left rows + the latest right row at-or-before each left row's
     timestamp, per ``on`` key.  Right rows with no later match and left
     rows before the first right row yield nulls in the carried columns
     (coalesce downstream).  ``tiebreak`` (a right column, e.g. a unique
     id) makes the winner among equal-(key, ts) right rows
-    deterministic: the greatest tiebreak value wins."""
+    deterministic: the greatest tiebreak value wins.
+
+    Skew-safe composition (see module docstring): the union-and-window
+    runs per (key, floor(unix_ts / bucket_seconds)) bucket, so no window
+    partition ever spans a whole key; cross-bucket state arrives via the
+    (key x bucket) closing-state table.  ``bucket_seconds`` trades the
+    state-table size (time-span / bucket_seconds rows per key) against
+    the per-window partition bound — hot keys want smaller buckets.
+
+    NULL semantics: carried columns come from ONE right row (struct
+    carry), so a matched right row's own NULLs are returned, matching a
+    native ASOF join.  NULL keys and NULL timestamps never match."""
+    from pyspark.sql.types import StructField, StructType
+
     right_cols = list(right_cols or [])
-    carried = [f"__r_{c}" for c in right_cols]
-    lhs = left.withColumn("__side", F.lit(0)).withColumn(
-        "__ts", F.col(left_ts))
-    for c, a in zip(right_cols, carried):
-        lhs = lhs.withColumn(a, F.lit(None).cast(right.schema[c].dataType))
+    if not right_cols:
+        return left
+    st_type = StructType([StructField(c, right.schema[c].dataType)
+                          for c in right_cols])
+    tb = (F.col(tiebreak) if tiebreak is not None
+          else F.lit(None).cast("long"))
+    lhs = left.select(
+        "*", F.lit(0).alias("__side"), F.col(left_ts).alias("__ts"))
     rhs = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.col(c).alias(a) for c, a in zip(right_cols, carried)],
-    )
-    for f in lhs.columns:
-        if f not in rhs.columns:
-            rhs = rhs.withColumn(f, F.lit(None).cast(
-                dict(zip(lhs.columns,
-                         [x.dataType for x in lhs.schema]))[f]))
-    rhs = rhs.select(*lhs.columns)
-    unioned = lhs.unionByName(rhs)
+        tb.alias("__tb"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("__st"),
+    ).filter(F.col(on).isNotNull() & F.col("__ts").isNotNull())
+    unioned = (lhs.unionByName(rhs, allowMissingColumns=True)
+               .withColumn("__bkt",
+                           F.floor(F.unix_timestamp(F.col("__ts"))
+                                   / F.lit(bucket_seconds))))
     order = [F.col("__ts").asc(), F.col("__side").desc()]
     if tiebreak is not None:
-        # right rows carry the tiebreak in its carried alias; left rows
-        # hold null there, which sorts first under asc — harmless since
-        # __side already separates the sides at equal ts
-        order.append(F.col(f"__r_{tiebreak}").asc_nulls_first())
-    w = (Window.partitionBy(on).orderBy(*order)
+        # left rows hold null __tb, which sorts first under asc —
+        # harmless since __side already separates the sides at equal ts
+        order.append(F.col("__tb").asc_nulls_first())
+    w = (Window.partitionBy(on, "__bkt").orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    out = unioned
-    for a in carried:
-        out = out.withColumn(a, F.last(a, ignorenulls=True).over(w))
-    return (out.filter(F.col("__side") == 0)
-            .drop("__side", "__ts")
-            .withColumnsRenamed({a: f"asof_{c}"
-                                 for c, a in zip(right_cols, carried)}))
+    in_bucket = unioned.withColumn(
+        "__in", F.last("__st", ignorenulls=True).over(w))
+
+    # closing state per (key, right bucket): the carried struct of the
+    # bucket's last right row — one row per bucket per key
+    rb = unioned.filter(F.col("__side") == 1).groupBy(on, "__bkt")
+    close_ord = (F.struct(F.col("__ts"), F.col("__tb"))
+                 if tiebreak is not None else F.col("__ts"))
+    closing = rb.agg(F.max_by("__st", close_ord).alias("__close"))
+    # opening state per left bucket = last closing among EARLIER buckets:
+    # a window over the tiny state table (query rows sort before the
+    # same bucket's closing so in-bucket rights stay in-bucket-only)
+    queries = (unioned.filter(F.col("__side") == 0)
+               .select(on, "__bkt").distinct()
+               .select(on, "__bkt", F.lit(1).alias("__q"),
+                       F.lit(None).cast(st_type).alias("__close")))
+    states = closing.select(
+        on, "__bkt", F.lit(0).alias("__q"), "__close"
+    ).unionByName(queries)
+    wo = (Window.partitionBy(on)
+          .orderBy(F.col("__bkt").asc(), F.col("__q").desc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    openings = (states
+                .withColumn("__open",
+                            F.last("__close", ignorenulls=True).over(wo))
+                .filter(F.col("__q") == 1)
+                .select(on, "__bkt", "__open"))
+
+    out = (in_bucket.filter(F.col("__side") == 0)
+           .join(openings, [on, "__bkt"], "left")
+           .withColumn("__fin", F.coalesce(F.col("__in"), F.col("__open"))))
+    for c in right_cols:
+        out = out.withColumn(f"asof_{c}", F.col("__fin").getField(c))
+    return out.drop("__side", "__ts", "__tb", "__st", "__bkt",
+                    "__in", "__open", "__fin")
 
 
 def range_join_count(events: DataFrame, windows: DataFrame, on: str,

@@ -2200,6 +2200,90 @@ def test_asof_join_hand_cases(spark):
     assert out[4].asof_rid is None                          # no key match
 
 
+def test_asof_join_bucketed_state_carry(spark):
+    """Cross-bucket semantics of the skew-safe composition: opening
+    state crosses empty buckets; a matched right row's own NULL comes
+    through (struct carry — never a stale value from an older row); the
+    in-bucket window partitions by (key, bucket), so no window partition
+    spans a whole key (the r7 skew hazard)."""
+    import datetime as dt
+
+    from katydid_haskell_spark.operators.joins import asof_join
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, 0) + \
+        dt.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 10, t(1)),     # same bucket as rid 100
+         (2, 10, t(7)),     # two empty buckets after rid 101
+         (3, 10, t(3)),     # bucket with NO right rows -> opening state
+         (4, 10, t(2))],    # matched row holds NULL v -> NULL through
+        "lid long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, 10, t(0), 1.5), (101, 10, t(2), None)],
+        "rid long, user_id long, ts timestamp, v double")
+    out = asof_join(left, right, on="user_id",
+                    right_cols=["rid", "v"], tiebreak="rid",
+                    bucket_seconds=2)
+    rows = {r.lid: r for r in out.collect()}
+    assert (rows[1].asof_rid, rows[1].asof_v) == (100, 1.5)
+    assert rows[2].asof_rid == 101 and rows[2].asof_v is None
+    assert rows[3].asof_rid == 101 and rows[3].asof_v is None
+    assert rows[4].asof_rid == 101 and rows[4].asof_v is None  # not 1.5
+    # plan guard: the window that carries __st partitions by
+    # (user_id, __bkt), never by the key alone
+    import re
+
+    txt = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    carry = [sec for sec in re.split(r"\n\(\d+\) ", txt)
+             if sec.startswith("Window") and "__st" in sec]
+    assert carry and all("__bkt" in sec for sec in carry)
+
+
+def test_asof_join_bucketed_matches_duckdb_native(spark):
+    """Randomized cross-check: the bucketed composition == DuckDB's
+    native ASOF LEFT JOIN on skewed keys with ties, gaps and
+    bucket-boundary timestamps."""
+    import datetime as dt
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from katydid_haskell_spark.operators.joins import asof_join
+
+    rng = np.random.default_rng(11)
+    base = dt.datetime(2026, 1, 1)
+    lrows = [(int(i), int(k), base + dt.timedelta(
+        seconds=int(rng.integers(0, 4000))))
+        for i, k in enumerate(rng.choice([1, 1, 1, 1, 2, 3], size=300))]
+    rrows = [(int(1000 + i), int(k), base + dt.timedelta(
+        seconds=int(rng.integers(0, 4000))), float(i))
+        for i, k in enumerate(rng.choice([1, 1, 1, 2, 4], size=120))]
+    left = spark.createDataFrame(
+        lrows, "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        rrows, "rid long, k long, ts timestamp, v double")
+    got = {r.lid: (r.asof_rid, r.asof_v) for r in asof_join(
+        left, right, on="k", right_cols=["rid", "v"],
+        tiebreak="rid", bucket_seconds=600).collect()}
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(
+        lrows, columns=["lid", "k", "ts"]))
+    # deterministic tie winner: keep only the max-rid row per (k, ts)
+    con.register("r", pd.DataFrame(
+        rrows, columns=["rid", "k", "ts", "v"]))
+    ref = con.execute("""
+        SELECT l.lid, r.rid, r.v FROM l ASOF LEFT JOIN (
+          SELECT * FROM r QUALIFY
+            ROW_NUMBER() OVER (PARTITION BY k, ts ORDER BY rid DESC) = 1
+        ) r ON l.k = r.k AND l.ts >= r.ts
+    """).fetchall()
+    want = {lid: (rid, v) for lid, rid, v in ref}
+    assert got == want
+
+
 def test_range_join_plan_and_hand_case(spark):
     """range_join_count: exact [start, start+30min) containment, and
     the physical plan is a hash join on (key, bucket) — never a
