@@ -86,19 +86,32 @@ def quota_sample_ids(df: DataFrame, group_col: str, id_col: str,
               .withColumn("__b", (digit(1) * 4096 + digit(2) * 256
                                   + digit(3) * 16 + digit(4))
                           .cast("long")))
-    # phase 1: per-group totals -> per-group cutoffs (rows out of both
-    # aggs are bounded by the quota map size, so the collects are tiny)
-    n_grp = {r[0]: r[1] for r in
-             narrow.groupBy(group_col).count().collect()}
-    cuts = {g: quota_bucket_cutoff(n_grp.get(g, 0), q, safety)
-            for g, q in quotas.items()}
+    # phase 1, ONE job (was two in r7 — the 3x wall-time regression):
+    # per-group total + exact count below every power-of-two 16-bit
+    # threshold, all from one partial agg.  The cutoff is rounded UP to
+    # the next power of two so the survivor count can be read off the
+    # same collected row — survivors stay a per-group PREFIX of the
+    # hash order (superset of the closed-form cut, <= ~2x more, still
+    # O(quota)), so the winners and the full-window oracle are
+    # unchanged.
+    thresh = [1 << i for i in range(17)]  # 1, 2, ..., 65536
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.when(F.col("__b") < t, 1).otherwise(0))
+        .alias(f"__c{i}") for i, t in enumerate(thresh)]
+    stats = {r[0]: r for r in
+             narrow.groupBy(group_col).agg(*aggs).collect()}
+    n_grp, cuts, n_surv = {}, {}, {}
+    for g, q in quotas.items():
+        r = stats.get(g)
+        n_grp[g] = r["__n"] if r is not None else 0
+        base = quota_bucket_cutoff(n_grp[g], q, safety)
+        i = next(i for i, t in enumerate(thresh) if t >= base)
+        cuts[g] = thresh[i]
+        n_surv[g] = r[f"__c{i}"] if r is not None else 0
     cdf = spark.createDataFrame(
         [(g, c) for g, c in cuts.items()],
         f"{group_col} string, cut bigint")
     pre = narrow.join(F.broadcast(cdf), group_col)
-    n_surv = {r[0]: r[1] for r in
-              pre.filter(F.col("__b") < F.col("cut"))
-              .groupBy(group_col).count().collect()}
     bad = [g for g, q in quotas.items()
            if n_surv.get(g, 0) < min(q, n_grp.get(g, 0))]
     keep = F.col("__b") < F.col("cut")
