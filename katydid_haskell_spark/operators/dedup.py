@@ -1005,24 +1005,45 @@ def label_propagation(pairs: DataFrame, iters: int = 3,
     label — fully deterministic integers, so a fixed iteration count is
     oracle-expressible as unrolled SQL (unlike classic asynchronous
     LPA, whose result depends on visit order).  Each round is one
-    shuffle of (node, neighbor_label) pairs + a count/argmax window;
-    labels-only traffic, the connected_components discipline."""
-    from pyspark.sql.window import Window
+    shuffle of (node, neighbor_label) pairs + a count + ``max_by``
+    argmax — labels-only traffic (the connected_components
+    discipline), and NO window: a hub node's distinct neighbor-label
+    set never funnels through one task's sort; the argmax rides the
+    partial-mergeable aggregate.
 
-    e = (pairs.select(F.col(id_a).cast("long").alias("a"),
-                      F.col(id_b).cast("long").alias("b"))
+    Edges canonicalize as least/greatest pairs before distinct (the
+    triangle_count discipline), so input containing both (a, b) and
+    (b, a) counts that neighbor's label ONCE — matching the unrolled
+    oracle's edge semantics on arbitrary input, not just graphs that
+    never emit reversed duplicates."""
+    e = (pairs.select(
+            F.least(F.col(id_a).cast("long"),
+                    F.col(id_b).cast("long")).alias("a"),
+            F.greatest(F.col(id_a).cast("long"),
+                       F.col(id_b).cast("long")).alias("b"))
          .where(F.col("a") != F.col("b")).distinct())
     both = (e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
             .unionAll(e.select(F.col("b").alias("src"),
                                F.col("a").alias("dst"))))
     labels = (both.select(F.col("src").alias("node")).distinct()
               .select("node", F.col("node").alias("label")))
-    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
     for _ in range(iters):
-        msgs = (both.join(labels.withColumnRenamed("node", "src"), "src")
-                .groupBy("dst", "label").agg(F.count(F.lit(1)).alias("cnt")))
-        labels = (msgs.withColumn("__rn", F.row_number().over(w))
-                  .filter(F.col("__rn") == 1)
-                  .select(F.col("dst").alias("node"), "label"))
-        labels = labels.localCheckpoint(eager=True)
+        labels = _lpa_round(both, labels).localCheckpoint(eager=True)
     return labels
+
+
+def _lpa_round(both: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round (pre-checkpoint, so tests can
+    plan-guard it): count neighbor labels per node, argmax via the
+    mergeable ``max_by`` aggregate — (cnt, -label) is unique per
+    (dst, label) row, so it is deterministic (most frequent label,
+    ties to the SMALLEST) and no window ever sorts a hub node's
+    label set in one task."""
+    msgs = (both.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst", "label").agg(F.count(F.lit(1)).alias("cnt")))
+    return (msgs.groupBy("dst")
+            .agg(F.max_by(
+                "label",
+                F.struct(F.col("cnt"), (-F.col("label")).alias("nl")))
+                .alias("label"))
+            .select(F.col("dst").alias("node"), "label"))

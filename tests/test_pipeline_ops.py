@@ -2409,3 +2409,21 @@ def test_label_propagation_hand_graphs(spark):
     gp = {r.node: r.label for r in dd.label_propagation(path, 1).collect()}
     # one round: each node takes its smallest neighbor's label
     assert gp == {0: 1, 1: 0, 2: 1, 3: 2}
+    # reversed duplicates canonicalize away: (a,b) + (b,a) counts the
+    # neighbor ONCE (the oracle's edge semantics) — node 1 sees
+    # neighbors {0, 2, 3}; a double-counted 2 would win instead of 0
+    rev = spark.createDataFrame(
+        [(1, 2), (2, 1), (0, 1), (1, 3)], "id_a long, id_b long")
+    gr = {r.node: r.label for r in dd.label_propagation(rev, 1).collect()}
+    assert gr[1] == 0
+    # plan guard: the per-round argmax is a mergeable aggregate, never
+    # a window — hub nodes must not sort their label sets in one task
+    # (guarded pre-checkpoint; the checkpointed result hides the plan)
+    both = path.selectExpr("id_a as src", "id_b as dst").unionAll(
+        path.selectExpr("id_b as src", "id_a as dst"))
+    labels = both.selectExpr("src as node", "src as label").distinct()
+    rnd = dd._lpa_round(both, labels)
+    plan = rnd._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "Window" not in plan and "max_by" in plan
