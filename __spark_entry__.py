@@ -1742,12 +1742,16 @@ def _q_csv_roundtrip(spark, sf_dir):
     back by from_csv (JVM-side, zero Python); the parsed fields and
     the line's byte length must equal the oracle's direct re-derivation
     (lang values are comma-free tokens by construction, so the
-    unquoted closed form 'id,lang,n' holds on both sides)."""
+    unquoted closed form 'id,lang,n' holds on both sides —
+    emptyValue='' keeps a NULL/empty lang unquoted ('2,,0', 4 bytes)
+    where Spark's default would quote it ('2,\"\",0', 6 bytes) and
+    break the closed form)."""
     docs = _t(spark, sf_dir, "documents")
     line = F.to_csv(F.struct(
         F.col("doc_id"),
         F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
-        F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars")))
+        F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars")),
+        {"emptyValue": ""})
     parsed = F.from_csv(
         line, "doc_id BIGINT, lang STRING, n_chars BIGINT")
     return docs.select(
