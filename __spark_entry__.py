@@ -2771,64 +2771,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # PREVIOUS round and untouched since.  The local mirror
     # (tests/test_entry_contract.py) still gates all entries every run.
     return {
-        # --- round-7 front window ---
-        # new this round (never driver-sampled)
-        "multimodal_jpeg_color": _q_multimodal_jpeg_color,
-        "multimodal_jpeg_progressive": _q_multimodal_jpeg_progressive,
-        "multimodal_video": _q_multimodal_video,
-        "multimodal_spectrogram": _q_multimodal_spectrogram,
-        "image_phash_neardup": _q_image_phash_neardup,
-        "multimodal_gif": _q_multimodal_gif,
-        "image_resize_real": _q_image_resize_real,
-        "warc_records": _q_warc_records,
-        "bpe_tokenize": _q_bpe_tokenize,
-        "media_curation_full": _q_media_curation_full,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "stream_warc": _q_stream_warc,
-        "label_propagation": _q_label_propagation,
-        "triangle_count": _q_triangle_count,
-        "pq_codes": _q_pq_codes,
-        "embedding_quantize": _q_embedding_quantize,
-        "rollup_cascade": _q_rollup_cascade,
-        "asof_join_events": _q_asof_join_events,
-        "range_join_windows": _q_range_join_windows,
-        # changed in round 7 (plan-shape rewrites — want fresh rows)
-        "retrieval_pairs": _q_retrieval_pairs,
-        "vocab_topk": _q_vocab_topk,
-        "quota_sample": _q_quota_sample,
-        # longest-unsampled: no driver row since r5 or earlier (the 46
-        # entries CORRECTNESS_r06 did not sample), oldest families first
-        # (with 4 new + 3 rewritten ahead of them the last ~3 of this
-        # block sit past the ~50 window; they are r5-green and rotate in
-        # next round)
-        "tpch_q1": _q_tpch_q1,
-        "unique_dup_custkeys": _q_unique_dup_custkeys,
-        "top_orders_per_cust": _q_top_orders_per_cust,
-        "revenue_by_nation": _q_revenue_by_nation,
-        "events_hourly": _q_events_hourly,
-        "token_counts": _q_token_counts,
-        "doc_lang_id": _q_doc_lang_id,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "dedup_clusters_star": _q_dedup_clusters_star,
-        "exact_dup_groups": _q_exact_dup_groups,
-        "relapse_filter_docs": _q_relapse_filter_docs,
-        "relapse_validate_rate": _q_relapse_validate_rate,
-        "relapse_props_json": _q_relapse_props_json,
-        "relapse_props_json_automaton": _q_relapse_props_json_automaton,
-        "stats_orders_profile": _q_stats_orders_profile,
-        "referential_orphans": _q_referential_orphans,
-        "drift_psi_events": _q_drift_psi_events,
-        "doc_quality": _q_doc_quality,
-        "ann_topk_brute": _q_ann_topk_brute,
-        "minhash_pairs": _q_minhash_pairs,
-        "dedup_clusters": _q_dedup_clusters,
-        "heavy_hitter_langs": _q_heavy_hitter_langs,
-        "stream_doc_violations": _q_stream_doc_violations,
-        "stream_windowed_verdicts": _q_stream_windowed_verdicts,
-        "stream_monotonic": _q_stream_monotonic,
-        "xml_validate": _q_xml_validate,
-        "protobuf_validate": _q_protobuf_validate,
-        "protobuf_packed": _q_protobuf_packed,
+        # --- round-8 front window ---
+        # ALL 18 entries whose latest driver row is r5 (the r7 verdict's
+        # item #1 — the whole stale set leads the window)
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_bmp": _q_multimodal_bmp,
@@ -2847,10 +2792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_customers": _q_set_ops_customers,
         "sessionize_events": _q_sessionize_events,
         "q3_shipping_priority": _q_q3_shipping,
-        # --- past the ~50-entry sample window from here down ---
-        # round-7-touched but r6-green (shared shard_expr refactor /
-        # decoder rewrite with unchanged closed forms) — first in line
-        # if the window stretches
+        # latest driver row r6 (sat past the r7 window)
         "multimodal_jpeg": _q_multimodal_jpeg,
         "shard_shuffle": _q_shard_shuffle,
         "sequence_pack": _q_sequence_pack,
@@ -2858,7 +2800,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_report": _q_pack_report,
         "training_prep_full": _q_training_prep_full,
         "doc_chunks": _q_doc_chunks,
-        # tail: driver-green in round 6 and untouched since
+        # changed in round 8 (two-phase brute topk, bucketed asof,
+        # max_by LPA, one-job quota phase 1, csv emptyValue, shared
+        # JPEG quantizer — want fresh driver rows)
+        "ann_topk_brute": _q_ann_topk_brute,
+        "retrieval_pairs": _q_retrieval_pairs,
+        "asof_join_events": _q_asof_join_events,
+        "label_propagation": _q_label_propagation,
+        "quota_sample": _q_quota_sample,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "multimodal_jpeg_color": _q_multimodal_jpeg_color,
+        "multimodal_jpeg_progressive": _q_multimodal_jpeg_progressive,
+        "multimodal_video": _q_multimodal_video,
+        # oldest remaining driver rows (r6) fill the window
         "q10_returned_items": _q_q10_returned_items,
         "q4_order_priority": _q_q4_order_priority,
         "q13_cust_distribution": _q_q13_cust_distribution,
@@ -2875,6 +2829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _q_corpus_report,
         "q2_min_cost_supp": _q_q2_min_cost_supp,
         "q9_product_profit": _q_q9_product_profit,
+        # --- past the ~50-entry sample window from here down ---
+        # remaining r6-green (next in line when the window rotates)
         "q11_important_stock": _q_q11_important_stock,
         "q16_supplier_cnt": _q_q16_supplier_cnt,
         "q20_excess_stock": _q_q20_excess_stock,
@@ -2899,6 +2855,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verify": _q_minhash_verify,
         "decontam_overlap": _q_decontam_overlap,
         "gopher_quality": _q_gopher_quality,
+        # tail: driver-green in round 7 and untouched since
+        "multimodal_spectrogram": _q_multimodal_spectrogram,
+        "image_phash_neardup": _q_image_phash_neardup,
+        "multimodal_gif": _q_multimodal_gif,
+        "image_resize_real": _q_image_resize_real,
+        "warc_records": _q_warc_records,
+        "bpe_tokenize": _q_bpe_tokenize,
+        "media_curation_full": _q_media_curation_full,
+        "stream_warc": _q_stream_warc,
+        "triangle_count": _q_triangle_count,
+        "pq_codes": _q_pq_codes,
+        "embedding_quantize": _q_embedding_quantize,
+        "rollup_cascade": _q_rollup_cascade,
+        "range_join_windows": _q_range_join_windows,
+        "vocab_topk": _q_vocab_topk,
+        "tpch_q1": _q_tpch_q1,
+        "unique_dup_custkeys": _q_unique_dup_custkeys,
+        "top_orders_per_cust": _q_top_orders_per_cust,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "events_hourly": _q_events_hourly,
+        "token_counts": _q_token_counts,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_clusters_star": _q_dedup_clusters_star,
+        "exact_dup_groups": _q_exact_dup_groups,
+        "relapse_filter_docs": _q_relapse_filter_docs,
+        "relapse_validate_rate": _q_relapse_validate_rate,
+        "relapse_props_json": _q_relapse_props_json,
+        "relapse_props_json_automaton": _q_relapse_props_json_automaton,
+        "stats_orders_profile": _q_stats_orders_profile,
+        "referential_orphans": _q_referential_orphans,
+        "drift_psi_events": _q_drift_psi_events,
+        "doc_quality": _q_doc_quality,
+        "minhash_pairs": _q_minhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "heavy_hitter_langs": _q_heavy_hitter_langs,
+        "stream_doc_violations": _q_stream_doc_violations,
+        "stream_windowed_verdicts": _q_stream_windowed_verdicts,
+        "stream_monotonic": _q_stream_monotonic,
+        "xml_validate": _q_xml_validate,
+        "protobuf_validate": _q_protobuf_validate,
+        "protobuf_packed": _q_protobuf_packed,
     }
 
 
