@@ -232,8 +232,22 @@ def unique_json_throughput(spark, n_rows: int) -> float:
     return sorted(times)[1]
 
 
+#: ambient load1 above which a headline sample is untrustworthy on this
+#: box (BENCH_r07 ran at 5.22 and read ~20% slow vs the quiet-box
+#: HISTORY records of the same commit)
+NOISE_LOAD1 = 1.5
+#: one backoff before accepting a noisy sample (seconds)
+NOISE_BACKOFF_S = 75
+
+
 def run_bench() -> dict:
     load_at_start = _load1()
+    if load_at_start > NOISE_LOAD1:
+        # retry once after a backoff; if the box is still busy, run
+        # anyway but stamp the sample noisy IN the compact headline so
+        # the per-round record is never silently averaged in
+        time.sleep(NOISE_BACKOFF_S)
+        load_at_start = _load1()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -318,8 +332,10 @@ def run_bench() -> dict:
         "unique_json_rows": n_unique,
         # ambient probe taken BEFORE the first job (the bench itself
         # drives load1 to ~20 by the end — an end-of-run sample would
-        # only ever measure ourselves)
+        # only ever measure ourselves); "noisy" flags samples whose
+        # ambient exceeded NOISE_LOAD1 even after the one backoff
         "ambient_load1": load_at_start,
+        "noisy": load_at_start > NOISE_LOAD1,
     }
     spark.stop()
     return out
