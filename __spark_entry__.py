@@ -1842,6 +1842,27 @@ def _q_bpe_tokenize(spark, sf_dir):
     return tk.bpe_token_counts(src, tk.demo_merges())
 
 
+def _q_bpe_train(spark, sf_dir):
+    """Corpus-scale BPE TRAINING under the value-hash gate (the r7
+    verdict's 'distributed BPE word-frequency training' item): the
+    word-frequency table is built DISTRIBUTED over documents.text —
+    BPE_ISH pre-tokens map-side, one partially-aggregated count
+    shuffle, top-V via TakeOrderedAndProject — then only the bounded
+    top-V vocabulary (24 rows; ACTIVE cutoff at sf0.01's 31 distinct
+    tokens) is collected and run through the deterministic merge loop.
+    The oracle independently re-derives the frequency table from the
+    same parquet in DuckDB and feeds it through the SHARED trainer
+    (oracles.bpe_train_sql), so the distributed count, the V-boundary
+    AND the trainer are all under the gate.  Output is the merge table
+    itself (rank, lhs, rhs, merged) — tokenizer training output is
+    small by nature; apply/encode stays distributed (bpe_tokenize)."""
+    from katydid_haskell_spark.operators import tokenize as tk
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = tk.train_bpe_on_corpus(docs, "text", top_v=24, n_merges=60)
+    return tk.merges_table(spark, merges)
+
+
 def _q_warc_records(spark, sf_dir):
     """REAL WARC/1.0 record framing under the value-hash gate: per doc
     a two-record WARC file — a constant warcinfo member plus a response
@@ -2772,6 +2793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_entry_contract.py) still gates all entries every run.
     return {
         # --- round-8 front window ---
+        # new in round 8 (never driver-sampled)
+        "bpe_train": _q_bpe_train,
         # ALL 18 entries whose latest driver row is r5 (the r7 verdict's
         # item #1 — the whole stale set leads the window)
         "multimodal_resize": _q_multimodal_resize,
@@ -2828,9 +2851,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental": _q_minhash_incremental,
         "corpus_report": _q_corpus_report,
         "q2_min_cost_supp": _q_q2_min_cost_supp,
-        "q9_product_profit": _q_q9_product_profit,
         # --- past the ~50-entry sample window from here down ---
-        # remaining r6-green (next in line when the window rotates)
+        # remaining r6-green (next in line when the window rotates;
+        # q9 was demoted when bpe_train joined the front)
+        "q9_product_profit": _q_q9_product_profit,
         "q11_important_stock": _q_q11_important_stock,
         "q16_supplier_cnt": _q_q16_supplier_cnt,
         "q20_excess_stock": _q_q20_excess_stock,
@@ -3553,6 +3577,7 @@ def oracle_sql() -> dict[str, str]:
                               % 256))) AS BIGINT) AS pos_checksum
         FROM m
         """,
+        "bpe_train": orc.bpe_train_sql(oracle_sf, top_v=24, n_merges=60),
         "bpe_tokenize": f"""
         SELECT doc_id,
                CAST(6 AS BIGINT) AS n_words,

@@ -131,6 +131,53 @@ def bpe_token_counts(df: DataFrame, merges: Sequence[Tuple[str, str]],
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
 
 
+def word_freqs_topv(df: DataFrame, text_col: str = "text",
+                    top_v: int = 24) -> DataFrame:
+    """Distributed word-frequency induction for BPE training: BPE-ish
+    pre-tokens (`tx.BPE_ISH`, case-folded) extracted map-side (JVM
+    regexp, whole-stage codegen), ONE partially-aggregated count
+    shuffle on the token key, then top-V via ``orderBy().limit()`` —
+    Catalyst compiles that to TakeOrderedAndProject (per-partition
+    top-k, k·P-row driver merge), so no task ever sorts the whole
+    vocabulary (the vocab_topk discipline; at crawl scale the
+    vocabulary is 10^9+ distinct tokens).  Ties break on token asc so
+    the V-boundary is deterministic cross-engine."""
+    toks = F.explode(
+        F.regexp_extract_all(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit(tx.BPE_ISH), F.lit(0)))
+    counts = (df.select(toks.alias("token"))
+              .groupBy("token").agg(F.count(F.lit(1)).alias("n")))
+    return counts.orderBy(F.col("n").desc(), F.col("token")).limit(top_v)
+
+
+def train_bpe_on_corpus(df: DataFrame, text_col: str = "text",
+                        top_v: int = 24,
+                        n_merges: int = 60) -> List[Tuple[str, str]]:
+    """Corpus-scale BPE training: the word-frequency table is built
+    DISTRIBUTED (one count shuffle + TakeOrderedAndProject), only the
+    bounded top-V vocabulary is collected (V rows — vocab, never
+    corpus; the IVF-trainer precedent), and the deterministic merge
+    loop runs on the driver over that dict.  Encoding/apply stays
+    embarrassingly parallel (`bpe_token_counts`)."""
+    rows = word_freqs_topv(df, text_col, top_v).collect()
+    freqs = {r["token"]: int(r["n"]) for r in rows}
+    return train_bpe(freqs, n_merges)
+
+
+def merges_table(spark, merges: Sequence[Tuple[str, str]]) -> DataFrame:
+    """Merge list → (rank, lhs, rhs, merged) DataFrame (bounded:
+    n_merges rows — tokenizer training output IS small)."""
+    schema = T.StructType([
+        T.StructField("rank", T.LongType()),
+        T.StructField("lhs", T.StringType()),
+        T.StructField("rhs", T.StringType()),
+        T.StructField("merged", T.StringType()),
+    ])
+    rows = [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(rows, schema)
+
+
 # --- the demo corpus the oracled query trains on (fixed, seedless) ----------
 
 DEMO_WORDS = ["tokenization", "internationalization", "the", "therefore",

@@ -821,3 +821,46 @@ def pq_codes_sql(sf_dir: str, dim: int = 64, m: int = 8, ksub: int = 16,
     FROM codes
     GROUP BY vec_id
     """
+
+
+def bpe_train_sql(sf_dir: str, top_v: int = 24, n_merges: int = 60) -> str:
+    """Corpus-trained BPE oracle: DuckDB independently re-derives the
+    word-frequency table from the SAME parquet (unnest of the shared
+    `tx.BPE_ISH` pre-tokenizer, count, ORDER BY n DESC, token LIMIT
+    top_v — the vocab_topk form already proven cross-engine), feeds it
+    through the SHARED deterministic trainer (`tokenize.train_bpe`,
+    lexicographic tie-break), and embeds the resulting merge list as a
+    VALUES literal.  Any divergence in Spark's distributed count, the
+    top-V boundary, or the trainer shows up as a merge-table hash
+    mismatch.  top_v=24 is ACTIVE at sf0.01 (31 distinct tokens) —
+    the cutoff itself is under the gate."""
+    import duckdb
+
+    from .operators import textops as tx
+    from .operators.tokenize import train_bpe
+
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        SELECT token, COUNT(*) AS n FROM (
+          SELECT unnest(regexp_extract_all(
+                   lower(COALESCE(text, '')), '{tx.BPE_ISH}')) AS token
+          FROM '{sf_dir}/documents.parquet')
+        GROUP BY token ORDER BY n DESC, token LIMIT {top_v}
+    """).fetchall()
+    con.close()
+    freqs = {t: int(n) for t, n in rows}
+    merges = train_bpe(freqs, n_merges)
+    if not merges:
+        return ("SELECT CAST(NULL AS BIGINT) AS rank, '' AS lhs, "
+                "'' AS rhs, '' AS merged WHERE 1 = 0")
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({i + 1}, {q(a)}, {q(b)}, {q(a + b)})"
+        for i, (a, b) in enumerate(merges))
+    return f"""
+    SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, merged
+    FROM (VALUES {vals}) AS t(rank, lhs, rhs, merged)
+    """

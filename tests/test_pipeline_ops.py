@@ -2155,6 +2155,34 @@ def test_bpe_token_counts_spark(spark):
             len(tk.bpe_encode(w, ranks)) for w in words)
 
 
+def test_bpe_train_on_corpus_distributed(spark):
+    """Corpus-scale BPE training: the word-frequency table comes from a
+    DISTRIBUTED count (TakeOrderedAndProject top-V, never a full-vocab
+    single-task sort), the collected dict is bounded by top_v (the
+    cutoff drops tail tokens), and the result equals the driver-side
+    trainer run on the same hand-computed frequencies."""
+    from katydid_haskell_spark.operators import tokenize as tk
+
+    df = spark.createDataFrame(
+        [(1, "aa bb aa cc aa bb"), (2, "bb cc dd"), (3, "AA a9")],
+        "doc_id long, text string")
+    # plan shape: top-V compiles to TakeOrderedAndProject
+    plan = (tk.word_freqs_topv(df, "text", top_v=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    # cutoff ACTIVE: 6 distinct BPE-ish tokens ('aa' 4 after casefold,
+    # 'bb' 3, 'cc' 2, 'a' 1, '9' 1, 'dd' 1), top_v=3 keeps the first 3
+    got = {r["token"]: r["n"] for r in
+           tk.word_freqs_topv(df, "text", top_v=3).collect()}
+    assert got == {"aa": 4, "bb": 3, "cc": 2}
+    merges = tk.train_bpe_on_corpus(df, "text", top_v=3, n_merges=4)
+    assert merges == tk.train_bpe({"aa": 4, "bb": 3, "cc": 2}, 4)
+    # merge table shape: 1-based rank, merged = lhs + rhs
+    rows = tk.merges_table(spark, merges).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(merges) + 1))
+    assert all(r["merged"] == r["lhs"] + r["rhs"] for r in rows)
+
+
 def test_media_curation_block_patterns_separable():
     """media_curation_full's correctness conditions: the 12
     block-constant group patterns have pairwise-DISTINCT pHashes
