@@ -40,6 +40,26 @@ XML_CASES = [
      [("<root><a>1</a><b>7</b></root>", True),
       ("<root><b>4</b></root>", False),
       ("<root><b>x</b></root>", False)]),  # non-int text → eval error → False
+    # --- mixed content (text interleaved with elements), round 8 ---
+    # text runs become leaf nodes IN DOCUMENT ORDER; string leaves keep
+    # the ORIGINAL text (tails included), so ' world' != 'world'
+    ('p: [== "hello", b == 1, == " world"]',
+     [("<p>hello<b>1</b> world</p>", True),
+      ("<p>hello<b>1</b>world</p>", False),    # tail lost its space
+      ("<p><b>1</b>hello world</p>", False),   # order: text-first required
+      ("<p>hello<b>2</b> world</p>", False)]),
+    # whitespace-only text produces NO node (reference parser parity);
+    # non-whitespace tails do
+    ('doc: [a == 1, == "x", a == 2]',
+     [("<doc><a>1</a>x<a>2</a></doc>", True),
+      ("<doc>\n  <a>1</a>x<a>2</a>\n</doc>", True),
+      ("<doc><a>1</a><a>2</a></doc>", False)]),
+    # integer-looking mixed text is an Int leaf (detection on the
+    # STRIPPED text, Xml.hs text→Int rule), non-integer stays String
+    ("q: [== 42, i == 0]",
+     [("<q>42<i>0</i></q>", True),
+      ("<q> 42 <i>0</i></q>", True),
+      ("<q>fortytwo<i>0</i></q>", False)]),
 ]
 
 DESC: DescMap = {
