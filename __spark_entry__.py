@@ -1842,6 +1842,24 @@ def _q_bpe_tokenize(spark, sf_dir):
     return tk.bpe_token_counts(src, tk.demo_merges())
 
 
+def _q_bigram_lm_score(spark, sf_dir):
+    """LM-based quality filtering (the CCNet family) under the
+    value-hash gate: a bigram LM trained DISTRIBUTED over the corpus
+    scores every document, entirely in exact integers — each bigram's
+    add-1-smoothed probability is quantized ONCE as
+    (1e6*(c2+1)) DIV (c1+V) (positive integer division: Spark DIV ==
+    DuckDB //), per-doc sums are BIGINT (order-independent), and avg_q
+    is one int/int double division on identical integers (the jaccard
+    discipline, unrounded).  The oracle re-derives the whole model from
+    the same parquet in SQL — counts, smoothing, quantization and
+    rollup are all under the gate.  Text never crosses an exchange;
+    only bigram keys and counts shuffle."""
+    from katydid_haskell_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm.bigram_lm_score(docs, "text", "doc_id")
+
+
 def _q_bpe_train(spark, sf_dir):
     """Corpus-scale BPE TRAINING under the value-hash gate (the r7
     verdict's 'distributed BPE word-frequency training' item): the
@@ -2795,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-8 front window ---
         # new in round 8 (never driver-sampled)
         "bpe_train": _q_bpe_train,
+        "bigram_lm_score": _q_bigram_lm_score,
         # ALL 18 entries whose latest driver row is r5 (the r7 verdict's
         # item #1 — the whole stale set leads the window)
         "multimodal_resize": _q_multimodal_resize,
@@ -2850,10 +2869,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_gzip": _q_warc_gzip,
         "minhash_incremental": _q_minhash_incremental,
         "corpus_report": _q_corpus_report,
-        "q2_min_cost_supp": _q_q2_min_cost_supp,
         # --- past the ~50-entry sample window from here down ---
         # remaining r6-green (next in line when the window rotates;
-        # q9 was demoted when bpe_train joined the front)
+        # q2/q9 were demoted when bpe_train + bigram_lm_score joined
+        # the front)
+        "q2_min_cost_supp": _q_q2_min_cost_supp,
         "q9_product_profit": _q_q9_product_profit,
         "q11_important_stock": _q_q11_important_stock,
         "q16_supplier_cnt": _q_q16_supplier_cnt,
@@ -3578,6 +3598,45 @@ def oracle_sql() -> dict[str, str]:
         FROM m
         """,
         "bpe_train": orc.bpe_train_sql(oracle_sf, top_v=24, n_merges=60),
+        # bigram LM: model re-derived end-to-end in SQL.  All arithmetic
+        # is positive-integer (DIV == //), sums CAST BIGINT (HUGEINT
+        # rule), avg_q = int/int double division (jaccard discipline,
+        # unrounded).  scale literal 1000000 mirrors lm.bigram_lm_score's
+        # default — change together.
+        "bigram_lm_score": f"""
+        WITH w AS (
+          SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+        ), bgl AS (
+          SELECT doc_id,
+                 unnest([array_to_string(ws[i:i+1], ' ')
+                         for i in range(1, len(ws))]) AS bg
+          FROM w WHERE len(ws) >= 2
+        ), doc_bg AS (
+          SELECT doc_id, bg, COUNT(*) AS cnt FROM bgl GROUP BY 1, 2
+        ), c2 AS (
+          SELECT bg, CAST(SUM(cnt) AS BIGINT) AS c2,
+                 string_split(bg, ' ')[1] AS w1
+          FROM doc_bg GROUP BY 1
+        ), c1 AS (
+          SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+        ), model AS (
+          SELECT c2.bg,
+                 (1000000 * (c2.c2 + 1))
+                   // (c1.c1 + (SELECT COUNT(*) FROM c1)) AS q
+          FROM c2 JOIN c1 USING (w1)
+        ), agg AS (
+          SELECT doc_bg.doc_id,
+                 CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(cnt * q) AS BIGINT) AS score_sum
+          FROM doc_bg JOIN model USING (bg) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(a.score_sum, 0) AS BIGINT) AS score_sum,
+               CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0.0
+                    ELSE a.score_sum / a.n_bigrams END AS avg_q
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         "bpe_tokenize": f"""
         SELECT doc_id,
                CAST(6 AS BIGINT) AS n_words,

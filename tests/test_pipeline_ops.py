@@ -2183,6 +2183,41 @@ def test_bpe_train_on_corpus_distributed(spark):
     assert all(r["merged"] == r["lhs"] + r["rhs"] for r in rows)
 
 
+def test_bigram_lm_score_hand_computed(spark):
+    """Bigram LM scoring against hand arithmetic: corpus {a b a; b a;
+    x; null} gives c2("a b")=1, c2("b a")=2, c1(a)=1, c1(b)=2, V=2,
+    so q("a b") = 2e6 DIV 3 = 666666 and q("b a") = 3e6 DIV 4 =
+    750000.  Docs with <2 words score (0, 0, 0.0)."""
+    from katydid_haskell_spark.operators import lm
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a"), (3, "x"), (4, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           lm.bigram_lm_score(df, "text", "doc_id").collect()}
+    assert (got[1].n_bigrams, got[1].score_sum) == (2, 666666 + 750000)
+    assert got[1].avg_q == (666666 + 750000) / 2
+    assert (got[2].n_bigrams, got[2].score_sum, got[2].avg_q) == (
+        1, 750000, 750000.0)
+    for d in (3, 4):
+        assert (got[d].n_bigrams, got[d].score_sum, got[d].avg_q) == (
+            0, 0, 0.0)
+
+
+def test_bigram_lm_score_no_text_shuffle(spark):
+    """Document text must never cross an exchange: every Exchange in
+    the plan carries only bigram keys / counts / ids — the curation
+    no-text-shuffle discipline."""
+    from katydid_haskell_spark.operators import lm
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (lm.bigram_lm_score(df, "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text#" not in m.group(0), m.group(0)
+
+
 def test_media_curation_block_patterns_separable():
     """media_curation_full's correctness conditions: the 12
     block-constant group patterns have pairwise-DISTINCT pHashes
