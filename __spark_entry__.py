@@ -1842,6 +1842,21 @@ def _q_bpe_tokenize(spark, sf_dir):
     return tk.bpe_token_counts(src, tk.demo_merges())
 
 
+def _q_tfidf_topterms(spark, sf_dir):
+    """Per-doc distinctive terms under the value-hash gate: top-5 by
+    df-normalized term frequency.  The score is int/int double
+    division on identical integers (bit-identical cross-engine —
+    a log-idf would risk last-ulp top-k flips), ties break term asc.
+    The oracle re-derives tf, docfreq, score and the per-doc rank from
+    the same parquet; the rank alias is `trank` (never `rank` — the
+    DuckDB QUALIFY input-column resolution trap, see
+    retrieval_pairs)."""
+    from katydid_haskell_spark.operators import textops as tx_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return tx_ops.tfidf_topterms(docs, "text", "doc_id", k=5)
+
+
 def _q_bigram_lm_score(spark, sf_dir):
     """LM-based quality filtering (the CCNet family) under the
     value-hash gate: a bigram LM trained DISTRIBUTED over the corpus
@@ -2814,6 +2829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 8 (never driver-sampled)
         "bpe_train": _q_bpe_train,
         "bigram_lm_score": _q_bigram_lm_score,
+        "tfidf_topterms": _q_tfidf_topterms,
         # ALL 18 entries whose latest driver row is r5 (the r7 verdict's
         # item #1 — the whole stale set leads the window)
         "multimodal_resize": _q_multimodal_resize,
@@ -2868,11 +2884,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         "warc_gzip": _q_warc_gzip,
         "minhash_incremental": _q_minhash_incremental,
-        "corpus_report": _q_corpus_report,
         # --- past the ~50-entry sample window from here down ---
         # remaining r6-green (next in line when the window rotates;
-        # q2/q9 were demoted when bpe_train + bigram_lm_score joined
-        # the front)
+        # corpus_report/q2/q9 were demoted when the three new round-8
+        # entries joined the front)
+        "corpus_report": _q_corpus_report,
         "q2_min_cost_supp": _q_q2_min_cost_supp,
         "q9_product_profit": _q_q9_product_profit,
         "q11_important_stock": _q_q11_important_stock,
@@ -3598,6 +3614,30 @@ def oracle_sql() -> dict[str, str]:
         FROM m
         """,
         "bpe_train": orc.bpe_train_sql(oracle_sf, top_v=24, n_merges=60),
+        # df-normalized tf top-terms: score = tf/docfreq (int/int double,
+        # bit-identical — deliberately unrounded), ties term asc; rank
+        # aliased trank (DuckDB QUALIFY `rank` trap).  k=5 mirrors the
+        # entry call.
+        "tfidf_topterms": f"""
+        WITH w AS (
+          SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+        ), t AS (
+          SELECT doc_id, unnest(ws) AS term FROM w
+        ), tf AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM t GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS docfreq
+          FROM tf GROUP BY 1
+        )
+        SELECT doc_id, term, tf, docfreq,
+               tf / docfreq AS score,
+               CAST(row_number() OVER (
+                 PARTITION BY doc_id
+                 ORDER BY tf / docfreq DESC, term) AS BIGINT) AS trank
+        FROM tf JOIN dfreq USING (term)
+        QUALIFY trank <= 5
+        """,
         # bigram LM: model re-derived end-to-end in SQL.  All arithmetic
         # is positive-integer (DIV == //), sums CAST BIGINT (HUGEINT
         # rule), avg_q = int/int double division (jaccard discipline,

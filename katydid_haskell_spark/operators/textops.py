@@ -633,6 +633,40 @@ def vocab_topk(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
             .select("token", F.col("n").cast("long").alias("n"), "rank"))
 
 
+def tfidf_topterms(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Per-document distinctive terms: top-``k`` terms by
+    df-normalized term frequency (score = tf / docfreq), the tf-idf
+    family with an EXACT cross-engine score — int/int double division
+    on identical integers (the jaccard discipline) instead of a
+    transcendental log-idf whose last-ulp can flip top-k membership
+    between engines.  Ties break term asc, so the cut is deterministic.
+
+    100-TB shape: term extraction is map-side; the (doc, term) tf
+    count is one partially-aggregated shuffle; docfreq is a second agg
+    over the already-distinct (doc, term) table; the probe join is
+    term-keyed (model side = one row per term; hot terms are AQE's
+    skew-join case).  The rank window partitions by DOCUMENT — its
+    input is one doc's term set (bounded by doc length), never a
+    corpus-scale partition, so there is no single-task sort hazard.
+    Docs with no words yield no rows.
+    """
+    ws = words(F.coalesce(F.col(text_col), F.lit("")))
+    terms = df.select(F.col(id_col), F.explode(ws).alias("term"))
+    tf = (terms.groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    docfreq = (tf.groupBy("term")
+               .agg(F.count(F.lit(1)).cast("long").alias("docfreq")))
+    scored = (tf.join(docfreq, "term")
+              .withColumn("score", F.col("tf") / F.col("docfreq")))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term"))
+    return (scored
+            .withColumn("trank", F.row_number().over(w).cast("long"))
+            .filter(F.col("trank") <= k)
+            .select(id_col, "term", "tf", "docfreq", "score", "trank"))
+
+
 def corpus_report(df: DataFrame, group_col: str,
                   text_col: str) -> DataFrame:
     """Per-group corpus statistics: document count, total canonical

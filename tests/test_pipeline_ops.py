@@ -2183,6 +2183,23 @@ def test_bpe_train_on_corpus_distributed(spark):
     assert all(r["merged"] == r["lhs"] + r["rhs"] for r in rows)
 
 
+def test_tfidf_topterms_hand_computed(spark):
+    """Distinctive terms by tf/docfreq: 'common' appears in all 3 docs
+    (df=3) so unique terms (df=1) outrank it even at equal tf; ties
+    break term asc; k cuts deterministically."""
+    df = spark.createDataFrame(
+        [(1, "common alpha alpha"), (2, "common beta"), (3, "common")],
+        "doc_id long, text string")
+    rows = tx.tfidf_topterms(df, "text", "doc_id", k=2).collect()
+    got = {(r["doc_id"], r["trank"]): (r["term"], r["tf"], r["docfreq"],
+                                       r["score"]) for r in rows}
+    assert got[(1, 1)] == ("alpha", 2, 1, 2.0)   # tf=2/df=1
+    assert got[(1, 2)] == ("common", 1, 3, 1 / 3)
+    assert got[(2, 1)] == ("beta", 1, 1, 1.0)
+    assert got[(3, 1)] == ("common", 1, 3, 1 / 3)
+    assert (3, 2) not in got  # one-term doc yields one row
+
+
 def test_bigram_lm_score_hand_computed(spark):
     """Bigram LM scoring against hand arithmetic: corpus {a b a; b a;
     x; null} gives c2("a b")=1, c2("b a")=2, c1(a)=1, c1(b)=2, V=2,
