@@ -1896,6 +1896,39 @@ def _q_bpe_train(spark, sf_dir):
     return tk.merges_table(spark, merges)
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication under the value-hash gate
+    (Abbas et al. 2023, public): k-means cells over the embedding space
+    (shared trainer on the same ordered sample, auto_dedup_cells keeps
+    expected CLUSTER SIZE constant as the corpus grows — per-vector
+    pairwise cost flat, unlike √n sizing), within-cell cosine pairs,
+    keep-lowest-id representative.  Output is the full dedup decision
+    table (vec_id, cell, kept).  τ=0.4 for the same reason as
+    embedding_neardup (synthetic max pairwise cos ≈ 0.51); the
+    unrounded >= comparison's margin is pinned ≥3e-4 at every shipped
+    SF (test_semantic_dedup_threshold_margin) — 11 orders above
+    summation-order noise."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.semantic_dedup(emb, dim=64, min_cos=0.4, n_cells=None,
+                              target_cell_size=32)
+
+
+def _q_dsir_score(spark, sf_dir):
+    """DSIR-style importance scoring for data selection under the
+    value-hash gate (Xie et al. 2023, public): a bigram model of the
+    TARGET slice (doc_id % 7 == 0 — the in-domain proxy) against the
+    raw-corpus model; per-doc importance = exact BIGINT difference of
+    quantized add-1 probabilities (the bigram_lm_score integer
+    discipline — a float log-ratio would never survive the gate).
+    Target-unseen bigrams back off through the same formula with zero
+    counts; V_t floored at 1 on both sides.  The oracle re-derives BOTH
+    models end-to-end in SQL from the same parquet."""
+    from katydid_haskell_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm.dsir_score(docs, F.col("doc_id") % 7 == 0, "text", "doc_id")
+
+
 def _q_warc_records(spark, sf_dir):
     """REAL WARC/1.0 record framing under the value-hash gate: per doc
     a two-record WARC file — a constant warcinfo member plus a response
@@ -2827,6 +2860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-8 front window ---
         # new in round 8 (never driver-sampled)
+        "semantic_dedup": _q_semantic_dedup,
+        "dsir_score": _q_dsir_score,
         "bpe_train": _q_bpe_train,
         "bigram_lm_score": _q_bigram_lm_score,
         "tfidf_topterms": _q_tfidf_topterms,
@@ -2882,12 +2917,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_quality": _q_c4_quality,
         "line_dedup": _q_line_dedup,
         "split_assign": _q_split_assign,
+        # --- past the ~50-entry sample window from here down ---
+        # remaining r6-green (next in line when the window rotates —
+        # warc_gzip/minhash_incremental spilled to 50-51 when
+        # semantic_dedup/dsir_score joined the front, so they MUST lead
+        # r9's window alongside corpus_report/q2/q9, demoted earlier)
         "warc_gzip": _q_warc_gzip,
         "minhash_incremental": _q_minhash_incremental,
-        # --- past the ~50-entry sample window from here down ---
-        # remaining r6-green (next in line when the window rotates;
-        # corpus_report/q2/q9 were demoted when the three new round-8
-        # entries joined the front)
         "corpus_report": _q_corpus_report,
         "q2_min_cost_supp": _q_q2_min_cost_supp,
         "q9_product_profit": _q_q9_product_profit,
@@ -3614,6 +3650,69 @@ def oracle_sql() -> dict[str, str]:
         FROM m
         """,
         "bpe_train": orc.bpe_train_sql(oracle_sf, top_v=24, n_merges=60),
+        # SemDeDup: centroids re-derived via the shared kmeans_unit from
+        # the same ordered sample; cell count via the shared
+        # auto_dedup_cells from the same parquet count; min_cos=0.4 /
+        # target_cell_size=32 mirror the entry call — change together.
+        "semantic_dedup": orc.semantic_dedup_sql(
+            oracle_sf, dim=64, min_cos=0.4, target_cell_size=32),
+        # DSIR: both bigram models re-derived end-to-end in SQL.  All
+        # arithmetic positive-integer (DIV == //), sums CAST BIGINT
+        # (HUGEINT rule), dscore = exact BIGINT difference.  The target
+        # slice predicate (doc_id % 7 = 0), the scale literal 1000000
+        # and the V-floor GREATEST(..., 1) mirror lm.dsir_score —
+        # change together.
+        "dsir_score": f"""
+        WITH w AS (
+          SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+        ), bgl AS (
+          SELECT doc_id,
+                 unnest([array_to_string(ws[i:i+1], ' ')
+                         for i in range(1, len(ws))]) AS bg
+          FROM w WHERE len(ws) >= 2
+        ), doc_bg AS (
+          SELECT doc_id, bg, COUNT(*) AS cnt FROM bgl GROUP BY 1, 2
+        ), c2_r AS (
+          SELECT bg, CAST(SUM(cnt) AS BIGINT) AS c2,
+                 string_split(bg, ' ')[1] AS w1
+          FROM doc_bg GROUP BY 1
+        ), c1_r AS (
+          SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2_r GROUP BY 1
+        ), c2_t AS (
+          SELECT bg, CAST(SUM(cnt) AS BIGINT) AS c2,
+                 string_split(bg, ' ')[1] AS w1
+          FROM doc_bg WHERE doc_id % 7 = 0 GROUP BY 1
+        ), c1_t AS (
+          SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2_t GROUP BY 1
+        ), probe AS (
+          SELECT d.doc_id, d.cnt,
+                 (1000000 * (COALESCE(r2.c2, 0) + 1))
+                   // (COALESCE(r1.c1, 0)
+                       + GREATEST((SELECT COUNT(*) FROM c1_r), 1)) AS q_r,
+                 (1000000 * (COALESCE(t2.c2, 0) + 1))
+                   // (COALESCE(t1.c1, 0)
+                       + GREATEST((SELECT COUNT(*) FROM c1_t), 1)) AS q_t
+          FROM (SELECT doc_id, bg, cnt,
+                       string_split(bg, ' ')[1] AS w1 FROM doc_bg) d
+          LEFT JOIN c2_r r2 ON d.bg = r2.bg
+          LEFT JOIN c1_r r1 ON d.w1 = r1.w1
+          LEFT JOIN c2_t t2 ON d.bg = t2.bg
+          LEFT JOIN c1_t t1 ON d.w1 = t1.w1
+        ), agg AS (
+          SELECT doc_id,
+                 CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(cnt * q_t) AS BIGINT) AS t_sum,
+                 CAST(SUM(cnt * q_r) AS BIGINT) AS r_sum
+          FROM probe GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(a.t_sum, 0) AS BIGINT) AS t_sum,
+               CAST(COALESCE(a.r_sum, 0) AS BIGINT) AS r_sum,
+               CAST(COALESCE(a.t_sum, 0) - COALESCE(a.r_sum, 0)
+                 AS BIGINT) AS dscore
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         # df-normalized tf top-terms: score = tf/docfreq (int/int double,
         # bit-identical — deliberately unrounded), ties term asc; rank
         # aliased trank (DuckDB QUALIFY `rank` trap).  k=5 mirrors the

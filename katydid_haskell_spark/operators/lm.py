@@ -32,6 +32,34 @@ from pyspark.sql import functions as F
 from . import textops as tx
 
 
+def _doc_bigram_counts(df: DataFrame, text_col: str,
+                       id_col: str) -> DataFrame:
+    """(id, text) → persisted (id, bg, cnt): adjacent canonical-word
+    pairs extracted map-side, one partially-aggregated count shuffle.
+
+    persist() is load-bearing: Spark's exchange reuse does not
+    deduplicate the multiple consumers (self-join re-aliasing gives each
+    branch distinct exprIds), so without it the corpus-scale text scan +
+    bigram explode would run once per consumer (measured: 10 FileScans
+    at sf0.01 for bigram_lm_score's three).  The cached table is
+    (id, bg, cnt) — counts only, text never cached, spillable
+    MEMORY_AND_DISK."""
+    ws = tx.words(F.coalesce(F.col(text_col), F.lit("")))
+    d = df.select(F.col(id_col), ws.alias("ws"))
+    # adjacent pairs, map-side; explode of an empty array drops the row
+    pairs = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("ws", i), F.element_at("ws", i + 1))),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = d.select(id_col, F.explode(pairs).alias("bg"))
+    return (bg.groupBy(id_col, "bg")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .persist())
+
+
 def bigram_lm_score(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id",
                     scale: int = 1_000_000) -> DataFrame:
@@ -49,29 +77,7 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
     ``scale`` bounds: score_sum <= scale * total_bigrams, so the
     default 1e6 keeps a 10^12-bigram corpus inside int64.
     """
-    ws = tx.words(F.coalesce(F.col(text_col), F.lit("")))
-    d = df.select(F.col(id_col), ws.alias("ws"))
-    # adjacent pairs, map-side; explode of an empty array drops the row
-    pairs = F.when(
-        F.size("ws") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("ws") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at("ws", i), F.element_at("ws", i + 1))),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = d.select(id_col, F.explode(pairs).alias("bg"))
-
-    # per-doc occurrence counts: ONE partially-aggregated shuffle; this
-    # table then feeds BOTH the model (c2 = sum over docs) and the
-    # probe.  persist() is load-bearing: Spark's exchange reuse does
-    # not deduplicate the three consumers (self-join re-aliasing gives
-    # each branch distinct exprIds), so without it the corpus-scale
-    # text scan + bigram explode would run 3x (measured: 10 FileScans
-    # at sf0.01).  The cached table is (id, bg, cnt) — counts only,
-    # text never cached, spillable MEMORY_AND_DISK.
-    doc_bg = (bg.groupBy(id_col, "bg")
-              .agg(F.count(F.lit(1)).alias("cnt"))
-              .persist())
+    doc_bg = _doc_bigram_counts(df, text_col, id_col)
     c2 = (doc_bg.groupBy("bg")
           .agg(F.sum("cnt").cast("long").alias("c2"))
           .withColumn("w1", F.element_at(F.split(F.col("bg"), " "), 1)))
@@ -99,3 +105,87 @@ def bigram_lm_score(df: DataFrame, text_col: str = "text",
         "avg_q",
         F.when(F.col("n_bigrams") == 0, F.lit(0.0))
         .otherwise(F.col("score_sum") / F.col("n_bigrams")))
+
+
+def dsir_score(df: DataFrame, target_pred, text_col: str = "text",
+               id_col: str = "doc_id",
+               scale: int = 1_000_000) -> DataFrame:
+    """DSIR-style importance scoring for data selection (Xie et al. 2023,
+    public): score every document by how much more likely it is under a
+    bigram model of the TARGET slice than under the model of the raw
+    corpus.  ``target_pred`` is a boolean Column over ``id_col`` naming
+    the in-domain slice (e.g. ``F.col("doc_id") % 7 == 0``).
+
+    Exact-integer adaptation of the log-ratio: per bigram occurrence the
+    contribution is ``q_t - q_r`` where each q is the add-1-smoothed
+    probability quantized ONCE as ``(scale*(c2+1)) DIV (c1+V)`` —
+    positive-integer division (Spark DIV == DuckDB // on positives,
+    the bigram_lm_score discipline).  Per-doc sums are BIGINTs
+    (order-independent); ``dscore = t_sum - r_sum`` is an exact BIGINT
+    difference (a float log-ratio would never survive the value-hash
+    gate).  Bigrams unseen by the target model back off through the
+    SAME formula with c2_t = 0 and c1_t = the target count of the left
+    word (0 if unseen); V_t is floored at 1 on both sides so an empty
+    target slice cannot divide by zero.
+
+    Returns (doc_id, n_bigrams, t_sum, r_sum, dscore) for every input
+    row; docs with fewer than two words score zeros.  Selection is the
+    caller's: top-k by (dscore DESC, id) is the vocab_topk
+    TakeOrderedAndProject shape.
+
+    100-TB shape: text never crosses an exchange — the persisted
+    (id, bg, cnt) table feeds the raw model, the target model (a filter
+    of the same cached counts) and the probe; both models are
+    vocabulary-sized; the smoothing scalars ride as broadcast one-row
+    joins; the probe joins are bg/w1-keyed (AQE-skew-handled hot
+    bigrams, the bigram_lm_score reading).
+    """
+    doc_bg = _doc_bigram_counts(df, text_col, id_col)
+
+    def model_parts(src):
+        c2 = (src.groupBy("bg")
+              .agg(F.sum("cnt").cast("long").alias("c2"))
+              .withColumn("w1", F.element_at(F.split(F.col("bg"), " "), 1)))
+        c1 = c2.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+        v = c1.agg(F.greatest(F.count(F.lit(1)).cast("long"),
+                              F.lit(1).cast("long")).alias("v"))
+        return c2, c1, v
+
+    c2_r, c1_r, v_r = model_parts(doc_bg)
+    c2_t, c1_t, v_t = model_parts(
+        doc_bg.filter(target_pred(F.col(id_col)) if callable(target_pred)
+                      else target_pred))
+
+    probe = doc_bg.withColumn(
+        "w1", F.element_at(F.split(F.col("bg"), " "), 1))
+    scored = (
+        probe
+        .join(c2_r.select("bg", F.col("c2").alias("c2_r")), "bg", "left")
+        .join(c1_r.select("w1", F.col("c1").alias("c1_r")), "w1", "left")
+        .join(F.broadcast(v_r.select(F.col("v").alias("v_r"))))
+        .join(c2_t.select("bg", F.col("c2").alias("c2_t")), "bg", "left")
+        .join(c1_t.select("w1", F.col("c1").alias("c1_t")), "w1", "left")
+        .join(F.broadcast(v_t.select(F.col("v").alias("v_t"))))
+        .select(
+            id_col, "cnt",
+            F.expr(f"({scale} * (coalesce(c2_r, 0) + 1))"
+                   " DIV (coalesce(c1_r, 0) + v_r)").alias("q_r"),
+            F.expr(f"({scale} * (coalesce(c2_t, 0) + 1))"
+                   " DIV (coalesce(c1_t, 0) + v_t)").alias("q_t"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("cnt").cast("long").alias("n_bigrams"),
+             F.sum(F.col("cnt") * F.col("q_t")).cast("long").alias("t_sum"),
+             F.sum(F.col("cnt") * F.col("q_r")).cast("long").alias("r_sum"))
+    )
+    return (
+        df.select(id_col).join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0).cast("long"))
+            .alias("n_bigrams"),
+            F.coalesce("t_sum", F.lit(0).cast("long")).alias("t_sum"),
+            F.coalesce("r_sum", F.lit(0).cast("long")).alias("r_sum"),
+        )
+        .withColumn("dscore", F.col("t_sum") - F.col("r_sum"))
+    )

@@ -592,6 +592,77 @@ def embedding_neardup_pairs(df: DataFrame, dim: int, min_cos: float = 0.95,
     )
 
 
+def auto_dedup_cells(n: int, target_cell_size: int = 32,
+                     floor: int = 4, cap: int = 512) -> int:
+    """SemDeDup cluster-count sizing shared by the operator and the DuckDB
+    oracle: cells ∝ n / target_cell_size keeps the EXPECTED cluster
+    occupancy — and therefore the within-cluster pairwise-cosine cost per
+    vector — CONSTANT as the corpus grows (the auto_n_bits discipline;
+    the √n sizing IVF uses would make clusters √n-sized and the pairwise
+    stage superlinear).  Capped so driver k-means on the bounded training
+    sample stays meaningful (cells ≪ sample)."""
+    return max(floor, min(cap, n // target_cell_size))
+
+
+def semantic_dedup(df: DataFrame, dim: int, min_cos: float = 0.4,
+                   n_cells: int | None = None, target_cell_size: int = 32,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   centroids: List[List[float]] | None = None,
+                   sample: int = 4096, iters: int = 8,
+                   seed: int = 5) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the embedding space with a coarse k-means quantizer, compare
+    pairs ONLY within a cluster, and keep one representative per
+    near-duplicate relation — here deterministically the LOWEST id: a doc
+    is dropped iff some lower-id doc in its cluster has cosine ≥ τ to it.
+
+    Returns (vec_id, cell, kept) for EVERY input row — a dedup decision
+    table, not pairs (the within-cluster complement of
+    :func:`embedding_neardup_pairs`' LSH blocking).
+
+    100-TB shape: centroids train on a bounded ordered sample (driver
+    k-means, the IVF regime); assignment is one Arrow matmul projection
+    (argmax parity-guarded, :func:`cell_assign_udf`); the self-join keys
+    on the cell id with ``auto_dedup_cells`` keeping expected cluster
+    size CONSTANT, so candidate pairs grow linearly in n; the verdict
+    join back is id+bool rows — embeddings never cross that exchange.
+    """
+    if n_cells is None:
+        n_cells = auto_dedup_cells(df.count(), target_cell_size)
+    if centroids is None:
+        centroids = train_ivf_centroids(df, dim, n_cells, sample=sample,
+                                        iters=iters, vec_col=vec_col,
+                                        seed=seed, id_col=id_col)
+    # persist() is load-bearing (the _doc_bigram_counts discipline):
+    # the assigned table has THREE consumers (both self-join sides and
+    # the verdict base) with distinct exprIds, so without it the Arrow
+    # assignment matmul — the dominant per-row cost — runs 3x.
+    c = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        cell_assign_udf(centroids, dim)(F.col(vec_col)).alias("cell"),
+    ).persist()
+    l, r = c.alias("l"), c.alias("r")
+    dropped = (
+        l.join(r, "cell")
+        .where(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("r.vec_id").alias("vec_id"),
+            cosine_pairs_udf(dim)(F.col("l.v"), F.col("r.v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cos)
+        .select("vec_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        c.select("vec_id", "cell")
+        .join(dropped, "vec_id", "left")
+        .select("vec_id", "cell",
+                F.coalesce(~F.col("hit"), F.lit(True)).alias("kept"))
+    )
+
+
 def neg_pool_cutoff(n_corpus: int, k_neg: int,
                     pool_factor: int = 100) -> str:
     """md5 hash-threshold literal for the contrastive negative pool.

@@ -463,6 +463,85 @@ def ivf_topk_sql(sf_dir: str, dim: int = 64, k: int = 10,
     """
 
 
+def semantic_dedup_sql(sf_dir: str, dim: int = 64, min_cos: float = 0.4,
+                       target_cell_size: int = 32, sample: int = 4096,
+                       iters: int = 8, seed: int = 5) -> str:
+    """SemDeDup oracle: centroids re-derived from the SAME ordered
+    training sample the Spark trainer reads via the shared
+    ``kmeans_unit`` (bit-identical float64 constants), the cell count via
+    the shared ``similarity.auto_dedup_cells`` from the same parquet
+    count; assignment (sim DESC, cell ASC — first-max ties, the
+    ivf_topk_sql discipline), within-cell pairing and the keep-lowest-id
+    verdict all expressed in SQL.  The ``>= min_cos`` comparison is NOT
+    rounded: the threshold margin is verified to dwarf summation-order
+    noise at every shipped SF (test_semantic_dedup_threshold_margin)."""
+    import duckdb
+    import numpy as np
+
+    from .operators.similarity import auto_dedup_cells, kmeans_unit
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    n_cells = auto_dedup_cells(n, target_cell_size)
+    rows = con.execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY vec_id LIMIT {sample}"
+    ).fetchall()
+    con.close()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    cents: List[List[float]] = kmeans_unit(x, n_cells, iters, seed)
+
+    def cent_lit(c):
+        return "[" + ", ".join(repr(w) for w in c) + "]"
+
+    sim_cols = ",\n             ".join(
+        f"CASE WHEN nrm > 0 THEN list_inner_product(vd, {cent_lit(c)}) / nrm "
+        f"ELSE 0.0 END AS sim{i}"
+        for i, c in enumerate(cents)
+    )
+    cells_values = ", ".join(f"({i})" for i in range(len(cents)))
+    sim_case = "CASE cell " + " ".join(
+        f"WHEN {i} THEN sim{i}" for i in range(len(cents))
+    ) + " END"
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS vd,
+             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    sims AS (
+      SELECT vec_id, embedding,
+             {sim_cols}
+      FROM base
+    ),
+    cellsims AS (
+      SELECT s.*, c.cell, {sim_case} AS sim
+      FROM sims s CROSS JOIN (VALUES {cells_values}) AS c(cell)
+    ),
+    ccell AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT vec_id, embedding, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell ASC) AS rn
+        FROM cellsims) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT r.vec_id
+      FROM ccell l JOIN ccell r USING (cell)
+      WHERE l.vec_id < r.vec_id
+        AND list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                   CAST(r.embedding AS DOUBLE[]))
+            >= {min_cos}
+    )
+    SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+           (d.vec_id IS NULL) AS kept
+    FROM ccell c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+    """
+
+
 def retrieval_pairs_sql(sf_dir: str, k_pos: int = 3, k_neg: int = 3,
                         seed: str = "neg-v1",
                         pool_factor: int = 100) -> str:

@@ -2507,3 +2507,97 @@ def test_label_propagation_hand_graphs(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("formatted"))
     assert "Window" not in plan and "max_by" in plan
+
+
+def test_semantic_dedup_hand_case(spark):
+    """SemDeDup decision table on a crafted 2-D corpus with explicit
+    centroids: near-parallel vectors in the same cell drop the HIGHER
+    id; dissimilar same-cell vectors and other-cell vectors keep."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.99, 0.01]), (3, [0.6, 0.55]),
+         (4, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.cell, r.kept)
+           for r in sim.semantic_dedup(
+               df, dim=2, min_cos=0.95,
+               centroids=[[1.0, 0.0], [0.0, 1.0]]).collect()}
+    assert got[1] == (0, True)    # lowest id of the near-dup pair
+    assert got[2] == (0, False)   # cos(1,2) ≈ 0.99995 ≥ τ → dropped
+    assert got[3] == (0, True)    # same cell, cos(1,3) ≈ 0.737 < τ
+    assert got[4] == (1, True)    # alone in its cell
+
+
+def test_semantic_dedup_threshold_margin():
+    """The unrounded `cos >= 0.4` comparison is safe cross-engine ONLY
+    while no within-cell pair sits near the threshold: pin the margin
+    ≥ 1e-6 (measured 6.1e-4 at sf0.01, 3.3e-4 at sf0.1 — eleven orders
+    above summation-order noise) at both shipped SFs, re-deriving
+    cells via the SHARED trainer exactly as the oracle does."""
+    import duckdb
+    import numpy as np
+
+    for sf in ("sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT vec_id, embedding FROM "
+            f"'/root/testdata/{sf}/embeddings.parquet' ORDER BY vec_id"
+        ).fetchall()
+        con.close()
+        x = np.array([r[1] for r in rows], dtype=np.float64)
+        n_cells = sim.auto_dedup_cells(len(x), 32)
+        cents = np.array(sim.kmeans_unit(x[:4096], n_cells, 8, 5))
+        nrm = np.linalg.norm(x, axis=1, keepdims=True)
+        cell = np.where(nrm > 0, (x @ cents.T) / np.where(nrm > 0, nrm, 1),
+                        0.0).argmax(axis=1)
+        gaps = []
+        for c in range(n_cells):
+            m = x[cell == c]
+            if len(m) < 2:
+                continue
+            mn = m / np.maximum(
+                np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            cs = (mn @ mn.T)[np.triu_indices(len(m), 1)]
+            gaps.append(np.abs(cs - 0.4).min())
+        assert min(gaps) > 1e-6, (sf, min(gaps))
+
+
+def test_dsir_score_hand_computed(spark):
+    """DSIR importance scores against hand arithmetic.  Corpus
+    {0:'a b'(target), 1:'a b', 2:'a c', 3:'z q', 4:'x', 5:None}:
+    raw model c2(a b)=2, c2(a c)=1, c2(z q)=1, c1(a)=3, c1(z)=1,
+    V_r=2 → q_r = 600000 / 400000 / 666666; target model (doc 0)
+    c2(a b)=1, c1(a)=1, V_t=1 → q_t(a b)=1000000, backoff
+    q_t(a c)=500000, q_t(z q)=1000000 (both counts unseen)."""
+    from katydid_haskell_spark.operators import lm
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c"), (3, "z q"), (4, "x"),
+         (5, None)],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.t_sum, r.r_sum, r.dscore)
+           for r in lm.dsir_score(
+               df, F.col("doc_id") % 7 == 0).collect()}
+    assert got[0] == (1, 1000000, 600000, 400000)
+    assert got[1] == (1, 1000000, 600000, 400000)
+    assert got[2] == (1, 500000, 400000, 100000)
+    assert got[3] == (1, 1000000, 666666, 333334)
+    assert got[4] == (0, 0, 0, 0)
+    assert got[5] == (0, 0, 0, 0)
+    # empty target slice: V_t floors at 1, every bigram backs off to
+    # q_t = 1000000*1 // (0+1) — no division by zero
+    empty = {r.doc_id: r.t_sum for r in lm.dsir_score(
+        df, F.col("doc_id") < 0).collect()}
+    assert empty[0] == 1000000
+
+
+def test_dsir_no_text_shuffle(spark):
+    """dsir_score inherits the no-text-shuffle discipline: every
+    Exchange carries only bigram keys / counts / ids."""
+    from katydid_haskell_spark.operators import lm
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (lm.dsir_score(df, F.col("doc_id") % 7 == 0)
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text#" not in m.group(0), m.group(0)
