@@ -1896,6 +1896,22 @@ def _q_bpe_train(spark, sf_dir):
     return tk.merges_table(spark, merges)
 
 
+def _q_temperature_sample(spark, sf_dir):
+    """Temperature-weighted corpus mixing under the value-hash gate
+    (the multilingual α-sampling rule, public XLM-R/mBERT recipes):
+    per-language targets ∝ n^0.5 computed by the SHARED
+    mixing.temperature_targets from the collected counts — the oracle
+    re-derives the same counts from the parquet and runs the same fn,
+    so the α-weighting itself is gated — then the quota sampler's
+    deterministic seeded-md5 draw.  alpha=0.5/total=300 are ACTIVE
+    caps for every language at sf0.01 (en 218→91, zh 75→53, ...)."""
+    from katydid_haskell_spark.operators import mixing as mx
+
+    docs = _t(spark, sf_dir, "documents")
+    return mx.temperature_sample(docs, "lang", "doc_id", alpha=0.5,
+                                 total=300, seed="temp-v1")
+
+
 def _q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic deduplication under the value-hash gate
     (Abbas et al. 2023, public): k-means cells over the embedding space
@@ -2862,6 +2878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 8 (never driver-sampled)
         "semantic_dedup": _q_semantic_dedup,
         "dsir_score": _q_dsir_score,
+        "temperature_sample": _q_temperature_sample,
         "bpe_train": _q_bpe_train,
         "bigram_lm_score": _q_bigram_lm_score,
         "tfidf_topterms": _q_tfidf_topterms,
@@ -2916,12 +2933,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_verdicts": _q_pages_verdicts,
         "c4_quality": _q_c4_quality,
         "line_dedup": _q_line_dedup,
-        "split_assign": _q_split_assign,
         # --- past the ~50-entry sample window from here down ---
         # remaining r6-green (next in line when the window rotates —
-        # warc_gzip/minhash_incremental spilled to 50-51 when
-        # semantic_dedup/dsir_score joined the front, so they MUST lead
-        # r9's window alongside corpus_report/q2/q9, demoted earlier)
+        # split_assign/warc_gzip/minhash_incremental spilled when
+        # semantic_dedup/dsir_score/temperature_sample joined the
+        # front, so they MUST lead r9's window alongside
+        # corpus_report/q2/q9, demoted earlier)
+        "split_assign": _q_split_assign,
         "warc_gzip": _q_warc_gzip,
         "minhash_incremental": _q_minhash_incremental,
         "corpus_report": _q_corpus_report,
@@ -3662,6 +3680,11 @@ def oracle_sql() -> dict[str, str]:
         # slice predicate (doc_id % 7 = 0), the scale literal 1000000
         # and the V-floor GREATEST(..., 1) mirror lm.dsir_score —
         # change together.
+        # temperature mixing: counts re-derived from the parquet feed
+        # the SHARED temperature_targets; alpha=0.5/total=300/seed
+        # 'temp-v1' mirror the entry call — change together.
+        "temperature_sample": orc.temperature_sample_sql(
+            oracle_sf, alpha=0.5, total=300, seed="temp-v1"),
         "dsir_score": f"""
         WITH w AS (
           SELECT doc_id, {_WORDS_SQL} AS ws FROM documents

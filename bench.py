@@ -85,6 +85,12 @@ HEADLINE = [
     "image_resize_real",
     "warc_records",
     "bpe_tokenize",
+    "bpe_train",
+    "bigram_lm_score",
+    "tfidf_topterms",
+    "semantic_dedup",
+    "dsir_score",
+    "temperature_sample",
     "media_curation_full",
     "csv_roundtrip",
     "stream_warc",

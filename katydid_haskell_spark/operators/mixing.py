@@ -291,3 +291,46 @@ def write_training_shards(df: DataFrame, out_dir: str, id_col: str,
     with open(mpath, "w") as f:
         json.dump(manifest, f)
     return manifest
+
+
+def temperature_targets(counts: Mapping[str, int], alpha: float = 0.5,
+                        total: int = 0) -> dict[str, int]:
+    """Integer per-group targets ∝ n_g^alpha (temperature-weighted
+    mixing — the multilingual up/down-sampling rule from the public
+    XLM-R/mBERT training recipes), capped at the group size.
+
+    Shared-fn discipline: the float pow + normalize runs ONCE here in
+    Python — the Spark operator calls it on collected counts and the
+    DuckDB oracle builder calls it on the SAME counts re-derived from
+    the parquet — so both sides hold the identical integer targets and
+    no cross-engine float arithmetic ever happens.  ``int()`` floors,
+    so sum(targets) <= total (never over-draws)."""
+    w = {g: float(n) ** alpha for g, n in counts.items() if n > 0}
+    s = sum(w.values())
+    if s <= 0:
+        return {}
+    return {g: min(counts[g], int(total * wg / s)) for g, wg in w.items()}
+
+
+def temperature_sample(df: DataFrame, group_col: str, id_col: str,
+                       alpha: float = 0.5, total: int = 0,
+                       seed: str = "temp-v1",
+                       safety: int = 2) -> DataFrame:
+    """Temperature-weighted corpus mixing: per-group quotas from
+    :func:`temperature_targets` (α<1 flattens the group distribution —
+    low-resource groups are up-weighted relative to their share), drawn
+    deterministically by :func:`quota_sample_ids`.
+
+    100-TB shape: one extra partial-agg count job over the (group)
+    projection to derive the targets (bounded collect — one row per mix
+    group), then the quota sampler's two-phase bounded-window draw; the
+    window input is a hash-prefix PREFIX of each group, so no task ever
+    sorts a whole group."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1))).collect()
+        if r[0] is not None
+    }
+    quotas = temperature_targets(counts, alpha, total)
+    return quota_sample_ids(df, group_col, id_col, quotas, seed=seed,
+                            safety=safety)

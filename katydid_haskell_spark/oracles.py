@@ -463,6 +463,44 @@ def ivf_topk_sql(sf_dir: str, dim: int = 64, k: int = 10,
     """
 
 
+def temperature_sample_sql(sf_dir: str, alpha: float = 0.5,
+                           total: int = 300, seed: str = "temp-v1",
+                           table: str = "documents",
+                           group_col: str = "lang",
+                           id_col: str = "doc_id") -> str:
+    """Temperature-mixing oracle: per-group counts re-derived from the
+    same parquet, fed through the SHARED ``mixing.temperature_targets``
+    (identical Python floats → identical integer targets on both
+    sides), then the quota_sample full-window seeded-md5 rank form —
+    the operator's two-phase prefix cut keeps winners identical to the
+    full-window order by construction."""
+    import duckdb
+
+    from .operators.mixing import temperature_targets
+
+    con = duckdb.connect()
+    counts = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT {group_col}, COUNT(*) FROM "
+            f"'{sf_dir}/{table}.parquet' WHERE {group_col} IS NOT NULL "
+            f"GROUP BY 1").fetchall()
+    }
+    con.close()
+    quotas = temperature_targets(counts, alpha, total)
+    values = ", ".join(f"('{g}', {q})" for g, q in sorted(quotas.items()))
+    return f"""
+    WITH q({group_col}, quota) AS (VALUES {values})
+    SELECT d.{group_col}, d.{id_col}
+    FROM {table} d JOIN q ON d.{group_col} = q.{group_col}
+    QUALIFY row_number() OVER (
+      PARTITION BY d.{group_col}
+      ORDER BY md5('{seed}' || chr(31)
+                   || CAST(d.{id_col} AS VARCHAR)), d.{id_col}
+    ) <= q.quota
+    """
+
+
 def semantic_dedup_sql(sf_dir: str, dim: int = 64, min_cos: float = 0.4,
                        target_cell_size: int = 32, sample: int = 4096,
                        iters: int = 8, seed: int = 5) -> str:

@@ -2601,3 +2601,40 @@ def test_dsir_no_text_shuffle(spark):
     import re
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert "text#" not in m.group(0), m.group(0)
+
+
+def test_temperature_targets_hand_computed():
+    """α-weighted targets: α=0.5 over {a:400, b:100} gives weights
+    2:1 → targets {a: 100, b: 50} at total=150; a group smaller than
+    its share is capped at its size; α=1 reduces to proportional;
+    zero/absent groups drop."""
+    from katydid_haskell_spark.operators.mixing import temperature_targets
+
+    assert temperature_targets({"a": 400, "b": 100}, 0.5, 150) == {
+        "a": 100, "b": 50}
+    assert temperature_targets({"a": 400, "b": 4}, 0.5, 220) == {
+        "a": 200, "b": 4}  # b capped at group size (share would be 20)
+    assert temperature_targets({"a": 300, "b": 100}, 1.0, 100) == {
+        "a": 75, "b": 25}
+    assert temperature_targets({"a": 0, "b": 10}, 0.5, 5) == {"b": 5}
+    assert temperature_targets({}, 0.5, 100) == {}
+
+
+def test_temperature_sample_draw_matches_quota(spark):
+    """temperature_sample == quota_sample_ids with targets from the
+    shared fn: same winners, exact per-group sizes."""
+    from katydid_haskell_spark.operators import mixing as mx
+
+    rows = [(f"g{i % 3}", i) for i in range(90)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    got = mx.temperature_sample(df, "lang", "doc_id", alpha=0.5,
+                                total=30, seed="t-test")
+    counts = {r[0]: r[1] for r in
+              got.groupBy("lang").count().collect()}
+    # equal group sizes → equal targets: int(30/3) each
+    assert counts == {"g0": 10, "g1": 10, "g2": 10}
+    want = mx.quota_sample_ids(df, "lang", "doc_id",
+                               {"g0": 10, "g1": 10, "g2": 10},
+                               seed="t-test")
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in want.collect()}
