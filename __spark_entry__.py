@@ -1896,6 +1896,47 @@ def _q_bpe_train(spark, sf_dir):
     return tk.merges_table(spark, merges)
 
 
+def _q_stream_semantic_route(spark, sf_dir):
+    """SEVENTH streaming surface under the value-hash gate: semantic
+    ingest routing — arriving embeddings get their k-means cell (the
+    quantizer pre-trained offline on the batch table via the SHARED
+    trainer; the offline-index/online-route split) and training shard
+    map-side, as a pure projection (no watermark, no state store), so
+    the batch oracle — shared ccell CTE + the 2-hex-digit shard form —
+    stays valid verbatim (the stream_route discipline)."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from katydid_haskell_spark.operators.similarity import (
+        auto_dedup_cells,
+        train_ivf_centroids,
+    )
+    from katydid_haskell_spark.streaming.stream_checks import (
+        stream_semantic_route,
+    )
+
+    batch = _t(spark, sf_dir, "embeddings")
+    n_cells = auto_dedup_cells(batch.count(), 32)
+    cents = train_ivf_centroids(batch, dim=64, n_cells=n_cells)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_semroute_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "embeddings.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "embeddings.parquet"), link)
+    sch = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    stream = spark.readStream.schema(sch).parquet(d)
+    out = stream_semantic_route(stream, cents, dim=64, n_shards=16,
+                                shard_seed="shuffle-v1")
+    name = "stream_semroute_" + uuid.uuid4().hex[:12]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _q_temperature_sample(spark, sf_dir):
     """Temperature-weighted corpus mixing under the value-hash gate
     (the multilingual α-sampling rule, public XLM-R/mBERT recipes):
@@ -2879,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "dsir_score": _q_dsir_score,
         "temperature_sample": _q_temperature_sample,
+        "stream_semantic_route": _q_stream_semantic_route,
         "bpe_train": _q_bpe_train,
         "bigram_lm_score": _q_bigram_lm_score,
         "tfidf_topterms": _q_tfidf_topterms,
@@ -2932,13 +2974,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_skew_report": _q_host_skew_report,
         "pages_verdicts": _q_pages_verdicts,
         "c4_quality": _q_c4_quality,
-        "line_dedup": _q_line_dedup,
         # --- past the ~50-entry sample window from here down ---
         # remaining r6-green (next in line when the window rotates —
-        # split_assign/warc_gzip/minhash_incremental spilled when
-        # semantic_dedup/dsir_score/temperature_sample joined the
-        # front, so they MUST lead r9's window alongside
-        # corpus_report/q2/q9, demoted earlier)
+        # line_dedup/split_assign/warc_gzip/minhash_incremental spilled
+        # when the four new round-8 entries (semantic_dedup, dsir_score,
+        # temperature_sample, stream_semantic_route) joined the front,
+        # so they MUST lead r9's window alongside corpus_report/q2/q9,
+        # demoted earlier)
+        "line_dedup": _q_line_dedup,
         "split_assign": _q_split_assign,
         "warc_gzip": _q_warc_gzip,
         "minhash_incremental": _q_minhash_incremental,
@@ -3685,6 +3728,13 @@ def oracle_sql() -> dict[str, str]:
         # 'temp-v1' mirror the entry call — change together.
         "temperature_sample": orc.temperature_sample_sql(
             oracle_sf, alpha=0.5, total=300, seed="temp-v1"),
+        # streaming semantic route: pure projection => the batch oracle
+        # is valid verbatim (shared ccell CTE + 2-hex-digit shard form);
+        # target_cell_size=32 / n_shards=16 / 'shuffle-v1' mirror the
+        # entry — change together.
+        "stream_semantic_route": orc.semantic_route_sql(
+            oracle_sf, dim=64, target_cell_size=32, n_shards=16,
+            shard_seed="shuffle-v1"),
         "dsir_score": f"""
         WITH w AS (
           SELECT doc_id, {_WORDS_SQL} AS ws FROM documents

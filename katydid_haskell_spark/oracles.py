@@ -501,18 +501,15 @@ def temperature_sample_sql(sf_dir: str, alpha: float = 0.5,
     """
 
 
-def semantic_dedup_sql(sf_dir: str, dim: int = 64, min_cos: float = 0.4,
-                       target_cell_size: int = 32, sample: int = 4096,
-                       iters: int = 8, seed: int = 5) -> str:
-    """SemDeDup oracle: centroids re-derived from the SAME ordered
-    training sample the Spark trainer reads via the shared
-    ``kmeans_unit`` (bit-identical float64 constants), the cell count via
-    the shared ``similarity.auto_dedup_cells`` from the same parquet
-    count; assignment (sim DESC, cell ASC — first-max ties, the
-    ivf_topk_sql discipline), within-cell pairing and the keep-lowest-id
-    verdict all expressed in SQL.  The ``>= min_cos`` comparison is NOT
-    rounded: the threshold margin is verified to dwarf summation-order
-    noise at every shipped SF (test_semantic_dedup_threshold_margin)."""
+def _ccell_with(sf_dir: str, dim: int, target_cell_size: int,
+                sample: int, iters: int, seed: int) -> str:
+    """WITH-block prefix ending at the ``ccell`` CTE (vec_id, embedding,
+    cell): centroids re-derived from the SAME ordered training sample the
+    Spark trainer reads via the shared ``kmeans_unit`` (bit-identical
+    float64 constants), the cell count via the shared
+    ``similarity.auto_dedup_cells`` from the same parquet count;
+    assignment sim DESC, cell ASC — first-max ties, the ivf_topk_sql
+    discipline.  Shared by semantic_dedup_sql and semantic_route_sql."""
     import duckdb
     import numpy as np
 
@@ -565,7 +562,19 @@ def semantic_dedup_sql(sf_dir: str, dim: int = 64, min_cos: float = 0.4,
                ROW_NUMBER() OVER (PARTITION BY vec_id
                                   ORDER BY sim DESC, cell ASC) AS rn
         FROM cellsims) WHERE rn = 1
-    ),
+    )"""
+
+
+def semantic_dedup_sql(sf_dir: str, dim: int = 64, min_cos: float = 0.4,
+                       target_cell_size: int = 32, sample: int = 4096,
+                       iters: int = 8, seed: int = 5) -> str:
+    """SemDeDup oracle: the shared ccell derivation (:func:`_ccell_with`),
+    then within-cell pairing and the keep-lowest-id verdict in SQL.  The
+    ``>= min_cos`` comparison is NOT rounded: the threshold margin is
+    verified to dwarf summation-order noise at every shipped SF
+    (test_semantic_dedup_threshold_margin)."""
+    prefix = _ccell_with(sf_dir, dim, target_cell_size, sample, iters, seed)
+    return f"""{prefix},
     dropped AS (
       SELECT DISTINCT r.vec_id
       FROM ccell l JOIN ccell r USING (cell)
@@ -980,4 +989,29 @@ def bpe_train_sql(sf_dir: str, top_v: int = 24, n_merges: int = 60) -> str:
     return f"""
     SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, merged
     FROM (VALUES {vals}) AS t(rank, lhs, rhs, merged)
+    """
+
+
+def semantic_route_sql(sf_dir: str, dim: int = 64,
+                       target_cell_size: int = 32, sample: int = 4096,
+                       iters: int = 8, seed: int = 5,
+                       n_shards: int = 16,
+                       shard_seed: str = "shuffle-v1") -> str:
+    """Streaming semantic-route oracle: the shared ccell derivation
+    plus the <=256-shard two-hex-digit closed form (the shard_shuffle
+    literal every route oracle mirrors) — valid for the stream because
+    the streaming operator is a pure projection of the same closed
+    forms (the stream_route discipline)."""
+    prefix = _ccell_with(sf_dir, dim, target_cell_size, sample, iters, seed)
+    return f"""{prefix}
+    SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+           CAST(((strpos('0123456789abcdef', substring(hh, 1, 1)) - 1)
+                 * 16
+                 + (strpos('0123456789abcdef', substring(hh, 2, 1)) - 1))
+                % {n_shards} AS BIGINT) AS shard
+    FROM (
+      SELECT vec_id, cell,
+             md5('{shard_seed}' || chr(31)
+                 || CAST(vec_id AS VARCHAR)) AS hh
+      FROM ccell)
     """

@@ -229,3 +229,34 @@ def stream_warc_records(stream: DataFrame,
     from katydid_haskell_spark.operators.warc import warc_records
 
     return warc_records(stream, payload_col=payload_col, id_col=id_col)
+
+
+def stream_semantic_route(stream: DataFrame,
+                          centroids: list, dim: int,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          n_shards: int = 16,
+                          shard_seed: str = "shuffle-v1") -> DataFrame:
+    """SEVENTH streaming surface: semantic ingest routing — every
+    arriving embedding is assigned its coarse semantic cell (the
+    pre-trained k-means quantizer, broadcast into the stream as
+    closure constants — the offline-index/online-route split of a
+    production vector pipeline) and its training shard, map-side.
+
+    Pure projection of the stream (Arrow cell assignment +
+    the shard_shuffle hex-prefix closed form): no watermark, no state
+    store — a restart routes identically and the batch oracle stays
+    valid verbatim (the stream_route discipline).  Embeddings never
+    cross an exchange; the output is (id, cell, shard) rows."""
+    from ..operators.mixing import _SEP, shard_expr
+    from ..operators.similarity import cell_assign_udf
+
+    h = F.md5(F.concat_ws(_SEP, F.lit(shard_seed),
+                          F.col(id_col).cast("string")))
+    return (stream
+            .withColumn("cell",
+                        cell_assign_udf(centroids, dim)(F.col(vec_col)))
+            .withColumn("__sh", h)
+            .withColumn("shard",
+                        shard_expr("__sh", n_shards).cast("long"))
+            .select(id_col, "cell", "shard"))
