@@ -1896,6 +1896,57 @@ def _q_bpe_train(spark, sf_dir):
     return tk.merges_table(spark, merges)
 
 
+def _q_robots_admission(spark, sf_dir):
+    """REAL robots.txt engine (RFC 9309, public) under the value-hash
+    gate: per doc a construct-in-query robots body — a ``*`` group
+    (Disallow /private, Allow /private/ok, plus a wildcard
+    ``/tmp/*.bin$`` rule on doc_id%3=0 and a MERGED second ``*`` group
+    with ``/extra0`` on doc_id%4=0) and a ``trainbot`` group
+    (Disallow /raw{doc_id%5}) — parsed by the real parser and decided
+    per (agent, path) by the real longest-match/Allow-ties engine in
+    one Arrow pass.  The oracle re-derives every decision closed-form
+    from doc_id (group selection: exact-agent group ONLY when present,
+    else the merged ``*`` groups — the RFC rule the CASE chain
+    encodes).  Payload lines, path set, agents and all match lengths
+    are literals mirrored in the SQL — change together."""
+    from katydid_haskell_spark.operators import robots as rb
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    txt = F.concat_ws(
+        "\n",
+        F.lit("# corpus robots"),
+        F.lit("User-agent: *"),
+        F.lit("Disallow: /private"),
+        F.lit("Allow: /private/ok"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("Disallow: /tmp/*.bin$")).otherwise(F.lit("")),
+        F.lit("User-agent: trainbot"),
+        F.concat(F.lit("Disallow: /raw"),
+                 (F.col("doc_id") % 5).cast("string")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("User-agent: *\nDisallow: /extra0"))
+        .otherwise(F.lit("")),
+    )
+    paths = F.array(
+        F.lit("/private/ok/x"), F.lit("/private/y"), F.lit("/tmp/a.bin"),
+        F.concat(F.lit("/raw"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit("/f")),
+        F.lit("/extra0"),
+    )
+    rows = (docs.withColumn("robots_txt", txt)
+            .withColumn("agent", F.explode(F.array(F.lit("fetchbot"),
+                                                   F.lit("trainbot"))))
+            .select("doc_id", "robots_txt", "agent",
+                    F.posexplode(paths).alias("pidx", "path")))
+    d = rb.robots_decide_udf()(F.col("robots_txt"), F.col("agent"),
+                               F.col("path"))
+    return (rows.withColumn("d", d)
+            .select("doc_id", "agent",
+                    F.col("pidx").cast("int").alias("pidx"), "path",
+                    F.col("d.allowed").alias("allowed"),
+                    F.col("d.match_len").alias("match_len")))
+
+
 def _q_stream_semantic_route(spark, sf_dir):
     """SEVENTH streaming surface under the value-hash gate: semantic
     ingest routing — arriving embeddings get their k-means cell (the
@@ -2921,6 +2972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_score": _q_dsir_score,
         "temperature_sample": _q_temperature_sample,
         "stream_semantic_route": _q_stream_semantic_route,
+        "robots_admission": _q_robots_admission,
         "bpe_train": _q_bpe_train,
         "bigram_lm_score": _q_bigram_lm_score,
         "tfidf_topterms": _q_tfidf_topterms,
@@ -2973,14 +3025,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _q_url_normalize,
         "host_skew_report": _q_host_skew_report,
         "pages_verdicts": _q_pages_verdicts,
-        "c4_quality": _q_c4_quality,
         # --- past the ~50-entry sample window from here down ---
         # remaining r6-green (next in line when the window rotates —
-        # line_dedup/split_assign/warc_gzip/minhash_incremental spilled
-        # when the four new round-8 entries (semantic_dedup, dsir_score,
-        # temperature_sample, stream_semantic_route) joined the front,
-        # so they MUST lead r9's window alongside corpus_report/q2/q9,
+        # c4_quality/line_dedup/split_assign/warc_gzip/
+        # minhash_incremental spilled when the five new round-8 entries
+        # (semantic_dedup, dsir_score, temperature_sample,
+        # stream_semantic_route, robots_admission) joined the front, so
+        # they MUST lead r9's window alongside corpus_report/q2/q9,
         # demoted earlier)
+        "c4_quality": _q_c4_quality,
         "line_dedup": _q_line_dedup,
         "split_assign": _q_split_assign,
         "warc_gzip": _q_warc_gzip,
@@ -3735,6 +3788,41 @@ def oracle_sql() -> dict[str, str]:
         "stream_semantic_route": orc.semantic_route_sql(
             oracle_sf, dim=64, target_cell_size=32, n_shards=16,
             shard_seed="shuffle-v1"),
+        # robots.txt: construct-in-query body; every decision re-derived
+        # closed-form from doc_id.  Group selection: exact-agent group
+        # ONLY when present (trainbot never sees the * rules), else the
+        # MERGED * groups.  Rule lines, paths, agents and match lengths
+        # are literals mirrored with the entry — change together.
+        "robots_admission": """
+        WITH a(agent) AS (VALUES ('fetchbot'), ('trainbot')),
+        p(pidx) AS (VALUES (0), (1), (2), (3), (4))
+        SELECT d.doc_id, a.agent, CAST(p.pidx AS INTEGER) AS pidx,
+               CASE p.pidx
+                 WHEN 0 THEN '/private/ok/x'
+                 WHEN 1 THEN '/private/y'
+                 WHEN 2 THEN '/tmp/a.bin'
+                 WHEN 3 THEN '/raw' || CAST(d.doc_id % 5 AS VARCHAR)
+                             || '/f'
+                 ELSE '/extra0' END AS path,
+               CASE
+                 WHEN a.agent = 'trainbot' THEN p.pidx != 3
+                 WHEN p.pidx = 0 THEN TRUE
+                 WHEN p.pidx = 1 THEN FALSE
+                 WHEN p.pidx = 2 THEN d.doc_id % 3 != 0
+                 WHEN p.pidx = 3 THEN TRUE
+                 ELSE d.doc_id % 4 != 0 END AS allowed,
+               CAST(CASE
+                 WHEN a.agent = 'trainbot'
+                   THEN CASE WHEN p.pidx = 3 THEN 5 ELSE 0 END
+                 WHEN p.pidx = 0 THEN 11
+                 WHEN p.pidx = 1 THEN 8
+                 WHEN p.pidx = 2
+                   THEN CASE WHEN d.doc_id % 3 = 0 THEN 11 ELSE 0 END
+                 WHEN p.pidx = 3 THEN 0
+                 ELSE CASE WHEN d.doc_id % 4 = 0 THEN 7 ELSE 0 END
+               END AS INTEGER) AS match_len
+        FROM documents d CROSS JOIN a CROSS JOIN p
+        """,
         "dsir_score": f"""
         WITH w AS (
           SELECT doc_id, {_WORDS_SQL} AS ws FROM documents

@@ -2638,3 +2638,57 @@ def test_temperature_sample_draw_matches_quota(spark):
                                seed="t-test")
     assert {tuple(r) for r in got.collect()} == {
         tuple(r) for r in want.collect()}
+
+
+def test_robots_parse_decide_hand_cases():
+    """RFC 9309 semantics: group selection (exact else merged *),
+    longest-match, Allow-wins ties, wildcard + $ anchors, comments,
+    multi-UA blocks, group merging, empty Disallow, rules before any
+    UA line ignored, case-insensitive agents."""
+    from katydid_haskell_spark.operators import robots as rb
+
+    txt = ("# demo\nUser-agent: *\nDisallow: /private\n"
+           "Allow: /private/ok\n\nUser-agent: trainbot\n"
+           "Disallow: /raw3\nDisallow: /tmp/*.bin$\n")
+    rules = rb.parse_robots(txt)
+    assert rb.decide(rules, "fetchbot", "/private/ok/x") == (True, 11)
+    assert rb.decide(rules, "fetchbot", "/private/y") == (False, 8)
+    assert rb.decide(rules, "trainbot", "/tmp/a.bin") == (False, 11)
+    assert rb.decide(rules, "trainbot", "/tmp/a.binx") == (True, 0)
+    assert rb.decide(rules, "TrainBot", "/raw3") == (False, 5)
+    assert rb.decide(rules, "trainbot", "/private/y") == (True, 0)
+    t2 = ("Disallow: /early\nUser-agent: a\nUser-agent: b\n"
+          "Disallow: /x\nUser-agent: a\nAllow: /x/y\nDisallow:\n")
+    r2 = rb.parse_robots(t2)
+    assert rb.decide(r2, "b", "/x/q") == (False, 2)
+    assert rb.decide(r2, "a", "/x/y/z") == (True, 4)
+    assert rb.decide(r2, "c", "/early") == (True, 0)  # no group, no UA
+
+
+def test_robots_match_urls_parity(spark):
+    """The distributed Catalyst match path (rules_table + host join +
+    regexp + max_by) returns the SAME decisions as the pure decide()
+    engine for every (host, path), including no-robots hosts."""
+    from katydid_haskell_spark.operators import robots as rb
+
+    bodies = {
+        "a.com": ("User-agent: *\nDisallow: /p\nAllow: /p/ok\n"
+                  "Disallow: /t/*.gz$\n"),
+        "b.com": ("User-agent: bot\nDisallow: /only\n"
+                  "User-agent: *\nDisallow: /\n"),
+    }
+    robots_df = spark.createDataFrame(
+        list(bodies.items()), "host string, robots_txt string")
+    paths = ["/p/ok/z", "/p/x", "/t/a.gz", "/t/a.gzx", "/only/f", "/"]
+    urls = spark.createDataFrame(
+        [(h, p) for h in ["a.com", "b.com", "norobots.com"]
+         for p in paths],
+        "host string, path string")
+    rules = rb.rules_table(robots_df)
+    got = {(r.host, r.path): (r.allowed, r.match_len)
+           for r in rb.match_urls(urls, rules, "bot").collect()}
+    for h in ["a.com", "b.com", "norobots.com"]:
+        rl = rb.parse_robots(bodies.get(h, ""))
+        for p in paths:
+            assert got[(h, p)] == rb.decide(rl, "bot", p), (h, p)
+    assert got[("norobots.com", "/")] == (True, 0)
