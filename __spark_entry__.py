@@ -1947,6 +1947,22 @@ def _q_robots_admission(spark, sf_dir):
                     F.col("d.match_len").alias("match_len")))
 
 
+def _q_semantic_decontam(spark, sf_dir):
+    """Semantic decontamination under the value-hash gate: the
+    embedding-space analogue of decontam_overlap — training vectors
+    near (cos >= 0.3) ANY eval vector (vec_id % 31 == 0, the decontam
+    eval-slice precedent) are flagged, blocked by the SemDeDup cell
+    quantizer (shared trainer + auto_dedup_cells).  The unrounded
+    threshold rides the same within-cell margin pin as semantic_dedup
+    (cross pairs are a subset; test_semantic_dedup_threshold_margin
+    pins both 0.3 and 0.4)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.semantic_decontam(emb, dim=64,
+                                 eval_pred=F.col("vec_id") % 31 == 0,
+                                 min_cos=0.3, n_cells=None,
+                                 target_cell_size=32)
+
+
 def _q_stream_semantic_route(spark, sf_dir):
     """SEVENTH streaming surface under the value-hash gate: semantic
     ingest routing — arriving embeddings get their k-means cell (the
@@ -2973,6 +2989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": _q_temperature_sample,
         "stream_semantic_route": _q_stream_semantic_route,
         "robots_admission": _q_robots_admission,
+        "semantic_decontam": _q_semantic_decontam,
         "bpe_train": _q_bpe_train,
         "bigram_lm_score": _q_bigram_lm_score,
         "tfidf_topterms": _q_tfidf_topterms,
@@ -3024,15 +3041,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_profile": _q_quantile_profile,
         "url_normalize": _q_url_normalize,
         "host_skew_report": _q_host_skew_report,
-        "pages_verdicts": _q_pages_verdicts,
         # --- past the ~50-entry sample window from here down ---
         # remaining r6-green (next in line when the window rotates —
-        # c4_quality/line_dedup/split_assign/warc_gzip/
-        # minhash_incremental spilled when the five new round-8 entries
+        # pages_verdicts/c4_quality/line_dedup/split_assign/warc_gzip/
+        # minhash_incremental spilled when the six new round-8 entries
         # (semantic_dedup, dsir_score, temperature_sample,
-        # stream_semantic_route, robots_admission) joined the front, so
-        # they MUST lead r9's window alongside corpus_report/q2/q9,
-        # demoted earlier)
+        # stream_semantic_route, robots_admission, semantic_decontam)
+        # joined the front, so they MUST lead r9's window alongside
+        # corpus_report/q2/q9, demoted earlier)
+        "pages_verdicts": _q_pages_verdicts,
         "c4_quality": _q_c4_quality,
         "line_dedup": _q_line_dedup,
         "split_assign": _q_split_assign,
@@ -3770,6 +3787,11 @@ def oracle_sql() -> dict[str, str]:
         # target_cell_size=32 mirror the entry call — change together.
         "semantic_dedup": orc.semantic_dedup_sql(
             oracle_sf, dim=64, min_cos=0.4, target_cell_size=32),
+        # semantic decontam: min_cos=0.3 / eval_mod=31 /
+        # target_cell_size=32 mirror the entry call — change together.
+        "semantic_decontam": orc.semantic_decontam_sql(
+            oracle_sf, dim=64, min_cos=0.3, target_cell_size=32,
+            eval_mod=31),
         # DSIR: both bigram models re-derived end-to-end in SQL.  All
         # arithmetic positive-integer (DIV == //), sums CAST BIGINT
         # (HUGEINT rule), dscore = exact BIGINT difference.  The target

@@ -91,6 +91,9 @@ HEADLINE = [
     "semantic_dedup",
     "dsir_score",
     "temperature_sample",
+    "stream_semantic_route",
+    "robots_admission",
+    "semantic_decontam",
     "media_curation_full",
     "csv_roundtrip",
     "stream_warc",

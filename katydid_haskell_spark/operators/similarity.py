@@ -663,6 +663,67 @@ def semantic_dedup(df: DataFrame, dim: int, min_cos: float = 0.4,
     )
 
 
+def semantic_decontam(df: DataFrame, dim: int, eval_pred,
+                      min_cos: float = 0.3,
+                      n_cells: int | None = None,
+                      target_cell_size: int = 32,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      centroids: List[List[float]] | None = None,
+                      sample: int = 4096, iters: int = 8,
+                      seed: int = 5) -> DataFrame:
+    """Semantic decontamination: flag training vectors whose embedding is
+    near (cosine ≥ τ) ANY held-out/eval vector — the embedding-space
+    analogue of the n-gram `decontam` operator (test-set leakage removal,
+    the public LLM-eval-hygiene practice).  ``eval_pred`` is a boolean
+    Column over ``id_col`` naming the eval slice.
+
+    Blocking is the SemDeDup cell quantizer (:func:`semantic_dedup`'s
+    shared trainer + ``auto_dedup_cells``): eval and training vectors
+    are compared only within a cell, so the pair count stays linear in
+    n.  Returns (vec_id, cell, contaminated) for every NON-eval row.
+
+    100-TB shape: one Arrow assignment projection (persisted — eval
+    filter, corpus filter and verdict base share it); the eval side of
+    the cell join is a tiny slice (eval sets are fixed-size while the
+    corpus grows), so AQE broadcasts it; the verdict join-back carries
+    id+bool rows only."""
+    if n_cells is None:
+        n_cells = auto_dedup_cells(df.count(), target_cell_size)
+    if centroids is None:
+        centroids = train_ivf_centroids(df, dim, n_cells, sample=sample,
+                                        iters=iters, vec_col=vec_col,
+                                        seed=seed, id_col=id_col)
+    pred = (eval_pred(F.col(id_col)) if callable(eval_pred)
+            else eval_pred)
+    c = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        pred.alias("is_eval"),
+        cell_assign_udf(centroids, dim)(F.col(vec_col)).alias("cell"),
+    ).persist()
+    ev = c.filter("is_eval").select(
+        "cell", F.col("v").alias("ev_v"))
+    corpus = c.filter(~F.col("is_eval"))
+    hits = (
+        corpus.join(ev, "cell")
+        .select(
+            "vec_id",
+            cosine_pairs_udf(dim)(F.col("v"), F.col("ev_v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cos)
+        .select("vec_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        corpus.select("vec_id", "cell")
+        .join(hits, "vec_id", "left")
+        .select("vec_id", "cell",
+                F.coalesce(F.col("hit"), F.lit(False))
+                .alias("contaminated"))
+    )
+
+
 def neg_pool_cutoff(n_corpus: int, k_neg: int,
                     pool_factor: int = 100) -> str:
     """md5 hash-threshold literal for the contrastive negative pool.

@@ -1015,3 +1015,40 @@ def semantic_route_sql(sf_dir: str, dim: int = 64,
                  || CAST(vec_id AS VARCHAR)) AS hh
       FROM ccell)
     """
+
+
+def semantic_decontam_sql(sf_dir: str, dim: int = 64,
+                          min_cos: float = 0.3,
+                          target_cell_size: int = 32,
+                          sample: int = 4096, iters: int = 8,
+                          seed: int = 5,
+                          eval_mod: int = 31) -> str:
+    """Semantic-decontamination oracle: the shared ccell derivation,
+    eval slice = ``vec_id % eval_mod = 0`` (mirroring the operator's
+    predicate), within-cell eval×corpus pairing, contaminated =
+    EXISTS a cell-mate eval vector with cosine ≥ τ.  The unrounded
+    ``>=`` is covered by the same within-cell threshold-margin pin as
+    semantic_dedup (cross pairs are a subset of all within-cell
+    pairs)."""
+    prefix = _ccell_with(sf_dir, dim, target_cell_size, sample, iters,
+                         seed)
+    return f"""{prefix},
+    ev AS (
+      SELECT cell, embedding AS ev_emb FROM ccell
+      WHERE vec_id % {eval_mod} = 0
+    ),
+    corpus AS (
+      SELECT vec_id, cell, embedding FROM ccell
+      WHERE vec_id % {eval_mod} != 0
+    ),
+    hits AS (
+      SELECT DISTINCT c.vec_id
+      FROM corpus c JOIN ev e USING (cell)
+      WHERE list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(e.ev_emb AS DOUBLE[]))
+            >= {min_cos}
+    )
+    SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+           (h.vec_id IS NOT NULL) AS contaminated
+    FROM corpus c LEFT JOIN hits h ON c.vec_id = h.vec_id
+    """
