@@ -41,9 +41,16 @@ AUTOMATON_ONLY = {
     # interleave_wild5 (407-state shuffle DFA), star_of_concat,
     # optional_chain, concat_opt_star_tail, star_of_optional — executed
     # as a codegen'd transform+aggregate fold over a literal transition
-    # table.  The set is empty: every corpus shape is Catalyst-lowered;
-    # the automaton/VPA engines remain exercised by the cross-check
-    # suites, which force-run all engines on every case.
+    # table.  Every FEASIBLE corpus shape is Catalyst-lowered; the
+    # automaton/VPA engines remain exercised by the cross-check suites,
+    # which force-run all engines on every case.
+    #
+    # interleave_seven_cap (round 8) pins the documented cap boundary
+    # IN-CORPUS: 7 one-node shuffle branches exceed both the
+    # _DFA_MAX_ATOMS=6 table cap and the 24-term matching enumeration,
+    # so production dispatch demotes to the automaton UDF — by design,
+    # with correct verdicts (test_atom_cap_automaton_parity's regime).
+    "interleave_seven_cap",
 }
 
 
