@@ -2004,6 +2004,18 @@ def _q_stream_semantic_route(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_sentence_split(spark, sf_dir):
+    """Rule-based sentence segmentation under the value-hash gate:
+    terminator-run chunking (tx.SENT_RE — explicit class, no
+    lookaround), each sentence canonicalized by the SHARED
+    tx.normalize_ws and counted by single-space splits (exact by
+    construction).  Pattern and normalization literals are f-string
+    mirrored in the SQL — change tx.SENT_RE / tx.WS_RE and the oracle
+    together."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.sentence_split(docs, "text", "doc_id")
+
+
 def _q_temperature_sample(spark, sf_dir):
     """Temperature-weighted corpus mixing under the value-hash gate
     (the multilingual α-sampling rule, public XLM-R/mBERT recipes):
@@ -2990,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_semantic_route": _q_stream_semantic_route,
         "robots_admission": _q_robots_admission,
         "semantic_decontam": _q_semantic_decontam,
+        "sentence_split": _q_sentence_split,
         "bpe_train": _q_bpe_train,
         "bigram_lm_score": _q_bigram_lm_score,
         "tfidf_topterms": _q_tfidf_topterms,
@@ -3040,15 +3053,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": _q_pii_scan,
         "quantile_profile": _q_quantile_profile,
         "url_normalize": _q_url_normalize,
-        "host_skew_report": _q_host_skew_report,
         # --- past the ~50-entry sample window from here down ---
         # remaining r6-green (next in line when the window rotates —
-        # pages_verdicts/c4_quality/line_dedup/split_assign/warc_gzip/
-        # minhash_incremental spilled when the six new round-8 entries
-        # (semantic_dedup, dsir_score, temperature_sample,
-        # stream_semantic_route, robots_admission, semantic_decontam)
-        # joined the front, so they MUST lead r9's window alongside
-        # corpus_report/q2/q9, demoted earlier)
+        # host_skew_report/pages_verdicts/c4_quality/line_dedup/
+        # split_assign/warc_gzip/minhash_incremental spilled when the
+        # seven new round-8 entries (semantic_dedup, dsir_score,
+        # temperature_sample, stream_semantic_route, robots_admission,
+        # semantic_decontam, sentence_split) joined the front, so they
+        # MUST lead r9's window alongside corpus_report/q2/q9, demoted
+        # earlier)
+        "host_skew_report": _q_host_skew_report,
         "pages_verdicts": _q_pages_verdicts,
         "c4_quality": _q_c4_quality,
         "line_dedup": _q_line_dedup,
@@ -3787,6 +3801,26 @@ def oracle_sql() -> dict[str, str]:
         # target_cell_size=32 mirror the entry call — change together.
         "semantic_dedup": orc.semantic_dedup_sql(
             oracle_sf, dim=64, min_cos=0.4, target_cell_size=32),
+        # sentence segmentation: SENT_RE chunking + the shared
+        # normalize_ws canonicalization, mirrored via f-strings.
+        "sentence_split": f"""
+        WITH s AS (
+          SELECT doc_id,
+                 list_filter(list_transform(
+                   regexp_extract_all(COALESCE(text, ''),
+                                      '{tx.SENT_RE}'),
+                   x -> regexp_replace(regexp_replace(lower(x),
+                          '{tx.WS_RE}', ' ', 'g'), '^ | $', '', 'g')),
+                   x -> x <> '') AS ss
+          FROM documents
+        ), e AS (
+          SELECT doc_id, ss, unnest(range(1, len(ss) + 1)) AS i FROM s
+        )
+        SELECT doc_id, CAST(i - 1 AS INTEGER) AS sidx,
+               ss[i] AS sentence,
+               CAST(len(string_split(ss[i], ' ')) AS BIGINT) AS n_words
+        FROM e
+        """,
         # semantic decontam: min_cos=0.3 / eval_mod=31 /
         # target_cell_size=32 mirror the entry call — change together.
         "semantic_decontam": orc.semantic_decontam_sql(

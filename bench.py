@@ -94,6 +94,7 @@ HEADLINE = [
     "stream_semantic_route",
     "robots_admission",
     "semantic_decontam",
+    "sentence_split",
     "media_curation_full",
     "csv_roundtrip",
     "stream_warc",

@@ -725,3 +725,36 @@ def gzip_decode_udf():
         ])
 
     return dec
+
+
+#: sentence chunking class — a run of non-terminators plus its trailing
+#: terminator run; explicit (no lookaround: RE2 has none), identical in
+#: Java regex, RE2 and Python re.  Shared with the oracle via f-string.
+SENT_RE = r"[^.!?]+[.!?]*"
+
+
+def sentence_split(df, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """(id, text) → (doc_id, sidx, sentence, n_words): rule-based
+    sentence segmentation — terminator-run chunking (``SENT_RE``), each
+    chunk canonicalized by the SHARED :func:`normalize_ws` (lower +
+    collapse + edge-strip — the fingerprint normalization, so sentence
+    text is oracle-exact), empties dropped, position preserved.
+
+    ``n_words`` counts single-space splits of the normalized sentence —
+    exact on both engines by construction (normalization guarantees
+    single internal spaces, no edges).
+
+    100-TB shape: one map-side projection + posexplode; text reaches
+    the explode but sentence rows are what downstream consumes — no
+    exchange in the operator itself (the no-text-shuffle seam is the
+    caller's, as with every curation sweep)."""
+    chunks = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(SENT_RE), 0)
+    ss = F.filter(F.transform(chunks, normalize_ws), lambda s: s != "")
+    return (df.select(F.col(id_col), F.posexplode(ss)
+                      .alias("sidx", "sentence"))
+            .select(id_col, F.col("sidx").cast("int").alias("sidx"),
+                    "sentence",
+                    F.size(F.split(F.col("sentence"), " ", -1))
+                    .cast("long").alias("n_words")))

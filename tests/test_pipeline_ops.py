@@ -2695,3 +2695,27 @@ def test_robots_match_urls_parity(spark):
         for p in paths:
             assert got[(h, p)] == rb.decide(rl, "bot", p), (h, p)
     assert got[("norobots.com", "/")] == (True, 0)
+
+
+def test_sentence_split_hand_cases(spark):
+    """Terminator-run chunking + shared normalization: multi-terminator
+    runs stay attached, no-terminator trailing text is a sentence,
+    empties drop, null text yields no rows, n_words counts single-space
+    splits of the normalized sentence."""
+    df = spark.createDataFrame(
+        [(1, "Hello world. And?! Then  more\n\ttext"),
+         (2, "no terminators here"),
+         (3, "..."), (4, None), (5, "One.")],
+        "doc_id long, text string")
+    got = {}
+    for r in tx.sentence_split(df, "text", "doc_id").collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.sidx, r.sentence, r.n_words))
+    assert got[1] == [(0, "hello world.", 2), (1, "and?!", 1),
+                      (2, "then more text", 3)]
+    assert got[2] == [(0, "no terminators here", 3)]
+    # SENT_RE requires >=1 non-terminator char, so a pure "..." text
+    # produces no chunks at all
+    assert 3 not in got
+    assert 4 not in got
+    assert got[5] == [(0, "one.", 1)]
