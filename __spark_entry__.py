@@ -2004,6 +2004,33 @@ def _q_stream_semantic_route(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_html_text_extract(spark, sf_dir):
+    """REAL HTML text extraction under the value-hash gate: a
+    construct-in-query HTML payload (head/style/script/comment/tags/
+    entities wrapped around the raw text columns) stripped by the pure
+    Catalyst chain tx.html_text — block strips before tag strips,
+    entities decoded ONCE in fixed order ('&amp;' last, so '&amp;lt;'
+    never double-decodes).  The oracle re-derives the payload from the
+    same raw columns AND re-runs the same chain in RE2, so the
+    stripper itself is gated, whatever bytes the text holds.  Chain
+    literals are f-string mirrored — change tx.HTML_* and the SQL
+    together."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>t</title>"
+              "<style>p { color: red }</style></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><!-- hidden --><p class=\"x\">"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p><span>&amp;lt; &nbsp;&quot;q&#39;</span>"
+              "<script>var a = \"<p>not text</p>\";</script></body></html>"),
+    )
+    ex = tx.html_text(html)
+    return docs.select(
+        "doc_id", ex.alias("extracted"),
+        F.size(F.split(ex, " ", -1)).cast("long").alias("n_words"))
+
+
 def _q_sentence_split(spark, sf_dir):
     """Rule-based sentence segmentation under the value-hash gate:
     terminator-run chunking (tx.SENT_RE — explicit class, no
@@ -3003,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_admission": _q_robots_admission,
         "semantic_decontam": _q_semantic_decontam,
         "sentence_split": _q_sentence_split,
+        "html_text_extract": _q_html_text_extract,
         "bpe_train": _q_bpe_train,
         "bigram_lm_score": _q_bigram_lm_score,
         "tfidf_topterms": _q_tfidf_topterms,
@@ -3052,16 +3080,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_cust_distribution": _q_q13_cust_distribution,
         "pii_scan": _q_pii_scan,
         "quantile_profile": _q_quantile_profile,
-        "url_normalize": _q_url_normalize,
         # --- past the ~50-entry sample window from here down ---
         # remaining r6-green (next in line when the window rotates —
-        # host_skew_report/pages_verdicts/c4_quality/line_dedup/
-        # split_assign/warc_gzip/minhash_incremental spilled when the
-        # seven new round-8 entries (semantic_dedup, dsir_score,
-        # temperature_sample, stream_semantic_route, robots_admission,
-        # semantic_decontam, sentence_split) joined the front, so they
-        # MUST lead r9's window alongside corpus_report/q2/q9, demoted
-        # earlier)
+        # url_normalize/host_skew_report/pages_verdicts/c4_quality/
+        # line_dedup/split_assign/warc_gzip/minhash_incremental spilled
+        # when the eight new round-8 entries (semantic_dedup,
+        # dsir_score, temperature_sample, stream_semantic_route,
+        # robots_admission, semantic_decontam, sentence_split,
+        # html_text_extract) joined the front, so they MUST lead r9's
+        # window alongside corpus_report/q2/q9, demoted earlier)
+        "url_normalize": _q_url_normalize,
         "host_skew_report": _q_host_skew_report,
         "pages_verdicts": _q_pages_verdicts,
         "c4_quality": _q_c4_quality,
@@ -3801,6 +3829,46 @@ def oracle_sql() -> dict[str, str]:
         # target_cell_size=32 mirror the entry call — change together.
         "semantic_dedup": orc.semantic_dedup_sql(
             oracle_sf, dim=64, min_cos=0.4, target_cell_size=32),
+        # HTML extraction: payload re-derived from raw columns AND the
+        # strip chain re-run in RE2 (tx.HTML_* literals f-string
+        # mirrored; block strips before tags, entities once, '&amp;'
+        # last).
+        "html_text_extract": f"""
+        WITH h AS (
+          SELECT doc_id,
+                 '<html><head><title>t</title>'
+                 || '<style>p {{ color: red }}</style></head><body><h1>Doc '
+                 || CAST(doc_id AS VARCHAR)
+                 || '</h1><!-- hidden --><p class="x">'
+                 || COALESCE(text, '')
+                 || '</p><span>&amp;lt; &nbsp;&quot;q&#39;</span>'
+                 || '<script>var a = "<p>not text</p>";</script>'
+                 || '</body></html>' AS html
+          FROM documents
+        ), s AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(html, '{tx.HTML_SCRIPT_RE}', ' ', 'g'),
+                   '{tx.HTML_STYLE_RE}', ' ', 'g'),
+                   '{tx.HTML_COMMENT_RE}', ' ', 'g'),
+                   '{tx.HTML_TAG_RE}', ' ', 'g') AS t1
+          FROM h
+        ), e AS (
+          SELECT doc_id,
+                 replace(replace(replace(replace(replace(replace(t1,
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t2
+          FROM s
+        ), x AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(lower(t2),
+                   '{tx.WS_RE}', ' ', 'g'), '^ | $', '', 'g') AS extracted
+          FROM e
+        )
+        SELECT doc_id, extracted,
+               CAST(len(string_split(extracted, ' ')) AS BIGINT) AS n_words
+        FROM x
+        """,
         # sentence segmentation: SENT_RE chunking + the shared
         # normalize_ws canonicalization, mirrored via f-strings.
         "sentence_split": f"""

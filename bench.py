@@ -95,6 +95,7 @@ HEADLINE = [
     "robots_admission",
     "semantic_decontam",
     "sentence_split",
+    "html_text_extract",
     "media_curation_full",
     "csv_roundtrip",
     "stream_warc",

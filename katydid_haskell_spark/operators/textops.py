@@ -758,3 +758,34 @@ def sentence_split(df, text_col: str = "text",
                     "sentence",
                     F.size(F.split(F.col("sentence"), " ", -1))
                     .cast("long").alias("n_words")))
+
+
+#: HTML extraction chain — explicit, lookaround-free patterns valid in
+#: Java regex, RE2 and Python re.  ORDER IS LOAD-BEARING: blocks before
+#: tags (a stripped <script> tag would orphan its body), entities after
+#: tags, and '&amp;' LAST among entities so '&amp;lt;' decodes ONCE to
+#: '&lt;' (never double-decodes to '<') — the single-pass rule both
+#: engines must share.
+HTML_SCRIPT_RE = r"(?s)<script[^>]*>.*?</script>"
+HTML_STYLE_RE = r"(?s)<style[^>]*>.*?</style>"
+HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+HTML_TAG_RE = r"<[^>]*>"
+HTML_ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                 ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def html_text(col: Column) -> Column:
+    """Visible text of an HTML payload: script/style/comment blocks →
+    space, tags → space, the six common entities decoded in ONE pass
+    (fixed order, ``&amp;`` last), then the shared
+    :func:`normalize_ws` canonicalization.  Pure Catalyst (regexp
+    chain + literal replaces, whole-stage codegen) — the boilerplate
+    removal family's upstream stage, usable at crawl scale with zero
+    Python."""
+    out = F.coalesce(col, F.lit(""))
+    for pat in (HTML_SCRIPT_RE, HTML_STYLE_RE, HTML_COMMENT_RE,
+                HTML_TAG_RE):
+        out = F.regexp_replace(out, pat, " ")
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return normalize_ws(out)

@@ -2719,3 +2719,21 @@ def test_sentence_split_hand_cases(spark):
     assert 3 not in got
     assert 4 not in got
     assert got[5] == [(0, "one.", 1)]
+
+
+def test_html_text_hand_cases(spark):
+    """html_text: blocks strip before tags, comments drop, entities
+    decode ONCE in fixed order ('&amp;' last — '&amp;lt;' yields the
+    literal '&lt;', never '<'), output is the shared normalize_ws
+    canonical form."""
+    df = spark.createDataFrame(
+        [(1, '<p>Hello <b>World</b></p><script>var x = "<i>no</i>";'
+             '</script><!-- gone --><span>&amp;lt; &gt; &nbsp;ok</span>'),
+         (2, None),
+         (3, '<style>h1 { x: y }</style>A &quot;B&#39;')],
+        "doc_id long, html string")
+    got = {r.doc_id: r.t for r in df.select(
+        "doc_id", tx.html_text(F.col("html")).alias("t")).collect()}
+    assert got[1] == 'hello world &lt; > ok'
+    assert got[2] == ''
+    assert got[3] == 'a "b\''
