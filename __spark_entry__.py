@@ -2031,6 +2031,57 @@ def _q_html_text_extract(spark, sf_dir):
         F.size(F.split(ex, " ", -1)).cast("long").alias("n_words"))
 
 
+def _q_web_curation_full(spark, sf_dir):
+    """END-TO-END web curation composite under the value-hash gate —
+    the crawl-side pipeline chained from this round's oracled stages:
+    (1) robots admission by the REAL RFC 9309 engine (construct-in-query
+    body; agent fetchbot probing /tmp/a.bin — admitted iff the
+    doc_id%3=0 wildcard rule is absent), (2) REAL HTML text extraction
+    (the html_text_extract payload + chain), (3) a quality gate
+    (n_words >= 5 on the canonical extracted text), (4) exact dedup
+    keeping the LOWEST doc_id per md5 fingerprint.  The oracle
+    re-derives every stage in SQL (admission CASE, strip chain in RE2,
+    word gate, QUALIFY min-per-fp) — stage literals are shared with
+    robots_admission / html_text_extract; change them together."""
+    from pyspark.sql.window import Window
+
+    from katydid_haskell_spark.operators import robots as rb
+
+    docs = _t(spark, sf_dir, "documents")
+    rtxt = F.concat_ws(
+        "\n",
+        F.lit("User-agent: *"),
+        F.lit("Disallow: /private"),
+        F.lit("Allow: /private/ok"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("Disallow: /tmp/*.bin$")).otherwise(F.lit("")),
+    )
+    d = rb.robots_decide_udf()(rtxt, F.lit("fetchbot"),
+                               F.lit("/tmp/a.bin"))
+    admitted = (docs.withColumn("d", d)
+                .filter(F.col("d.allowed"))
+                .drop("d"))
+    html = F.concat(
+        F.lit("<html><head><title>t</title>"
+              "<style>p { color: red }</style></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><!-- hidden --><p class=\"x\">"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p><span>&amp;lt; &nbsp;&quot;q&#39;</span>"
+              "<script>var a = \"<p>not text</p>\";</script></body></html>"),
+    )
+    ex = tx.html_text(html)
+    extracted = admitted.select(
+        "doc_id", ex.alias("extracted"),
+        F.size(F.split(ex, " ", -1)).cast("long").alias("n_words"))
+    gated = extracted.filter(F.col("n_words") >= 5)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (gated.withColumn("fp", F.md5("extracted"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "fp", "n_words"))
+
+
 def _q_sentence_split(spark, sf_dir):
     """Rule-based sentence segmentation under the value-hash gate:
     terminator-run chunking (tx.SENT_RE — explicit class, no
@@ -3031,6 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_decontam": _q_semantic_decontam,
         "sentence_split": _q_sentence_split,
         "html_text_extract": _q_html_text_extract,
+        "web_curation_full": _q_web_curation_full,
         "bpe_train": _q_bpe_train,
         "bigram_lm_score": _q_bigram_lm_score,
         "tfidf_topterms": _q_tfidf_topterms,
@@ -3079,16 +3131,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": _q_q4_order_priority,
         "q13_cust_distribution": _q_q13_cust_distribution,
         "pii_scan": _q_pii_scan,
-        "quantile_profile": _q_quantile_profile,
         # --- past the ~50-entry sample window from here down ---
         # remaining r6-green (next in line when the window rotates —
-        # url_normalize/host_skew_report/pages_verdicts/c4_quality/
-        # line_dedup/split_assign/warc_gzip/minhash_incremental spilled
-        # when the eight new round-8 entries (semantic_dedup,
-        # dsir_score, temperature_sample, stream_semantic_route,
-        # robots_admission, semantic_decontam, sentence_split,
-        # html_text_extract) joined the front, so they MUST lead r9's
-        # window alongside corpus_report/q2/q9, demoted earlier)
+        # quantile_profile/url_normalize/host_skew_report/
+        # pages_verdicts/c4_quality/line_dedup/split_assign/warc_gzip/
+        # minhash_incremental spilled when the nine new round-8 entries
+        # (semantic_dedup, dsir_score, temperature_sample,
+        # stream_semantic_route, robots_admission, semantic_decontam,
+        # sentence_split, html_text_extract, web_curation_full) joined
+        # the front, so they MUST lead r9's window alongside
+        # corpus_report/q2/q9, demoted earlier)
+        "quantile_profile": _q_quantile_profile,
         "url_normalize": _q_url_normalize,
         "host_skew_report": _q_host_skew_report,
         "pages_verdicts": _q_pages_verdicts,
@@ -3868,6 +3921,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, extracted,
                CAST(len(string_split(extracted, ' ')) AS BIGINT) AS n_words
         FROM x
+        """,
+        # web curation composite: admission CASE (doc_id%3), the
+        # html_text_extract chain re-run in RE2, the >=5-word gate and
+        # min-doc_id-per-fingerprint dedup — all re-derived in SQL.
+        "web_curation_full": f"""
+        WITH h AS (
+          SELECT doc_id,
+                 '<html><head><title>t</title>'
+                 || '<style>p {{ color: red }}</style></head><body><h1>Doc '
+                 || CAST(doc_id AS VARCHAR)
+                 || '</h1><!-- hidden --><p class="x">'
+                 || COALESCE(text, '')
+                 || '</p><span>&amp;lt; &nbsp;&quot;q&#39;</span>'
+                 || '<script>var a = "<p>not text</p>";</script>'
+                 || '</body></html>' AS html
+          FROM documents WHERE doc_id % 3 != 0
+        ), s AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(html, '{tx.HTML_SCRIPT_RE}', ' ', 'g'),
+                   '{tx.HTML_STYLE_RE}', ' ', 'g'),
+                   '{tx.HTML_COMMENT_RE}', ' ', 'g'),
+                   '{tx.HTML_TAG_RE}', ' ', 'g') AS t1
+          FROM h
+        ), e AS (
+          SELECT doc_id,
+                 replace(replace(replace(replace(replace(replace(t1,
+                   '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t2
+          FROM s
+        ), x AS (
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(lower(t2),
+                   '{tx.WS_RE}', ' ', 'g'), '^ | $', '', 'g') AS extracted
+          FROM e
+        ), g AS (
+          SELECT doc_id, extracted,
+                 CAST(len(string_split(extracted, ' ')) AS BIGINT)
+                   AS n_words
+          FROM x
+          WHERE len(string_split(extracted, ' ')) >= 5
+        )
+        SELECT doc_id, fp, n_words FROM (
+          SELECT doc_id, md5(extracted) AS fp, n_words,
+                 row_number() OVER (PARTITION BY md5(extracted)
+                                    ORDER BY doc_id) AS rn
+          FROM g) WHERE rn = 1
         """,
         # sentence segmentation: SENT_RE chunking + the shared
         # normalize_ws canonicalization, mirrored via f-strings.

@@ -96,6 +96,7 @@ HEADLINE = [
     "semantic_decontam",
     "sentence_split",
     "html_text_extract",
+    "web_curation_full",
     "media_curation_full",
     "csv_roundtrip",
     "stream_warc",
