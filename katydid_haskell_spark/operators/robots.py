@@ -30,6 +30,7 @@ never crosses an exchange: only rule rows shuffle.
 
 from __future__ import annotations
 
+import functools
 import re
 from typing import List, Tuple
 
@@ -39,6 +40,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 Rule = Tuple[str, bool, str]  # (agent lowercase, allow, raw pattern)
+
+
+@functools.lru_cache(maxsize=4096)
+def _compiled(regex: str):
+    """Compiled-pattern cache: robots rule sets repeat across millions of
+    URLs per host, so per-match re.compile would dominate the Arrow
+    matcher (the same reason the Catalyst RLIKE path pays a per-row
+    Pattern.compile for a non-literal pattern column)."""
+    return re.compile(regex)
 
 
 def parse_robots(text: str) -> List[Rule]:
@@ -98,7 +108,7 @@ def decide(rules: List[Rule], agent: str, path: str) -> Tuple[bool, int]:
     best_len, best_allow = 0, True
     matched = False
     for _, allow, pat in grp:
-        if re.match(pattern_regex(pat), path):
+        if _compiled(pattern_regex(pat)).match(path):
             ln = len(pat)
             if not matched or ln > best_len or (ln == best_len and allow):
                 best_len, best_allow, matched = ln, allow, True
@@ -209,3 +219,32 @@ def match_urls(urls: DataFrame, rules: DataFrame, agent: str,
             .select("host", "path",
                     F.coalesce("best_allow", F.lit(True)).alias("allowed"),
                     F.coalesce("match_len", F.lit(0)).alias("match_len")))
+
+
+def match_urls_arrow(urls: DataFrame, robots: DataFrame, agent: str,
+                     host_col: str = "host",
+                     text_col: str = "robots_txt",
+                     path_col: str = "path") -> DataFrame:
+    """Arrow-batched URL admission: join each URL to its host's robots
+    BODY (the robots table is per-host and tiny next to a frontier —
+    AQE broadcasts it), then one vectorized projection running the SAME
+    parse/decide engine as the oracled entry — parse cached per
+    distinct body per batch, compiled patterns cached process-wide
+    (:func:`_compiled`).
+
+    The alternative plan shape to :func:`match_urls`: that one stays
+    JVM-side but RLIKE with a pattern COLUMN recompiles per row; this
+    one pays the Python batch transfer but compiles each pattern once
+    per worker.  Same decisions (parity-tested); pick by deployment —
+    huge frontiers with few rules favor this path."""
+    u = urls.select(F.col(host_col).alias("host"),
+                    F.col(path_col).alias("path"))
+    b = robots.select(F.col(host_col).alias("host"),
+                      F.col(text_col).alias("__rb"))
+    d = robots_decide_udf()(F.coalesce(F.col("__rb"), F.lit("")),
+                            F.lit(agent), F.col("path"))
+    return (u.join(F.broadcast(b), "host", "left")
+            .withColumn("d", d)
+            .select("host", "path",
+                    F.col("d.allowed").alias("allowed"),
+                    F.col("d.match_len").alias("match_len")))

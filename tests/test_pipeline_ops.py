@@ -2690,10 +2690,14 @@ def test_robots_match_urls_parity(spark):
     rules = rb.rules_table(robots_df)
     got = {(r.host, r.path): (r.allowed, r.match_len)
            for r in rb.match_urls(urls, rules, "bot").collect()}
+    got_arrow = {(r.host, r.path): (r.allowed, r.match_len)
+                 for r in rb.match_urls_arrow(urls, robots_df,
+                                              "bot").collect()}
     for h in ["a.com", "b.com", "norobots.com"]:
         rl = rb.parse_robots(bodies.get(h, ""))
         for p in paths:
             assert got[(h, p)] == rb.decide(rl, "bot", p), (h, p)
+            assert got_arrow[(h, p)] == got[(h, p)], ("arrow", h, p)
     assert got[("norobots.com", "/")] == (True, 0)
 
 
