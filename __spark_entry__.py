@@ -2082,6 +2082,20 @@ def _q_web_curation_full(spark, sf_dir):
             .select("doc_id", "fp", "n_words"))
 
 
+def _q_ccnet_lm_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail corpus partitioning under the
+    value-hash gate: exact-integer bigram-LM scores (bit-identical
+    avg_q) cut at the EXACT terciles — Spark percentile ==
+    DuckDB quantile_cont bit-identically (the quantile_profile
+    invariant), fraction literals repr'd from the shared
+    lm.CCNET_CUTS.  The oracle re-derives the model, the scores, the
+    cuts and the bucket CASE end-to-end in SQL."""
+    from katydid_haskell_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm.lm_buckets(docs, "text", "doc_id")
+
+
 def _q_sentence_split(spark, sf_dir):
     """Rule-based sentence segmentation under the value-hash gate:
     terminator-run chunking (tx.SENT_RE — explicit class, no
@@ -3083,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split": _q_sentence_split,
         "html_text_extract": _q_html_text_extract,
         "web_curation_full": _q_web_curation_full,
+        "ccnet_lm_buckets": _q_ccnet_lm_buckets,
         "bpe_train": _q_bpe_train,
         "bigram_lm_score": _q_bigram_lm_score,
         "tfidf_topterms": _q_tfidf_topterms,
@@ -3130,17 +3145,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": _q_q10_returned_items,
         "q4_order_priority": _q_q4_order_priority,
         "q13_cust_distribution": _q_q13_cust_distribution,
-        "pii_scan": _q_pii_scan,
         # --- past the ~50-entry sample window from here down ---
         # remaining r6-green (next in line when the window rotates —
-        # quantile_profile/url_normalize/host_skew_report/
+        # pii_scan/quantile_profile/url_normalize/host_skew_report/
         # pages_verdicts/c4_quality/line_dedup/split_assign/warc_gzip/
-        # minhash_incremental spilled when the nine new round-8 entries
+        # minhash_incremental spilled when the ten new round-8 entries
         # (semantic_dedup, dsir_score, temperature_sample,
         # stream_semantic_route, robots_admission, semantic_decontam,
-        # sentence_split, html_text_extract, web_curation_full) joined
-        # the front, so they MUST lead r9's window alongside
-        # corpus_report/q2/q9, demoted earlier)
+        # sentence_split, html_text_extract, web_curation_full,
+        # ccnet_lm_buckets) joined the front, so they MUST lead r9's
+        # window alongside corpus_report/q2/q9, demoted earlier)
+        "pii_scan": _q_pii_scan,
         "quantile_profile": _q_quantile_profile,
         "url_normalize": _q_url_normalize,
         "host_skew_report": _q_host_skew_report,
@@ -3968,6 +3983,52 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY md5(extracted)
                                     ORDER BY doc_id) AS rn
           FROM g) WHERE rn = 1
+        """,
+        # CCNet buckets: model + scores + exact tercile cuts + CASE all
+        # re-derived in SQL; cut fraction literals repr'd from the
+        # shared lm.CCNET_CUTS (change together).
+        "ccnet_lm_buckets": f"""
+        WITH w AS (
+          SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+        ), bgl AS (
+          SELECT doc_id,
+                 unnest([array_to_string(ws[i:i+1], ' ')
+                         for i in range(1, len(ws))]) AS bg
+          FROM w WHERE len(ws) >= 2
+        ), doc_bg AS (
+          SELECT doc_id, bg, COUNT(*) AS cnt FROM bgl GROUP BY 1, 2
+        ), c2t AS (
+          SELECT bg, CAST(SUM(cnt) AS BIGINT) AS c2,
+                 string_split(bg, ' ')[1] AS w1
+          FROM doc_bg GROUP BY 1
+        ), c1t AS (
+          SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2t GROUP BY 1
+        ), model AS (
+          SELECT c2t.bg,
+                 (1000000 * (c2t.c2 + 1))
+                   // (c1t.c1 + (SELECT COUNT(*) FROM c1t)) AS q
+          FROM c2t JOIN c1t USING (w1)
+        ), agg AS (
+          SELECT doc_bg.doc_id,
+                 CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(cnt * q) AS BIGINT) AS score_sum
+          FROM doc_bg JOIN model USING (bg) GROUP BY 1
+        ), scored AS (
+          SELECT d.doc_id,
+                 CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                 CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0.0
+                      ELSE a.score_sum / a.n_bigrams END AS avg_q
+          FROM documents d LEFT JOIN agg a USING (doc_id)
+        ), cuts AS (
+          SELECT quantile_cont(avg_q, 0.3333333333333333) AS c1,
+                 quantile_cont(avg_q, 0.6666666666666666) AS c2
+          FROM scored
+        )
+        SELECT doc_id, n_bigrams, avg_q,
+               CASE WHEN avg_q >= c2 THEN 'head'
+                    WHEN avg_q >= c1 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored CROSS JOIN cuts
         """,
         # sentence segmentation: SENT_RE chunking + the shared
         # normalize_ws canonicalization, mirrored via f-strings.

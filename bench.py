@@ -97,6 +97,7 @@ HEADLINE = [
     "sentence_split",
     "html_text_extract",
     "web_curation_full",
+    "ccnet_lm_buckets",
     "media_curation_full",
     "csv_roundtrip",
     "stream_warc",

@@ -189,3 +189,39 @@ def dsir_score(df: DataFrame, target_pred, text_col: str = "text",
         )
         .withColumn("dscore", F.col("t_sum") - F.col("r_sum"))
     )
+
+
+#: CCNet tercile fractions — repr'd into BOTH engines' SQL/exprs so the
+#: cut literals are byte-identical (change together with lm_buckets_sql).
+CCNET_CUTS = (1 / 3, 2 / 3)
+
+
+def lm_buckets(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               scale: int = 1_000_000) -> DataFrame:
+    """CCNet-style corpus partitioning (public: Wenzek et al. 2020):
+    score every doc with the corpus bigram LM (:func:`bigram_lm_score`
+    — exact integers, avg_q bit-identical) and split into
+    head/middle/tail at the exact tercile cut points of avg_q.
+
+    Exactness: the cuts are Spark's exact ``percentile`` (type-7
+    interpolation, bit-identical to DuckDB ``quantile_cont`` — the
+    quantile_profile invariant) over bit-identical avg_q values, with
+    the fraction literals repr'd from the SHARED ``CCNET_CUTS``; bucket
+    comparisons are then identical-double comparisons on both sides.
+
+    100-TB shape: the cut computation is ONE exact global percentile
+    pass (the documented exact-percentile global pass of the fused
+    plan); at deployment scale the approx_percentile variant is the
+    drop-in (never oracle-gated — the quantile_profile rule).  The
+    1-row cut table broadcasts; bucketing is a map-side CASE."""
+    scored = bigram_lm_score(df, text_col, id_col, scale)
+    c1, c2 = CCNET_CUTS
+    cuts = scored.agg(
+        F.expr(f"percentile(avg_q, {c1!r})").alias("c1"),
+        F.expr(f"percentile(avg_q, {c2!r})").alias("c2"))
+    return (scored.join(F.broadcast(cuts))
+            .select(id_col, "n_bigrams", "avg_q",
+                    F.when(F.col("avg_q") >= F.col("c2"), F.lit("head"))
+                    .when(F.col("avg_q") >= F.col("c1"), F.lit("middle"))
+                    .otherwise(F.lit("tail")).alias("bucket")))
