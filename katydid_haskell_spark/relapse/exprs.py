@@ -451,16 +451,23 @@ def _mk_regex(args: list) -> Expr:
     """regex(pattern, subject) with the dialect-portability gate: a
     CONSTANT pattern outside the portable Python/Java/RE2 common subset is
     a compile error (translate-or-reject, SURVEY §7.3.5) — never a
-    silently path-divergent match.  Dynamic (variable) patterns can't be
-    vetted statically; they stay confined to the interpreted paths (the
-    lowering already rejects non-constant patterns)."""
-    e = _mk_string2("regex")(args)
+    silently path-divergent match.  The TRANSLATE arm (round 8): class
+    escapes are rewritten to explicit ASCII classes here, at
+    construction, so the Python engines, the Catalyst rlike lowering and
+    every oracle mirror all consume the identical dialect-normalized
+    pattern text (Python's Unicode \\s matched NBSP where Java's ASCII
+    \\s did not — a measured three-paths-agree break).  Dynamic
+    (variable) patterns can't be vetted statically; they stay confined
+    to the interpreted paths (the lowering already rejects non-constant
+    patterns)."""
     pat = args[0]
     if isinstance(pat, Const) and pat.ty == STRING:
-        from .regex_dialect import check_portable
+        from .regex_dialect import translate_portable
 
-        check_portable(str(pat.value))
-    return e
+        translated = translate_portable(str(pat.value))
+        if translated != pat.value:
+            args = [Const(STRING, translated)] + list(args[1:])
+    return _mk_string2("regex")(args)
 
 
 def _mk_string1(name: str) -> Callable[[list], Expr]:

@@ -40,9 +40,49 @@ _PORTABLE_CLASS_ESCAPES = set("dDwWsS")
 _PORTABLE_CTRL_ESCAPES = set("nrtfvbB")  # \b is boundary outside a class
 _PUNCT = set(r"\.^$|?*+()[]{}-/&~!@#%,:;<>='\"`_")
 
+# Class-escape translation (round 8): Python's \s \d \w are UNICODE sets
+# while Java's and RE2's are ASCII — `\s` matched NBSP on the derivative
+# engine but not on Catalyst (measured divergence; the three-paths-agree
+# invariant breaks on any non-ASCII whitespace/digit/word char).  The
+# gate therefore TRANSLATES the six class escapes to explicit ASCII
+# classes once, at expression construction, so every engine (and every
+# oracle mirror) consumes dialect-identical pattern text — the repo-wide
+# explicit-class discipline applied to relapse, and closer to the
+# reference's POSIX TDFA (ASCII) semantics.  Negated escapes inside a
+# character class (e.g. [\S]) have no textual expansion and are
+# rejected; \b/\B word boundaries are rejected for the same reason
+# (their word-char set is Unicode in Python, ASCII in Java/RE2).
+_CLASS_ESCAPE_OUTSIDE = {
+    "d": "[0-9]", "D": "[^0-9]",
+    "w": "[A-Za-z0-9_]", "W": "[^A-Za-z0-9_]",
+    "s": r"[ \t\n\x0B\f\r]", "S": r"[^ \t\n\x0B\f\r]",
+}
+_CLASS_ESCAPE_INSIDE = {
+    "d": "0-9",
+    "w": "A-Za-z0-9_",
+    "s": r" \t\n\x0B\f\r",
+}
+
+# Known, deliberately-ACCEPTED corner divergences (data-precondition
+# guarded rather than rejected, because anchors have no portable
+# rewrite):  `$` matches before a TRAILING newline in Python/Java but
+# not in RE2 — the in-repo engines agree (corpus pin
+# regex_anchor_newline), but an ORACLED rule must never let `$` see
+# text that can end in \n.
+
 
 def check_portable(pattern: str) -> None:
     """Raise RelapseError unless ``pattern`` is in the portable subset."""
+    translate_portable(pattern)
+
+
+def translate_portable(pattern: str) -> str:
+    """Validate ``pattern`` against the portable subset and return the
+    DIALECT-NORMALIZED text: class escapes rewritten to explicit ASCII
+    classes (see ``_CLASS_ESCAPE_OUTSIDE``) so Python/Java/RE2 all match
+    the identical character sets.  Every engine must consume the
+    translated text — exprs._mk_regex rebuilds the pattern constant with
+    it at construction time."""
 
     def fail(reason: str) -> None:
         raise RelapseError(
@@ -51,6 +91,7 @@ def check_portable(pattern: str) -> None:
             "RE2 — see relapse/regex_dialect.py)"
         )
 
+    out: list = []
     n = len(pattern)
     i = 0
     in_class = False
@@ -76,21 +117,47 @@ def check_portable(pattern: str) -> None:
                 m = _re.match(r"x[0-9a-fA-F]{2}", pattern[i + 1:])
                 if not m:
                     fail(r"\x must be \xHH for portability")
+                out.append(pattern[i:i + 4])
                 i += 4
                 continue
             if e in ("k", "g"):
                 fail("named backreferences are unsupported in RE2")
-            if in_class and e in ("b", "B"):
-                # [\b] is backspace in Python/Java but a compile error in
-                # RE2 (and DuckDB); \B in a class is Java-only.
-                fail(rf"\{e} inside a character class differs between "
-                     "dialects (backspace vs compile error)")
-            if (e in _PORTABLE_CLASS_ESCAPES or e in _PORTABLE_CTRL_ESCAPES
-                    or e in _PUNCT or e == "\\" or e == " "):
+            if e in ("b", "B"):
+                if in_class:
+                    # [\b] is backspace in Python/Java but a compile error
+                    # in RE2 (and DuckDB); \B in a class is Java-only.
+                    fail(rf"\{e} inside a character class differs between "
+                         "dialects (backspace vs compile error)")
+                # round 8: the word-char set behind \b/\B is Unicode in
+                # Python re but ASCII in Java/RE2 — divergent on any
+                # non-ASCII text, and boundaries have no explicit-class
+                # rewrite.
+                fail(rf"\{e} word boundaries use Unicode word chars in "
+                     "Python but ASCII in Java/RE2 — spell the boundary "
+                     "with explicit classes instead")
+            if e in _PORTABLE_CLASS_ESCAPES:
+                # translate to the explicit ASCII class (the \s-NBSP
+                # divergence fix) — Unicode-vs-ASCII set membership is
+                # dialect-specific, the explicit class is not.
+                if in_class:
+                    rep = _CLASS_ESCAPE_INSIDE.get(e)
+                    if rep is None:
+                        fail(rf"negated class escape \{e} inside a "
+                             "character class has no portable expansion — "
+                             "use an explicit class")
+                    out.append(rep)
+                else:
+                    out.append(_CLASS_ESCAPE_OUTSIDE[e])
+                i += 2
+                continue
+            if (e in _PORTABLE_CTRL_ESCAPES or e in _PUNCT
+                    or e == "\\" or e == " "):
+                out.append(pattern[i:i + 2])
                 i += 2
                 continue
             if e.isalpha():
                 fail(rf"escape \{e} is not in the portable subset")
+            out.append(pattern[i:i + 2])
             i += 2
             continue
         if in_class:
@@ -108,21 +175,26 @@ def check_portable(pattern: str) -> None:
                      r"as \[")
             if ch == "]":
                 in_class = False
+            out.append(ch)
             i += 1
             continue
         if ch == "[":
             in_class = True
+            out.append(ch)
             i += 1
             # leading ^ / ] literal handling is identical across dialects
             if i < n and pattern[i] == "^":
+                out.append("^")
                 i += 1
             if i < n and pattern[i] == "]":
+                out.append("]")
                 i += 1
             continue
         if ch == "(":
             if pattern[i + 1: i + 2] == "?":
                 nxt = pattern[i + 2: i + 3]
                 if nxt == ":":
+                    out.append("(?:")
                     i += 3
                     continue
                 if nxt in ("=", "!"):
@@ -138,23 +210,29 @@ def check_portable(pattern: str) -> None:
                 if nxt == "P":
                     fail("(?P...) named groups are Python-only syntax")
                 fail("inline flags have dialect-specific scoping")
+            out.append(ch)
             i += 1
             continue
         if ch in ("*", "+", "?"):
             if pattern[i + 1: i + 2] == "+":
                 fail("possessive quantifiers are Java-only")
+            out.append(ch)
             i += 1
             continue
         if ch == "}":
             if pattern[i + 1: i + 2] == "+":
                 fail("possessive quantifiers are Java-only")
+            out.append(ch)
             i += 1
             continue
+        out.append(ch)
         i += 1
     if in_class:
         fail("unterminated character class")
+    translated = "".join(out)
     # finally, it must actually compile as a Python regex
     try:
-        _re.compile(pattern)
+        _re.compile(translated)
     except _re.error as ex:
         raise RelapseError(f"invalid regex {pattern!r}: {ex}") from None
+    return translated

@@ -19,7 +19,6 @@ PORTABLE = [
     r"\x41\t\n",
     r"price: \$\d+",
     r"[\]\[-]",
-    r"\bword\b",
 ]
 
 REJECTED = [
@@ -39,7 +38,38 @@ REJECTED = [
     (r"[a[b]]", "nested class union (Java) vs literal (Python/RE2)"),
     (r"[\b]", "backspace (Python/Java) vs compile error (RE2)"),
     (r"[\B]", r"\B in class is Java-only"),
+    # round 8: \b/\B word chars are Unicode in Python, ASCII in
+    # Java/RE2 — divergent on non-ASCII text, no explicit rewrite
+    (r"\bword\b", "word boundary uses dialect-specific word chars"),
+    (r"a\Bb", "word boundary uses dialect-specific word chars"),
+    # negated class escapes INSIDE a class have no textual expansion
+    (r"[\S]+", "no portable expansion"),
+    (r"[a\D]", "no portable expansion"),
 ]
+
+
+TRANSLATED = [
+    # round 8: class escapes are TRANSLATED to explicit ASCII classes so
+    # Python (Unicode sets) and Java/RE2 (ASCII sets) match identically
+    # (the measured \s-NBSP three-paths-agree break)
+    (r"\d{4}-\d{2}", "[0-9]{4}-[0-9]{2}"),
+    (r"a\sb", r"a[ \t\n\x0B\f\r]b"),
+    (r"a\Sb", r"a[^ \t\n\x0B\f\r]b"),
+    (r"\w+", "[A-Za-z0-9_]+"),
+    (r"\W", "[^A-Za-z0-9_]"),
+    (r"[\d\w.]+", "[0-9A-Za-z0-9_.]+"),
+    (r"[^\s]x", r"[^ \t\n\x0B\f\r]x"),
+    (r"^https?://", "^https?://"),  # identity for escape-free patterns
+]
+
+
+@pytest.mark.parametrize("pat,want", TRANSLATED)
+def test_class_escapes_translated(pat, want):
+    from katydid_haskell_spark.relapse.regex_dialect import (
+        translate_portable,
+    )
+
+    assert translate_portable(pat) == want
 
 
 @pytest.mark.parametrize("pat", PORTABLE)
