@@ -1736,6 +1736,32 @@ def _q_stream_warc(spark, sf_dir):
     return spark.table(name)
 
 
+def _q_jsonl_roundtrip(spark, sf_dir):
+    """Native JSONL format layer under the value-hash gate (the
+    training-data interchange format): each row's (doc_id, lang, fp)
+    is serialized by Spark's to_json and parsed back by from_json
+    (JVM-side, zero Python); the parsed fields and the line's byte
+    length must equal the oracle's direct closed-form re-derivation —
+    valid because every serialized value is escape-free by
+    construction (BIGINT, the comma-free lang token coalesced to '',
+    and an md5 hex fingerprint), so the byte layout is exactly
+    '{"doc_id":N,"lang":"x","fp":"hex"}' on both sides."""
+    docs = _t(spark, sf_dir, "documents")
+    line = F.to_json(F.struct(
+        F.col("doc_id"),
+        F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp")))
+    parsed = F.from_json(
+        line, "doc_id BIGINT, lang STRING, fp STRING")
+    return docs.select(
+        F.col("doc_id"),
+        F.octet_length(line).alias("line_len"),
+        parsed["doc_id"].alias("parsed_id"),
+        F.coalesce(parsed["lang"], F.lit("")).alias("parsed_lang"),
+        parsed["fp"].alias("parsed_fp"),
+    )
+
+
 def _q_csv_roundtrip(spark, sf_dir):
     """Native CSV format layer under the value-hash gate: each row's
     (doc_id, lang, n_chars) is serialized by Spark's to_csv and parsed
@@ -3098,6 +3124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_text_extract": _q_html_text_extract,
         "web_curation_full": _q_web_curation_full,
         "ccnet_lm_buckets": _q_ccnet_lm_buckets,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "bpe_train": _q_bpe_train,
         "bigram_lm_score": _q_bigram_lm_score,
         "tfidf_topterms": _q_tfidf_topterms,
@@ -3144,17 +3171,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oldest remaining driver rows (r6) fill the window
         "q10_returned_items": _q_q10_returned_items,
         "q4_order_priority": _q_q4_order_priority,
-        "q13_cust_distribution": _q_q13_cust_distribution,
         # --- past the ~50-entry sample window from here down ---
         # remaining r6-green (next in line when the window rotates —
-        # pii_scan/quantile_profile/url_normalize/host_skew_report/
-        # pages_verdicts/c4_quality/line_dedup/split_assign/warc_gzip/
-        # minhash_incremental spilled when the ten new round-8 entries
-        # (semantic_dedup, dsir_score, temperature_sample,
-        # stream_semantic_route, robots_admission, semantic_decontam,
-        # sentence_split, html_text_extract, web_curation_full,
-        # ccnet_lm_buckets) joined the front, so they MUST lead r9's
-        # window alongside corpus_report/q2/q9, demoted earlier)
+        # q13_cust_distribution/pii_scan/quantile_profile/url_normalize/
+        # host_skew_report/pages_verdicts/c4_quality/line_dedup/
+        # split_assign/warc_gzip/minhash_incremental spilled when the
+        # eleven new round-8 entries (semantic_dedup, dsir_score,
+        # temperature_sample, stream_semantic_route, robots_admission,
+        # semantic_decontam, sentence_split, html_text_extract,
+        # web_curation_full, ccnet_lm_buckets, jsonl_roundtrip) joined
+        # the front, so they MUST lead r9's window alongside
+        # corpus_report/q2/q9, demoted earlier)
+        "q13_cust_distribution": _q_q13_cust_distribution,
         "pii_scan": _q_pii_scan,
         "quantile_profile": _q_quantile_profile,
         "url_normalize": _q_url_normalize,
@@ -3856,6 +3884,20 @@ def oracle_sql() -> dict[str, str]:
           ON e.user_id = w.user_id
          AND e.ts >= w.ts AND e.ts < w.ts + INTERVAL 30 MINUTE
         GROUP BY 1, 2
+        """,
+        # JSONL: byte layout closed-form — every value escape-free by
+        # construction (bigint, token lang, hex fp).
+        "jsonl_roundtrip": """
+        SELECT doc_id,
+               CAST(octet_length(encode(
+                    '{"doc_id":' || doc_id || ',"lang":"'
+                    || COALESCE(lang, '') || '","fp":"'
+                    || md5(COALESCE(text, '')) || '"}')) AS INTEGER)
+                 AS line_len,
+               doc_id AS parsed_id,
+               COALESCE(lang, '') AS parsed_lang,
+               md5(COALESCE(text, '')) AS parsed_fp
+        FROM documents
         """,
         "csv_roundtrip": """
         SELECT doc_id,

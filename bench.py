@@ -98,6 +98,7 @@ HEADLINE = [
     "html_text_extract",
     "web_curation_full",
     "ccnet_lm_buckets",
+    "jsonl_roundtrip",
     "media_curation_full",
     "csv_roundtrip",
     "stream_warc",
