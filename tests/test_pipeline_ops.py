@@ -2741,3 +2741,91 @@ def test_html_text_hand_cases(spark):
     assert got[1] == 'hello world &lt; > ok'
     assert got[2] == ''
     assert got[3] == 'a "b\''
+
+
+def test_robots_decide_against_independent_matcher():
+    """Property check: decide() vs an INDEPENDENT brute-force matcher
+    (recursive char-walk, no regex) over randomized rule sets and
+    paths — seeded, deterministic."""
+    import random
+
+    from katydid_haskell_spark.operators import robots as rb
+
+    def walk_match(pat, path):
+        # independent semantics: anchored at start, '*' any run,
+        # trailing '$' anchors the end
+        end_anchor = pat.endswith("$")
+        if end_anchor:
+            pat = pat[:-1]
+
+        def rec(i, j):
+            if i == len(pat):
+                return (j == len(path)) if end_anchor else True
+            if pat[i] == "*":
+                return any(rec(i + 1, k) for k in range(j, len(path) + 1))
+            return j < len(path) and path[j] == pat[i] and rec(i + 1, j + 1)
+
+        return rec(0, 0)
+
+    def brute(rules, agent, path):
+        grp = [r for r in rules if r[0] == agent]
+        if not grp:
+            grp = [r for r in rules if r[0] == "*"]
+        hits = [(len(p), al) for _, al, p in grp if walk_match(p, path)]
+        if not hits:
+            return (True, 0)
+        best = max(h[0] for h in hits)
+        allow = any(al for ln, al in hits if ln == best)
+        return (allow, best)
+
+    rng = random.Random(77)
+    segs = ["/a", "/bb", "/c", "x", "*", "/d*", "e"]
+    for trial in range(400):
+        rules = []
+        for _ in range(rng.randrange(0, 6)):
+            agent = rng.choice(["*", "bot", "other"])
+            pat = "".join(rng.choice(segs)
+                          for _ in range(rng.randrange(1, 4)))
+            if rng.random() < 0.3:
+                pat += "$"
+            rules.append((agent, rng.random() < 0.5, pat))
+        path = "".join(rng.choice(["/a", "/bb", "/c", "x", "e", "/d"])
+                       for _ in range(rng.randrange(0, 5)))
+        got = rb.decide(rules, "bot", path)
+        want = brute(rules, "bot", path)
+        assert got == want, (trial, rules, path, got, want)
+
+
+def test_sentence_split_python_parity_nasty_strings(spark):
+    """Spark sentence_split (Java regex) vs a pure-Python re
+    re-implementation over adversarial text: unicode whitespace (NBSP
+    must NOT collapse — explicit-class discipline), CRLF, VT, quotes,
+    emoji, terminator runs, empty and null."""
+    import re as _re
+
+    from katydid_haskell_spark.operators.textops import SENT_RE, WS_RE
+
+    def py_sentences(t):
+        out = []
+        for chunk in _re.findall(SENT_RE, t or ""):
+            s = _re.sub("^ | $", "", _re.sub(WS_RE, " ", chunk.lower()))
+            if s:
+                out.append(s)
+        return out
+
+    texts = [
+        "A b. C d! E?",
+        "nbsp\xa0stays. tab\there.",
+        "crlf\r\nline. vt\x0bx!",
+        'quote "q". emoji \U0001F600 end',
+        "runs..!? more",
+        "", None, ".!?", "ü. Über?",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {}
+    for r in tx.sentence_split(df, "text", "doc_id").collect():
+        got.setdefault(r.doc_id, []).append((r.sidx, r.sentence))
+    for i, t in enumerate(texts):
+        want = [(j, s) for j, s in enumerate(py_sentences(t))]
+        assert got.get(i, []) == want, (i, t, got.get(i), want)
