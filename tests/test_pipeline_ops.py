@@ -2829,3 +2829,101 @@ def test_sentence_split_python_parity_nasty_strings(spark):
     for i, t in enumerate(texts):
         want = [(j, s) for j, s in enumerate(py_sentences(t))]
         assert got.get(i, []) == want, (i, t, got.get(i), want)
+
+
+def test_dsir_score_against_pure_python(spark):
+    """Property check: dsir_score vs an independent Counter-based
+    reimplementation of the quantized two-model scoring over a seeded
+    random corpus."""
+    import random
+    from collections import Counter
+
+    from katydid_haskell_spark.operators import lm
+
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(0, 6))))
+            for i in range(40)]
+
+    def model(ids):
+        c2, c1 = Counter(), Counter()
+        for i, t in docs:
+            if i not in ids:
+                continue
+            ws = t.split()
+            for a, b in zip(ws, ws[1:]):
+                c2[f"{a} {b}"] += 1
+                c1[a] += 1
+        v = max(len(c1), 1)
+        return c2, c1, v
+
+    tgt = {i for i, _ in docs if i % 7 == 0}
+    c2t, c1t, vt = model(tgt)
+    c2r, c1r, vr = model({i for i, _ in docs})
+
+    def q(c2, c1, v, bg):
+        w1 = bg.split(" ")[0]
+        return (1_000_000 * (c2[bg] + 1)) // (c1[w1] + v)
+
+    want = {}
+    for i, t in docs:
+        ws = t.split()
+        bgs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        ts = sum(q(c2t, c1t, vt, b) for b in bgs)
+        rs = sum(q(c2r, c1r, vr, b) for b in bgs)
+        want[i] = (len(bgs), ts, rs, ts - rs)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.t_sum, r.r_sum, r.dscore)
+           for r in lm.dsir_score(df, F.col("doc_id") % 7 == 0).collect()}
+    assert got == want
+
+
+def test_semantic_dedup_against_brute_force(spark):
+    """Property check: semantic_dedup (explicit centroids) vs a direct
+    numpy within-cell pairwise implementation on seeded random
+    vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    x = rng.normal(size=(60, 4))
+    cents = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]]
+    c = np.array(cents)
+    nrm = np.linalg.norm(x, axis=1, keepdims=True)
+    cell = (x @ c.T / nrm).argmax(axis=1)
+    xn = x / nrm
+    tau = 0.6
+    dropped = set()
+    for j in range(len(x)):
+        for i in range(j):
+            if cell[i] == cell[j] and float(xn[i] @ xn[j]) >= tau:
+                dropped.add(j)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: (r.cell, r.kept)
+           for r in sim.semantic_dedup(df, dim=4, min_cos=tau,
+                                       centroids=cents).collect()}
+    for i in range(len(x)):
+        assert got[i] == (int(cell[i]), i not in dropped), i
+
+
+def test_temperature_targets_properties():
+    """Invariants: sum(targets) <= total; each target <= group size;
+    alpha=1 is proportional; alpha=0 is uniform across non-empty
+    groups; smaller alpha narrows the spread (up-weights the tail)."""
+    from katydid_haskell_spark.operators.mixing import temperature_targets
+
+    counts = {"a": 1000, "b": 100, "c": 10}
+    for alpha in (0.0, 0.3, 0.5, 0.7, 1.0):
+        t = temperature_targets(counts, alpha, 300)
+        assert sum(t.values()) <= 300
+        assert all(t[g] <= counts[g] for g in t)
+    t1 = temperature_targets(counts, 1.0, 111)
+    assert t1 == {"a": 100, "b": 10, "c": 1}
+    t0 = temperature_targets(counts, 0.0, 30)
+    assert t0 == {"a": 10, "b": 10, "c": 10}
+    spread = lambda t: t["a"] - t["c"]  # noqa: E731
+    assert spread(temperature_targets(counts, 0.3, 300)) < spread(
+        temperature_targets(counts, 0.9, 300))
