@@ -2927,3 +2927,47 @@ def test_temperature_targets_properties():
     spread = lambda t: t["a"] - t["c"]  # noqa: E731
     assert spread(temperature_targets(counts, 0.3, 300)) < spread(
         temperature_targets(counts, 0.9, 300))
+
+
+def test_html_text_python_parity_nasty_strings(spark):
+    """Spark html_text (Java regex chain) vs a pure-Python re
+    re-implementation over adversarial payloads: unclosed script,
+    nested angle brackets, entity-adjacent entities, unicode, CRLF."""
+    import re as _re
+
+    from katydid_haskell_spark.operators.textops import (
+        HTML_COMMENT_RE,
+        HTML_ENTITIES,
+        HTML_SCRIPT_RE,
+        HTML_STYLE_RE,
+        HTML_TAG_RE,
+        WS_RE,
+    )
+
+    def py_extract(t):
+        out = t or ""
+        for pat in (HTML_SCRIPT_RE, HTML_STYLE_RE, HTML_COMMENT_RE,
+                    HTML_TAG_RE):
+            out = _re.sub(pat, " ", out)
+        for ent, ch in HTML_ENTITIES:
+            out = out.replace(ent, ch)
+        return _re.sub("^ | $", "", _re.sub(WS_RE, " ", out.lower()))
+
+    payloads = [
+        "<p>a</p>",
+        "<script>never closed",          # unclosed block: tag strip only
+        "<p a='<'>x</p>",                 # '<' inside attr value
+        "&amp;amp; &amp;lt; &lt;b&gt;",  # entity-adjacent entities
+        "<!-- <p>gone</p> -->kept",
+        "<P CLASS=X>Ü\xa0nbsp</P>",       # NBSP survives normalize
+        "a < b and c > d",                # bare comparators
+        "<style>s</style\n>tail",         # newline inside closing tag
+        "", None,
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)],
+        "doc_id long, html string")
+    got = {r.doc_id: r.t for r in df.select(
+        "doc_id", tx.html_text(F.col("html")).alias("t")).collect()}
+    for i, p in enumerate(payloads):
+        assert got[i] == py_extract(p), (i, p, got[i], py_extract(p))
