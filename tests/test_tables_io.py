@@ -139,9 +139,14 @@ def test_zorder_write_narrows_file_spans(spark, tmp_path):
 
     nv = file_spans(spark, naive, ["x", "y"])
     zv = file_spans(spark, zo, ["x", "y"])
+    # thresholds leave headroom over the run-to-run spread:
+    # repartitionByRange's reservoir sampling shifts file boundaries
+    # slightly per run (measured avg y span 11.6k-12.0k over repeated
+    # runs at n=20k — one sample grazed the old 0.6n cut); the property
+    # is the ~0.58n-vs-1.0n contrast, not a knife-edge constant
     assert avg_span(nv, "y") > 0.9 * n          # naive: y unpruned
-    assert avg_span(zv, "y") < 0.6 * n          # z-order: y narrowed
-    assert avg_span(zv, "x") < 0.6 * n          # ... without losing x
+    assert avg_span(zv, "y") < 0.68 * n         # z-order: y narrowed
+    assert avg_span(zv, "x") < 0.68 * n         # ... without losing x
     # content preserved
     assert spark.read.parquet(zo).count() == n
 
