@@ -55,6 +55,23 @@ def _par_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents").select("doc_id"))
 
 
+def _par_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table repartitioned up to the session's default
+    parallelism (sources/partitioning.py:udf_parallelize — the same
+    ingest seam as _par_ids, carrying the text column).  The test
+    inputs are single parquet files with ONE row group, so the scan is
+    one split no matter how small spark.sql.files.maxPartitionBytes is
+    set — every per-row stage (Arrow UDF sweeps AND heavy JVM regex /
+    json / explode chains) serializes on one core without this.  The
+    one-time exchange moves the small file's bytes once (5.7 MB at
+    sf1); at crawl scale the scan has thousands of splits and
+    udf_parallelize is a no-op.  Entry-level by design: the curation
+    operators themselves stay no-text-shuffle (plan-guarded)."""
+    from katydid_haskell_spark.sources.partitioning import udf_parallelize
+
+    return udf_parallelize(_t(spark, sf_dir, "documents"))
+
+
 def _relapse_col(spec: str, schema) -> F.Column:
     return compile_to_column(compile_grammar(parse_grammar(spec)), schema)
 
@@ -108,14 +125,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_relapse_filter_docs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     spec = '(.lang *= []string{"en","de","fr"} & .n_chars: >= 200 & .text *= "data")'
     ok = _relapse_col(spec, docs.schema)
     return docs.filter(ok).select("doc_id", "lang", "n_chars")
 
 
 def _q_relapse_validate_rate(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     ok = _relapse_col('.text *= "spark"', docs.schema)
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -378,7 +395,7 @@ def _q_events_hourly(spark, sf_dir):
 
 
 def _q_token_counts(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         tx.token_count_ws(F.col("text")).alias("ws_tokens"),
@@ -407,7 +424,7 @@ def _q_doc_lang_id(spark, sf_dir):
 
 
 def _q_doc_fingerprint(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     normalized = tx.normalize_ws(F.col("text"))
     return docs.select("doc_id", F.md5(normalized).alias("fp"))
 
@@ -753,11 +770,16 @@ def _q_corpus_curation_full(spark, sf_dir):
 
     from katydid_haskell_spark.operators import decontam as dc
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     eval_set = docs.filter(F.col("doc_id") % 31 == 0)
     train = docs.filter(F.col("doc_id") % 31 != 0)
     normalized = tx.normalize_ws(F.col("text"))
-    rep = tx.repetition_features_udf()(F.col("text"))
+    # project the (nondeterministic) repetition struct ONCE, then filter
+    # on the projected column: field-references on the raw UDF call
+    # would each become their own ArrowEvalPython eval now that the UDF
+    # is nondeterministic (r9 plan showed [feats, feats, feats]), and a
+    # deterministic call's filter sinks below the parallelize exchange
+    rep = F.col("__rep")
     rep_flag = (
         (rep.getField("dup_line_frac") > 0.30)
         | (rep.getField("top_bigram_frac") > 0.20)
@@ -767,9 +789,18 @@ def _q_corpus_curation_full(spark, sf_dir):
         train.filter(F.col("lang").isin("en", "de"))
         .withColumn("n_words", F.size(tx.words(F.col("text"))))
         .filter(F.col("n_words") >= 40)
+        .withColumn("__rep", tx.repetition_features_udf()(F.col("text")))
         # Arrow hot path; bit-identical to tx.repetition_flag (parity test)
         .filter(~rep_flag)
+        .drop("__rep")
         .withColumn("__fp", F.md5(normalized))
+        # persist() is load-bearing: `filtered` feeds BOTH the
+        # decontam dirty-gram branch and the anti-join left side, and
+        # without the cache the whole filter chain — repetition UDF
+        # included — runs twice (r9 plan: two full scan+ArrowEvalPython
+        # branches).  Spillable MEMORY_AND_DISK; cleared by the bench's
+        # per-query clearCache.
+        .persist()
     )
     clean = dc.decontaminate(filtered, eval_set, "doc_id", "text", n=4)
     w = Window.partitionBy("__fp")
@@ -839,7 +870,7 @@ def _q_boilerplate_removal(spark, sf_dir):
     injected lines are boilerplate (shared by >=5 docs) and the real
     content line survives — the oracle re-derives removal from the same
     construction."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     t2 = F.concat(F.lit("Header "), F.col("lang"), F.lit("\n"),
                   F.col("text"), F.lit("\nFooter "),
                   (F.col("doc_id") % 3).cast("string"))
@@ -1704,7 +1735,13 @@ def _q_stream_warc(spark, sf_dir):
     if not os.path.exists(link):
         os.symlink(os.path.join(sf_dir, "documents.parquet"), link)
     sch = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = spark.readStream.schema(sch).parquet(d)
+    # stateless repartition = the udf_parallelize ingest seam on the
+    # stream side: a single-file micro-batch is ONE partition, which
+    # would serialize the WARC construct + parse Arrow passes behind
+    # one core; a shuffle of the small batch is not state, so the
+    # batch oracle (warc_records' SQL) stays valid unchanged
+    stream = (spark.readStream.schema(sch).parquet(d)
+              .repartition(spark.sparkContext.defaultParallelism))
 
     @pandas_udf("binary")
     def make_warc(doc_id: pd.Series, text: pd.Series) -> pd.Series:
@@ -1746,7 +1783,7 @@ def _q_jsonl_roundtrip(spark, sf_dir):
     construction (BIGINT, the comma-free lang token coalesced to '',
     and an md5 hex fingerprint), so the byte layout is exactly
     '{"doc_id":N,"lang":"x","fp":"hex"}' on both sides."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     line = F.to_json(F.struct(
         F.col("doc_id"),
         F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
@@ -1854,7 +1891,7 @@ def _q_bpe_tokenize(spark, sf_dir):
     hash."""
     from katydid_haskell_spark.operators import tokenize as tk
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     words = F.array(*[F.lit(w) for w in tk.DEMO_WORDS])
     n = len(tk.DEMO_WORDS)
     parts = [
@@ -1879,7 +1916,7 @@ def _q_tfidf_topterms(spark, sf_dir):
     retrieval_pairs)."""
     from katydid_haskell_spark.operators import textops as tx_ops
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     return tx_ops.tfidf_topterms(docs, "text", "doc_id", k=5)
 
 
@@ -1917,7 +1954,7 @@ def _q_bpe_train(spark, sf_dir):
     small by nature; apply/encode stays distributed (bpe_tokenize)."""
     from katydid_haskell_spark.operators import tokenize as tk
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     merges = tk.train_bpe_on_corpus(docs, "text", top_v=24, n_merges=60)
     return tk.merges_table(spark, merges)
 
@@ -1937,7 +1974,10 @@ def _q_robots_admission(spark, sf_dir):
     are literals mirrored in the SQL — change together."""
     from katydid_haskell_spark.operators import robots as rb
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # doc_id-only construct-in-query: the _par_ids ingest seam spreads
+    # the Arrow decide pass across cores (8-byte rows cross the
+    # conditional exchange; single-file scans are otherwise one split)
+    docs = _par_ids(spark, sf_dir)
     txt = F.concat_ws(
         "\n",
         F.lit("# corpus robots"),
@@ -2041,7 +2081,7 @@ def _q_html_text_extract(spark, sf_dir):
     stripper itself is gated, whatever bytes the text holds.  Chain
     literals are f-string mirrored — change tx.HTML_* and the SQL
     together."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     html = F.concat(
         F.lit("<html><head><title>t</title>"
               "<style>p { color: red }</style></head><body><h1>Doc "),
@@ -2073,7 +2113,7 @@ def _q_web_curation_full(spark, sf_dir):
 
     from katydid_haskell_spark.operators import robots as rb
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     rtxt = F.concat_ws(
         "\n",
         F.lit("User-agent: *"),
@@ -2118,7 +2158,7 @@ def _q_ccnet_lm_buckets(spark, sf_dir):
     cuts and the bucket CASE end-to-end in SQL."""
     from katydid_haskell_spark.operators import lm
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     return lm.lm_buckets(docs, "text", "doc_id")
 
 
@@ -2130,7 +2170,7 @@ def _q_sentence_split(spark, sf_dir):
     construction).  Pattern and normalization literals are f-string
     mirrored in the SQL — change tx.SENT_RE / tx.WS_RE and the oracle
     together."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     return tx.sentence_split(docs, "text", "doc_id")
 
 
@@ -2197,7 +2237,7 @@ def _q_warc_records(spark, sf_dir):
 
     from katydid_haskell_spark.operators import warc as wr
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
 
     @pandas_udf("binary")
     def make_warc(doc_id: pd.Series, text: pd.Series) -> pd.Series:
@@ -2245,10 +2285,16 @@ def _q_image_resize_real(spark, sf_dir):
 
     @pandas_udf("binary")
     def make_png(doc_id: pd.Series) -> pd.Series:
+        # filter_mode="none": decoded pixels are bit-identical to the
+        # "cycle" default (the oracle's closed form is over PIXELS),
+        # while both real decodes downstream (resize + stats) stay on
+        # the fully vectorized unfilter path — the filter-exercising
+        # job belongs to multimodal_png, not the resize query
         out = []
         for d in doc_id:
             v = (int(d) * 29 + by * 17 + bx * 13) % 256
-            out.append(mm.encode_png(np.kron(v, ones8).astype(np.uint8)))
+            out.append(mm.encode_png(np.kron(v, ones8).astype(np.uint8),
+                                     filter_mode="none"))
         return pd.Series(out)
 
     media = docs.select(F.col("doc_id").alias("media_id"),
@@ -2485,7 +2531,10 @@ def _q_gopher_quality(spark, sf_dir):
     parity reference in textops.repetition_features)."""
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
-    f = tx.repetition_features_udf()(F.col("text"))
+    # one projection of the nondeterministic struct, fields read from
+    # the projected column (eight raw references would be eight
+    # ArrowEvalPython evals — the corpus_curation_full r9 lesson)
+    f = F.col("__rep")
     flagged = (
         (f.getField("dup_line_frac") > 0.30)
         | (f.getField("top_bigram_frac") > 0.20)
@@ -2493,7 +2542,9 @@ def _q_gopher_quality(spark, sf_dir):
     )
     # int/int ratio columns are bit-identical by construction — deliberately
     # NOT rounded (ROUND itself can differ between engines at half-ulp).
-    return docs.select(
+    return docs.withColumn(
+        "__rep", tx.repetition_features_udf()(F.col("text"))
+    ).select(
         "doc_id",
         f.getField("n_lines").alias("n_lines"),
         f.getField("dup_line_frac").alias("dup_line_frac"),
@@ -2512,7 +2563,7 @@ def _q_decontam_overlap(spark, sf_dir):
     corpus side never shuffles raw text."""
     from katydid_haskell_spark.operators import decontam as dc
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     eval_set = docs.filter(F.col("doc_id") % 31 == 0)
     train = docs.filter(F.col("doc_id") % 31 != 0)
     return dc.ngram_overlap(train, eval_set, "doc_id", "text", n=3)
@@ -2528,7 +2579,7 @@ def _q_duplicate_spans(spark, sf_dir):
     re-derives bit-identical keys with DuckDB md5."""
     from katydid_haskell_spark.operators import spans as sp
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     payload = F.concat(
         F.col("text"),
         F.when(F.col("doc_id") % 5 == 0,
@@ -2547,7 +2598,7 @@ def _q_span_removal(spark, sf_dir):
     list_filter over the identical word list."""
     from katydid_haskell_spark.operators import spans as sp
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     payload = F.concat(
         F.col("text"),
         F.when(F.col("doc_id") % 5 == 0,
@@ -2594,7 +2645,7 @@ def _q_doc_chunks(spark, sf_dir):
     zero Python."""
     from katydid_haskell_spark.operators import chunking as ck
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     return ck.chunk_documents(docs, "doc_id", "text",
                               chunk_words=64, overlap=16)
 
@@ -2787,7 +2838,7 @@ def _q_warc_gzip(spark, sf_dir):
     decoded back by the Arrow-batched inflate UDF; the projected
     fingerprint/length must equal the oracle's closed form over the
     ORIGINAL text — the compression round-trip must be exact."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     payload = tx.gzip_encode_udf()(F.coalesce(F.col("text"), F.lit("")))
     decoded = tx.gzip_decode_udf()(payload)
     return docs.select(
@@ -2813,7 +2864,7 @@ def _q_training_prep_full(spark, sf_dir):
 
     from katydid_haskell_spark.operators.textops import words
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     cleaned = tx.dedupe_doc_lines(docs, "doc_id", "text")
     # text is consumed HERE, map-side: fingerprint + word count are the
     # only things any later stage needs, so no exchange ever carries it
@@ -2841,7 +2892,7 @@ def _q_vocab_topk(spark, sf_dir):
     tokens with a deterministic (count desc, token asc) total order.
     Map-side extraction, one partial-agg shuffle over the bounded
     vocabulary key space, top-k window over the aggregated table only."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     return tx.vocab_topk(docs, "text", k=100)
 
 
@@ -2849,7 +2900,7 @@ def _q_corpus_report(spark, sf_dir):
     """Per-language corpus statistics; avg_words is an int/int double
     division computed from identical aggregated integers on both
     engines — bit-identical by construction, deliberately unrounded."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     return tx.corpus_report(docs, "lang", "text")
 
 
@@ -2874,7 +2925,7 @@ def _q_line_dedup(spark, sf_dir):
     repeated promo pair (second copy differing only in case and
     whitespace) so the normalization axis is exercised; oracle
     re-derives the kept set with an indexed list_filter."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     payload = F.concat(
         F.coalesce(F.col("text"), F.lit("")),
         F.when(F.col("doc_id") % 4 == 0,
@@ -2916,7 +2967,7 @@ def _q_c4_quality(spark, sf_dir):
     javascript markers appended from doc_id arithmetic) so the oracle
     re-derives verdicts from raw columns.  Zero exchanges — pure
     projection of the scan."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     payload = F.concat(
         F.coalesce(F.col("text"), F.lit("")),
         F.when(F.col("doc_id") % 3 == 0,
@@ -2998,7 +3049,7 @@ def _q_pii_scan(spark, sf_dir):
     JVM regexp (map-side, no UDF)."""
     from katydid_haskell_spark.operators import pii
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _par_docs(spark, sf_dir)
     did = F.col("doc_id")
     payload = F.concat(
         F.col("text"),

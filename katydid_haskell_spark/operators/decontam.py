@@ -54,7 +54,13 @@ def distinct_ngrams_udf(n: int, short_fallback: bool = False):
                                    for i in range(len(ws) - n + 1)}))
         return pd.Series(out)
 
-    return grams
+    # asNondeterministic: the optimizer otherwise pushes derived
+    # predicates (size(grams) > 0 / isnotnull from the explode) below
+    # the projection and re-evaluates the UDF once per reference — the
+    # r9 corpus_curation_full plan showed TWO stacked ArrowEvalPython
+    # grams nodes.  The fn is pure; only reorder/duplicate freedom is
+    # removed (guide-§4.4 pattern).
+    return grams.asNondeterministic()
 
 
 def _distinct_grams(df: DataFrame, id_col: str, text_col: str,

@@ -259,7 +259,12 @@ def winnow_fingerprints_udf(shingle_k: int = 5, window: int = 4):
                 out.append(sorted(set(mins.tolist())))
         return pd.Series(out)
 
-    return fps
+    # asNondeterministic: without it the derived explode predicates
+    # (size > 0 / isnotnull) are pushed below the udf_parallelize
+    # exchange and the sketch UDF runs TWICE — once single-split under
+    # the repartition, once above it (r9 winnow plan, two stacked
+    # ArrowEvalPython fps nodes).  Pure fn; values unchanged.
+    return fps.asNondeterministic()
 
 
 def winnow_fingerprint_table(df: DataFrame, id_col: str, text_col: str,

@@ -444,25 +444,46 @@ def decode_png(payload: bytes) -> np.ndarray:
     ftypes = raw[:, 0]
     rows = raw[:, 1:].astype(np.int16).reshape(h, w, c)
     out = np.zeros((h, w, c), np.int16)
-    zero = np.zeros(c, np.int16)
     prev = np.zeros((w, c), np.int16)
     for y in range(h):
         f, row = int(ftypes[y]), rows[y]
         if f == 0:
             rec = row.copy()
+        elif f == 1:
+            # Sub: rec[x] = (row[x] + rec[x-1]) & 0xFF is a running sum
+            # mod 256 — the mask commutes with addition, so one cumsum
+            # + mask reproduces the sequential recurrence exactly
+            rec = (np.cumsum(row.astype(np.int64), axis=0)
+                   & 0xFF).astype(np.int16)
         elif f == 2:
             rec = (row + prev) & 0xFF
-        elif f in (1, 3, 4):
-            rec = np.zeros((w, c), np.int16)
+        elif f in (3, 4):
+            # left-neighbour dependency is inherently sequential in x;
+            # plain-int inner loop (per-pixel numpy indexing is ~10x
+            # slower than Python-int arithmetic at this width)
+            row_l = row.tolist()
+            prev_l = prev.tolist()
+            rec_l = []
+            left = [0] * c
             for x in range(w):
-                a = rec[x - 1] if x else zero
-                if f == 1:
-                    rec[x] = (row[x] + a) & 0xFF
-                elif f == 3:
-                    rec[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
+                rx, up = row_l[x], prev_l[x]
+                if f == 3:
+                    left = [(rx[j] + ((left[j] + up[j]) >> 1)) & 0xFF
+                            for j in range(c)]
                 else:
-                    cc = prev[x - 1] if x else zero
-                    rec[x] = (row[x] + _paeth(a, prev[x], cc)) & 0xFF
+                    ul = prev_l[x - 1] if x else [0] * c
+                    nxt = []
+                    for j in range(c):
+                        a_, b_, c_ = left[j], up[j], ul[j]
+                        pa = abs(b_ - c_)
+                        pb = abs(a_ - c_)
+                        pc = abs(a_ + b_ - 2 * c_)
+                        pred = (a_ if pa <= pb and pa <= pc
+                                else (b_ if pb <= pc else c_))
+                        nxt.append((rx[j] + pred) & 0xFF)
+                    left = nxt
+                rec_l.append(left)
+            rec = np.asarray(rec_l, np.int16)
         else:
             raise ValueError(f"bad filter type {f}")
         out[y] = rec

@@ -979,16 +979,34 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, dim: int,
     ])
 
     def run(batches):
+        # two-phase partial top-k (the brute_force_topk part_topk
+        # shape): each partition emits at most k rows per query, so the
+        # final window ranks k*P survivors — never the whole corpus.
+        # Winners are identical to the full sort: top-k under the
+        # strict (-score, vec_id) total order is prefix-closed, so
+        # every global winner survives its own partition's cut.
+        carry = None
+        sel = np.arange(m)[None, :]
         for b in batches:
             ids = b["vec_id"].to_numpy()
+            if not len(ids):
+                continue
             cd = np.stack(b["codes"].to_numpy())          # (n, m)
-            rows = {"q_id": [], "vec_id": [], "score": []}
+            frames = []
             for qi, qid in enumerate(qids):
-                s = luts_b[qi][np.arange(m)[None, :], cd].sum(axis=1)
-                rows["q_id"].extend([qid] * len(ids))
-                rows["vec_id"].extend(ids.tolist())
-                rows["score"].extend(s.tolist())
-            yield pd.DataFrame(rows)
+                s = luts_b[qi][sel, cd].sum(axis=1)
+                frames.append(pd.DataFrame(
+                    {"q_id": qid, "vec_id": ids, "score": s}))
+            batch_all = pd.concat(frames, ignore_index=True)
+            carry = (batch_all if carry is None
+                     else pd.concat([carry, batch_all], ignore_index=True))
+            carry = (carry
+                     .sort_values(["score", "vec_id"],
+                                  ascending=[False, True], kind="mergesort")
+                     .groupby("q_id", sort=False).head(k)
+                     .reset_index(drop=True))
+        if carry is not None:
+            yield carry
 
     from pyspark.sql.window import Window
 

@@ -57,6 +57,11 @@ def gram_positions_udf(n: int):
     Arrow.  The Catalyst HOF formulation is the slow path here for the
     same reason as ``decontam.distinct_ngrams_udf`` (array HOFs
     evaluate interpreted, re-running the split per element).
+
+    The gram text is sliced out of the single space-joined word string
+    by byte offsets (" ".join(ws[i:i+n]) == joined[start_i:end_{i+n-1}]
+    by construction) so the per-gram cost is one bytes slice + one md5,
+    not an n-way join — encoding happens once per document.
     """
     import hashlib
 
@@ -66,40 +71,26 @@ def gram_positions_udf(n: int):
 
     @pandas_udf("array<struct<pos:bigint,h:string>>")
     def grams(texts: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
         out = []
         for t in texts:
             ws = [w for w in word_re.split((t or "").lower()) if w]
+            if len(ws) < n:
+                out.append([])
+                continue
+            enc = " ".join(ws).encode()
+            starts, ends, pos = [], [], 0
+            for w in ws:
+                starts.append(pos)
+                pos += len(w.encode())
+                ends.append(pos)
+                pos += 1
             out.append([
-                (i,
-                 hashlib.md5(" ".join(ws[i:i + n]).encode()).hexdigest())
+                (i, md5(enc[starts[i]:ends[i + n - 1]]).hexdigest())
                 for i in range(len(ws) - n + 1)])
         return pd.Series(out)
 
     return grams
-
-
-def distinct_gram_hashes_udf(n: int):
-    """Arrow-vectorized DISTINCT gram md5s per document — the cheap
-    frequency-side pass: per-doc dedup means a plain partial-aggregated
-    COUNT over the exploded hashes equals COUNT(DISTINCT doc), without
-    the two-phase distinct shuffle."""
-    import hashlib
-
-    from pyspark.sql.functions import pandas_udf
-
-    word_re = re.compile(_WORD_SPLIT)
-
-    @pandas_udf("array<string>")
-    def hashes(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            ws = [w for w in word_re.split((t or "").lower()) if w]
-            out.append(list({
-                hashlib.md5(" ".join(ws[i:i + n]).encode()).hexdigest()
-                for i in range(len(ws) - n + 1)}))
-        return pd.Series(out)
-
-    return hashes
 
 
 def duplicate_gram_positions(df: DataFrame, id_col: str, text_col: str,
@@ -107,22 +98,29 @@ def duplicate_gram_positions(df: DataFrame, id_col: str, text_col: str,
     """(id, pos) rows for every gram position whose gram occurs in at
     least ``min_docs`` DISTINCT documents.
 
-    Both UDF passes emit digests map-side; the frequency count shuffles
-    bare 32-byte hashes (already distinct per doc, so COUNT ==
-    distinct-doc count and the map-side partial agg applies) and the
-    semi-join shuffles (h, id, pos) — bounded per row regardless of
-    document or gram length.
+    ONE Python pass: the per-doc (pos, h) gram array is computed once
+    and persisted (counts-and-digests only — text is never cached, the
+    ``_doc_bigram_counts`` discipline); the frequency side derives the
+    per-doc DISTINCT hash set from the same array with JVM
+    ``array_distinct`` (per-doc dedup means a plain partial-aggregated
+    COUNT over the exploded hashes equals COUNT(DISTINCT doc), without
+    the two-phase distinct shuffle).  The frequency count shuffles bare
+    32-byte hashes and the semi-join shuffles (h, id, pos) — bounded
+    per row regardless of document or gram length.
     """
-    g = (
+    g_arr = (
         df.select(F.col(id_col),
-                  F.explode(gram_positions_udf(n)(F.col(text_col)))
-                  .alias("pg"))
+                  gram_positions_udf(n)(F.col(text_col)).alias("pg"))
+        .persist()
+    )
+    g = (
+        g_arr.select(F.col(id_col), F.explode("pg").alias("pg"))
         .select(F.col(id_col), F.col("pg.pos").alias("pos"),
                 F.col("pg.h").alias("h"))
     )
     dup = (
-        df.select(F.explode(
-            distinct_gram_hashes_udf(n)(F.col(text_col))).alias("h"))
+        g_arr.select(F.explode(F.array_distinct(
+            F.transform(F.col("pg"), lambda x: x["h"]))).alias("h"))
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= min_docs)

@@ -350,7 +350,15 @@ def repetition_features_udf():
             "n_lines", "dup_line_frac", "bullet_ratio", "ellipsis_ratio",
             "top_bigram_frac", "dup_trigram_frac"])
 
-    return feats
+    # asNondeterministic stops the optimizer pushing a filter that
+    # references this UDF below an upstream exchange (guide §4.4-style
+    # freedom removal): without it the repetition-flag filter — and the
+    # whole Arrow pass with it — sinks BELOW the udf_parallelize
+    # repartition, serializing the heaviest per-row stage on the single
+    # scan split (r9 corpus_curation_full plan: ArrowEvalPython under
+    # Exchange).  Values are unchanged — the fn is pure; only optimizer
+    # reordering freedom is removed.
+    return feats.asNondeterministic()
 
 
 def normalize_ws(col: Column) -> Column:
@@ -653,8 +661,16 @@ def tfidf_topterms(df: DataFrame, text_col: str = "text",
     """
     ws = words(F.coalesce(F.col(text_col), F.lit("")))
     terms = df.select(F.col(id_col), F.explode(ws).alias("term"))
+    # persist() is load-bearing (the _doc_bigram_counts discipline):
+    # tf feeds both the docfreq aggregate and the probe join, and the
+    # docfreq branch plans as a BroadcastExchange whose child is NOT
+    # exchange-reusable — without the cache the corpus text scan +
+    # term explode + count run TWICE (r9 plan: two Scan parquet nodes).
+    # The cached table is (id, term, tf) counts only — text never
+    # cached, spillable MEMORY_AND_DISK.
     tf = (terms.groupBy(id_col, "term")
-          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+          .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+          .persist())
     docfreq = (tf.groupBy("term")
                .agg(F.count(F.lit(1)).cast("long").alias("docfreq")))
     scored = (tf.join(docfreq, "term")

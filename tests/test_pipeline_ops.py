@@ -2447,6 +2447,33 @@ def test_pq_topk_recall_gates(spark):
     assert len(short & want) / len(want) >= 0.9
 
 
+def test_pq_topk_two_phase_multipartition(spark):
+    """r9 two-phase ADC ranking: winners identical across partitionings
+    (prefix-closure of top-k under the strict (-score, vec_id) order),
+    and the final window's input is the per-partition partial top-k —
+    never a full-corpus per-query partition (the pre-r9 scale-killer)."""
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    sample = np.array(
+        [r.embedding for r in emb.orderBy("vec_id").limit(2048).collect()],
+        dtype=np.float64)
+    books = sim.train_pq(sample, m=16)
+    q = emb.filter("vec_id < 4")
+    ref = sorted(map(tuple, sim.pq_topk(
+        emb.coalesce(1), q, 64, books, k=7).collect()))
+    got = sorted(map(tuple, sim.pq_topk(
+        emb.repartition(9), q, 64, books, k=7).collect()))
+    assert got == ref and len(got) == 4 * 7
+    out = sim.pq_topk(emb.repartition(9), q, 64, books, k=7)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    # root-first tree order: the rank window sits ABOVE the partial
+    # top-k MapInPandas (its input is k rows per query per partition)
+    assert plan.index("Window") < plan.index("MapInPandas")
+
+
 def test_triangle_count_hand_graphs(spark):
     """triangle_count: K4 (4 triangles, 3 per node), a square + one
     diagonal (2 triangles), skew robustness (star graph: 0), and
