@@ -1265,11 +1265,19 @@ def _q_multimodal_bmp(spark, sf_dir):
     def make_bmp(doc_id: pd.Series) -> pd.Series:
         n = W * H * 3
         idx7 = 7 * np.arange(n, dtype=np.int64)
-        return pd.Series([
-            mm.encode_bmp(((int(d) * 31 + idx7) % 256)
-                          .astype(np.uint8).reshape(H, W, 3))
-            for d in doc_id
-        ])
+        # payload depends only on doc_id % 256 — per-batch construct
+        # cache (the image_phash_neardup pattern); decode stays per-doc
+        cache: dict = {}
+        out = []
+        for d in doc_id:
+            c = int(d) % 256
+            p = cache.get(c)
+            if p is None:
+                p = cache[c] = mm.encode_bmp(
+                    ((c * 31 + idx7) % 256)
+                    .astype(np.uint8).reshape(H, W, 3))
+            out.append(p)
+        return pd.Series(out)
 
     media = docs.select(F.col("doc_id").alias("media_id"),
                         make_bmp(F.col("doc_id")).alias("payload"))
@@ -1300,11 +1308,19 @@ def _q_multimodal_png(spark, sf_dir):
     def make_png(doc_id: pd.Series) -> pd.Series:
         n = W * H * C
         idx3 = 3 * np.arange(n, dtype=np.int64)
-        return pd.Series([
-            mm.encode_png(((int(d) * 17 + idx3) % 256)
-                          .astype(np.uint8).reshape(H, W, C))
-            for d in doc_id
-        ])
+        # payload depends only on doc_id % 256 — per-batch construct
+        # cache; the DEFLATE round-trip under test stays per-doc
+        cache: dict = {}
+        out = []
+        for d in doc_id:
+            c = int(d) % 256
+            p = cache.get(c)
+            if p is None:
+                p = cache[c] = mm.encode_png(
+                    ((c * 17 + idx3) % 256)
+                    .astype(np.uint8).reshape(H, W, C))
+            out.append(p)
+        return pd.Series(out)
 
     media = docs.select(F.col("doc_id").alias("media_id"),
                         make_png(F.col("doc_id")).alias("payload"))
@@ -1335,11 +1351,18 @@ def _q_multimodal_jpeg(spark, sf_dir):
     @pandas_udf("binary")
     def make_jpeg(doc_id: pd.Series) -> pd.Series:
         ones = np.ones((8, 8), dtype=np.int64)
-        return pd.Series([
-            mm.encode_jpeg(np.kron(
-                2 * ((int(d) * 7 + coef) % 128), ones).astype(np.uint8))
-            for d in doc_id
-        ])
+        # payload depends only on doc_id % 128 — per-batch construct
+        # cache; the DCT/entropy decode under test stays per-doc
+        cache: dict = {}
+        out = []
+        for d in doc_id:
+            c = int(d) % 128
+            p = cache.get(c)
+            if p is None:
+                p = cache[c] = mm.encode_jpeg(np.kron(
+                    2 * ((c * 7 + coef) % 128), ones).astype(np.uint8))
+            out.append(p)
+        return pd.Series(out)
 
     media = docs.select(F.col("doc_id").alias("media_id"),
                         make_jpeg(F.col("doc_id")).alias("payload"))
@@ -1374,17 +1397,24 @@ def _q_multimodal_jpeg_color(spark, sf_dir):
     @pandas_udf("binary")
     def make_jpeg(doc_id: pd.Series) -> pd.Series:
         ones8 = np.ones((8, 8), dtype=np.int64)
+        # all three planes depend only on doc_id % 128 (7/11/13 are
+        # coprime scalings under the shared % 128) — per-batch
+        # construct cache; the interleaved 4:2:0 decode stays per-doc
+        cache: dict = {}
         out = []
         for d in doc_id:
-            d = int(d)
-            y = np.kron(2 * ((d * 7 + ycoef) % 128), ones8)
-            cb = np.kron((2 * ((d * 11 + mxs * 9 + 5) % 128))[None, :],
-                         ones8)
-            cr = np.kron((2 * ((d * 13 + mxs * 3 + 1) % 128))[None, :],
-                         ones8)
-            out.append(mm.encode_jpeg_ycbcr(
-                y.astype(np.uint8), cb.astype(np.uint8),
-                cr.astype(np.uint8), "420", restart_interval=1))
+            c = int(d) % 128
+            p = cache.get(c)
+            if p is None:
+                y = np.kron(2 * ((c * 7 + ycoef) % 128), ones8)
+                cb = np.kron((2 * ((c * 11 + mxs * 9 + 5) % 128))[None, :],
+                             ones8)
+                cr = np.kron((2 * ((c * 13 + mxs * 3 + 1) % 128))[None, :],
+                             ones8)
+                p = cache[c] = mm.encode_jpeg_ycbcr(
+                    y.astype(np.uint8), cb.astype(np.uint8),
+                    cr.astype(np.uint8), "420", restart_interval=1)
+            out.append(p)
         return pd.Series(out)
 
     media = docs.select(F.col("doc_id").alias("media_id"),
@@ -1414,17 +1444,23 @@ def _q_multimodal_jpeg_progressive(spark, sf_dir):
     @pandas_udf("binary")
     def make_jpeg(doc_id: pd.Series) -> pd.Series:
         ones8 = np.ones((8, 8), dtype=np.int64)
+        # planes depend only on doc_id % 128 (the jpeg_color cache
+        # note); the multi-scan progressive decode stays per-doc
+        cache: dict = {}
         out = []
         for d in doc_id:
-            d = int(d)
-            y = np.kron(2 * ((d * 7 + ycoef) % 128), ones8)
-            cb = np.kron((2 * ((d * 11 + mxs * 9 + 5) % 128))[None, :],
-                         ones8)
-            cr = np.kron((2 * ((d * 13 + mxs * 3 + 1) % 128))[None, :],
-                         ones8)
-            out.append(mm.encode_jpeg_progressive(
-                y.astype(np.uint8), cb.astype(np.uint8),
-                cr.astype(np.uint8), "420"))
+            c = int(d) % 128
+            p = cache.get(c)
+            if p is None:
+                y = np.kron(2 * ((c * 7 + ycoef) % 128), ones8)
+                cb = np.kron((2 * ((c * 11 + mxs * 9 + 5) % 128))[None, :],
+                             ones8)
+                cr = np.kron((2 * ((c * 13 + mxs * 3 + 1) % 128))[None, :],
+                             ones8)
+                p = cache[c] = mm.encode_jpeg_progressive(
+                    y.astype(np.uint8), cb.astype(np.uint8),
+                    cr.astype(np.uint8), "420")
+            out.append(p)
         return pd.Series(out)
 
     media = docs.select(F.col("doc_id").alias("media_id"),
@@ -1483,15 +1519,23 @@ def _q_multimodal_video(spark, sf_dir):
     def make_avi(doc_id: pd.Series) -> pd.Series:
         ones8 = np.ones((8, 8), dtype=np.int64)
         bx = np.arange(2, dtype=np.int64)
+        # each frame JPEG depends only on c = (d*7 + f*19) % 128 — a
+        # per-batch construct cache (the image_phash_neardup pattern)
+        # encodes 128 distinct frames, not 6 per doc; the AVI mux and
+        # every decode stay per-doc
+        fcache: dict = {}
         out = []
         for d in doc_id:
             d = int(d)
-            frames = [
-                mm.encode_jpeg(np.kron(
-                    (2 * ((d * 7 + f * 19 + bx * 3) % 128))[None, :],
-                    ones8).astype(np.uint8))
-                for f in range(6)
-            ]
+            frames = []
+            for f in range(6):
+                c = (d * 7 + f * 19) % 128
+                fr = fcache.get(c)
+                if fr is None:
+                    fr = fcache[c] = mm.encode_jpeg(np.kron(
+                        (2 * ((c + bx * 3) % 128))[None, :],
+                        ones8).astype(np.uint8))
+                frames.append(fr)
             out.append(mm.encode_avi_mjpeg(frames, fps=10))
         return pd.Series(out)
 
@@ -1522,13 +1566,19 @@ def _q_multimodal_spectrogram(spark, sf_dir):
     @pandas_udf("binary")
     def make_wav(doc_id: pd.Series) -> pd.Series:
         i = np.arange(N, dtype=np.int64)
+        # amp and period both derive from doc_id % 100 (5 divides 100)
+        # — per-batch construct cache; the FFT side stays per-doc
+        cache: dict = {}
         out = []
         for d in doc_id:
-            d = int(d)
-            amp = 1000 + d % 100
-            p = 8 << (d % 5)
-            s = np.where((i % p) < p // 2, amp, -amp).astype(np.int16)
-            out.append(mm.encode_wav(s, rate=16000))
+            c = int(d) % 100
+            w = cache.get(c)
+            if w is None:
+                amp = 1000 + c
+                p = 8 << (c % 5)
+                s = np.where((i % p) < p // 2, amp, -amp).astype(np.int16)
+                w = cache[c] = mm.encode_wav(s, rate=16000)
+            out.append(w)
         return pd.Series(out)
 
     media = docs.select(F.col("doc_id").alias("media_id"),
@@ -2290,11 +2340,19 @@ def _q_image_resize_real(spark, sf_dir):
         # while both real decodes downstream (resize + stats) stay on
         # the fully vectorized unfilter path — the filter-exercising
         # job belongs to multimodal_png, not the resize query
+        # payload depends only on doc_id % 256 — per-batch construct
+        # cache; resize + stats decodes stay per-doc
+        cache: dict = {}
         out = []
         for d in doc_id:
-            v = (int(d) * 29 + by * 17 + bx * 13) % 256
-            out.append(mm.encode_png(np.kron(v, ones8).astype(np.uint8),
-                                     filter_mode="none"))
+            c = int(d) % 256
+            p = cache.get(c)
+            if p is None:
+                v = (c * 29 + by * 17 + bx * 13) % 256
+                p = cache[c] = mm.encode_png(
+                    np.kron(v, ones8).astype(np.uint8),
+                    filter_mode="none")
+            out.append(p)
         return pd.Series(out)
 
     media = docs.select(F.col("doc_id").alias("media_id"),
@@ -2326,12 +2384,18 @@ def _q_multimodal_gif(spark, sf_dir):
 
     @pandas_udf("binary")
     def make_gif(doc_id: pd.Series) -> pd.Series:
+        # frames depend only on doc_id % 16 — per-batch construct
+        # cache; the LZW decode under test stays per-doc
+        cache: dict = {}
         out = []
         for d in doc_id:
-            d = int(d)
-            frames = [((d + f * 5 + yy * 3 + xx) % 16).astype(np.uint8)
-                      for f in (0, 1)]
-            out.append(mm.encode_gif(frames, pal, delays=[3, 9]))
+            c = int(d) % 16
+            g = cache.get(c)
+            if g is None:
+                frames = [((c + f * 5 + yy * 3 + xx) % 16)
+                          .astype(np.uint8) for f in (0, 1)]
+                g = cache[c] = mm.encode_gif(frames, pal, delays=[3, 9])
+            out.append(g)
         return pd.Series(out)
 
     media = docs.select(F.col("doc_id").alias("media_id"),
@@ -3163,76 +3227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # PREVIOUS round and untouched since.  The local mirror
     # (tests/test_entry_contract.py) still gates all entries every run.
     return {
-        # --- round-8 front window ---
-        # new in round 8 (never driver-sampled)
-        "semantic_dedup": _q_semantic_dedup,
-        "dsir_score": _q_dsir_score,
-        "temperature_sample": _q_temperature_sample,
-        "stream_semantic_route": _q_stream_semantic_route,
-        "robots_admission": _q_robots_admission,
-        "semantic_decontam": _q_semantic_decontam,
-        "sentence_split": _q_sentence_split,
-        "html_text_extract": _q_html_text_extract,
-        "web_curation_full": _q_web_curation_full,
-        "ccnet_lm_buckets": _q_ccnet_lm_buckets,
-        "jsonl_roundtrip": _q_jsonl_roundtrip,
-        "bpe_train": _q_bpe_train,
-        "bigram_lm_score": _q_bigram_lm_score,
-        "tfidf_topterms": _q_tfidf_topterms,
-        # ALL 18 entries whose latest driver row is r5 (the r7 verdict's
-        # item #1 — the whole stale set leads the window)
-        "multimodal_resize": _q_multimodal_resize,
-        "multimodal_frames": _q_multimodal_frames,
-        "multimodal_bmp": _q_multimodal_bmp,
-        "multimodal_wav": _q_multimodal_wav,
-        "corpus_curation": _q_corpus_curation,
-        "corpus_curation_full": _q_corpus_curation_full,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "simhash_pairs": _q_simhash_pairs,
-        "lsh_topk": _q_lsh_topk,
-        "ann_topk_ivf": _q_ann_topk_ivf,
-        "embedding_neardup": _q_embedding_neardup,
-        "winnow_fingerprints": _q_winnow_fingerprints,
-        "q6_revenue": _q_q6_revenue,
-        "rollup_lineitem": _q_rollup_lineitem,
-        "top10_customers": _q_top10_customers,
-        "set_ops_customers": _q_set_ops_customers,
-        "sessionize_events": _q_sessionize_events,
-        "q3_shipping_priority": _q_q3_shipping,
-        # latest driver row r6 (sat past the r7 window)
-        "multimodal_jpeg": _q_multimodal_jpeg,
-        "shard_shuffle": _q_shard_shuffle,
-        "sequence_pack": _q_sequence_pack,
-        "stream_route": _q_stream_route,
-        "pack_report": _q_pack_report,
-        "training_prep_full": _q_training_prep_full,
-        "doc_chunks": _q_doc_chunks,
-        # changed in round 8 (two-phase brute topk, bucketed asof,
-        # max_by LPA, one-job quota phase 1, csv emptyValue, shared
-        # JPEG quantizer — want fresh driver rows)
-        "ann_topk_brute": _q_ann_topk_brute,
-        "retrieval_pairs": _q_retrieval_pairs,
-        "asof_join_events": _q_asof_join_events,
-        "label_propagation": _q_label_propagation,
-        "quota_sample": _q_quota_sample,
-        "csv_roundtrip": _q_csv_roundtrip,
-        "multimodal_jpeg_color": _q_multimodal_jpeg_color,
-        "multimodal_jpeg_progressive": _q_multimodal_jpeg_progressive,
-        "multimodal_video": _q_multimodal_video,
-        # oldest remaining driver rows (r6) fill the window
-        "q10_returned_items": _q_q10_returned_items,
-        "q4_order_priority": _q_q4_order_priority,
-        # --- past the ~50-entry sample window from here down ---
-        # remaining r6-green (next in line when the window rotates —
-        # q13_cust_distribution/pii_scan/quantile_profile/url_normalize/
-        # host_skew_report/pages_verdicts/c4_quality/line_dedup/
-        # split_assign/warc_gzip/minhash_incremental spilled when the
-        # eleven new round-8 entries (semantic_dedup, dsir_score,
-        # temperature_sample, stream_semantic_route, robots_admission,
-        # semantic_decontam, sentence_split, html_text_extract,
-        # web_curation_full, ccnet_lm_buckets, jsonl_roundtrip) joined
-        # the front, so they MUST lead r9's window alongside
-        # corpus_report/q2/q9, demoted earlier)
+        # --- round-9 front window (driver samples first ~50) ---
+        # the 14 r6-stale entries the r8 tail comment pinned
         "q13_cust_distribution": _q_q13_cust_distribution,
         "pii_scan": _q_pii_scan,
         "quantile_profile": _q_quantile_profile,
@@ -3247,39 +3243,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _q_corpus_report,
         "q2_min_cost_supp": _q_q2_min_cost_supp,
         "q9_product_profit": _q_q9_product_profit,
+        # the remaining 24 r6-stale entries (VERDICT r8 item #1:
+        # no entry's latest driver row should be older than r7)
+        "q5_local_supplier": _q_q5_local_supplier,
+        "q7_nation_volume": _q_q7_nation_volume,
+        "q8_market_share": _q_q8_market_share,
         "q11_important_stock": _q_q11_important_stock,
+        "q12_late_shipments": _q_q12_late_shipments,
+        "q14_promo_effect": _q_q14_promo_effect,
+        "q15_top_supplier": _q_q15_top_supplier,
         "q16_supplier_cnt": _q_q16_supplier_cnt,
+        "q17_small_qty": _q_q17_small_qty,
+        "q18_large_orders": _q_q18_large_orders,
+        "q19_brand_revenue": _q_q19_brand_revenue,
         "q20_excess_stock": _q_q20_excess_stock,
+        "q21_waiting_supplier": _q_q21_waiting_supplier,
+        "q22_dormant_customers": _q_q22_dormant_customers,
         "duplicate_spans": _q_duplicate_spans,
         "span_removal": _q_span_removal,
         "relapse_array_dfa": _q_relapse_array_dfa,
         "stream_dedup": _q_stream_dedup,
         "sampled_validation": _q_sampled_validation,
-        "q5_local_supplier": _q_q5_local_supplier,
-        "q7_nation_volume": _q_q7_nation_volume,
-        "q19_brand_revenue": _q_q19_brand_revenue,
-        "q17_small_qty": _q_q17_small_qty,
-        "q21_waiting_supplier": _q_q21_waiting_supplier,
-        "q8_market_share": _q_q8_market_share,
-        "q15_top_supplier": _q_q15_top_supplier,
-        "q18_large_orders": _q_q18_large_orders,
-        "q22_dormant_customers": _q_q22_dormant_customers,
-        "q12_late_shipments": _q_q12_late_shipments,
-        "q14_promo_effect": _q_q14_promo_effect,
         "boilerplate_removal": _q_boilerplate_removal,
-        "multimodal_png": _q_multimodal_png,
         "minhash_verify": _q_minhash_verify,
-        "decontam_overlap": _q_decontam_overlap,
+        "multimodal_png": _q_multimodal_png,
         "gopher_quality": _q_gopher_quality,
-        # tail: driver-green in round 7 and untouched since
+        "decontam_overlap": _q_decontam_overlap,
+        # 12 entries most changed by the r9 optimization pass
+        # (spans rewrite, tf persist, winnow nondeterministic,
+        # PNG unfilter vectorization, multimodal construct
+        # caches, warc/stream ingest parallelize) — fresh
+        # driver rows wanted; jpeg_color/progressive share the
+        # same cache pattern and ride the local mirror
+        "corpus_curation_full": _q_corpus_curation_full,
+        "tfidf_topterms": _q_tfidf_topterms,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "image_resize_real": _q_image_resize_real,
+        "multimodal_video": _q_multimodal_video,
+        "multimodal_jpeg": _q_multimodal_jpeg,
+        "multimodal_gif": _q_multimodal_gif,
         "multimodal_spectrogram": _q_multimodal_spectrogram,
         "image_phash_neardup": _q_image_phash_neardup,
-        "multimodal_gif": _q_multimodal_gif,
-        "image_resize_real": _q_image_resize_real,
         "warc_records": _q_warc_records,
+        "stream_warc": _q_stream_warc,
+        "training_prep_full": _q_training_prep_full,
+        # --- past the ~50-entry sample window from here down ---
+        # r8-driver-green first (touched only by the ingest seam
+        # or construct caches, all locally oracle-mirrored), then
+        # the r7-green untouched tail
+        "semantic_dedup": _q_semantic_dedup,
+        "dsir_score": _q_dsir_score,
+        "temperature_sample": _q_temperature_sample,
+        "stream_semantic_route": _q_stream_semantic_route,
+        "robots_admission": _q_robots_admission,
+        "semantic_decontam": _q_semantic_decontam,
+        "sentence_split": _q_sentence_split,
+        "html_text_extract": _q_html_text_extract,
+        "web_curation_full": _q_web_curation_full,
+        "ccnet_lm_buckets": _q_ccnet_lm_buckets,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "bpe_train": _q_bpe_train,
+        "bigram_lm_score": _q_bigram_lm_score,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
+        "multimodal_bmp": _q_multimodal_bmp,
+        "multimodal_wav": _q_multimodal_wav,
+        "corpus_curation": _q_corpus_curation,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "simhash_pairs": _q_simhash_pairs,
+        "lsh_topk": _q_lsh_topk,
+        "ann_topk_ivf": _q_ann_topk_ivf,
+        "embedding_neardup": _q_embedding_neardup,
+        "q6_revenue": _q_q6_revenue,
+        "rollup_lineitem": _q_rollup_lineitem,
+        "top10_customers": _q_top10_customers,
+        "set_ops_customers": _q_set_ops_customers,
+        "sessionize_events": _q_sessionize_events,
+        "q3_shipping_priority": _q_q3_shipping,
+        "shard_shuffle": _q_shard_shuffle,
+        "sequence_pack": _q_sequence_pack,
+        "stream_route": _q_stream_route,
+        "pack_report": _q_pack_report,
+        "doc_chunks": _q_doc_chunks,
+        "ann_topk_brute": _q_ann_topk_brute,
+        "retrieval_pairs": _q_retrieval_pairs,
+        "asof_join_events": _q_asof_join_events,
+        "label_propagation": _q_label_propagation,
+        "quota_sample": _q_quota_sample,
+        "csv_roundtrip": _q_csv_roundtrip,
+        "multimodal_jpeg_color": _q_multimodal_jpeg_color,
+        "multimodal_jpeg_progressive": _q_multimodal_jpeg_progressive,
+        "q10_returned_items": _q_q10_returned_items,
+        "q4_order_priority": _q_q4_order_priority,
         "bpe_tokenize": _q_bpe_tokenize,
         "media_curation_full": _q_media_curation_full,
-        "stream_warc": _q_stream_warc,
         "triangle_count": _q_triangle_count,
         "pq_codes": _q_pq_codes,
         "embedding_quantize": _q_embedding_quantize,

@@ -114,10 +114,13 @@ def _semi_join_guarded(probe: DataFrame, build: DataFrame, key: str,
     """
     build = build.persist()
     try:
-        n_build = build.limit(max_grams + 1).count()
-        if n_build <= max_grams:
+        # one job, not two (r9): the guard-bounded LIMIT k+1 Arrow pull
+        # IS the probe — k+1 rows back means over-threshold; <= k rows
+        # back is already the complete gram set to broadcast
+        pdf = build.limit(max_grams + 1).toPandas()
+        if len(pdf) <= max_grams:
             local = probe.sparkSession.createDataFrame(
-                build.toPandas(), schema=build.schema)
+                pdf, schema=build.schema)
             return probe.join(F.broadcast(local), key, how)
         return probe.join(build, key, how)
     finally:

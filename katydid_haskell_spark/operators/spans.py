@@ -202,10 +202,13 @@ def remove_duplicate_spans(df: DataFrame, id_col: str, text_col: str,
     # cache and let the shuffle join recompute rather than leak.
     cuts = cuts.persist()
     try:
-        n_cuts = cuts.limit(BROADCAST_MAX_CUTS + 1).count()
-        if n_cuts <= BROADCAST_MAX_CUTS:
+        # one job, not two (r9): the guard-bounded LIMIT k+1 collect IS
+        # the probe — k+1 rows back means over-threshold; <= k rows
+        # back is already the complete cut set to broadcast
+        rows = cuts.limit(BROADCAST_MAX_CUTS + 1).collect()
+        if len(rows) <= BROADCAST_MAX_CUTS:
             local = df.sparkSession.createDataFrame(
-                cuts.collect(), schema=cuts.schema)
+                rows, schema=cuts.schema)
             build = F.broadcast(local)
         else:
             build = cuts

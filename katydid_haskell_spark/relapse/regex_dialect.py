@@ -145,6 +145,24 @@ def translate_portable(pattern: str) -> str:
                         fail(rf"negated class escape \{e} inside a "
                              "character class has no portable expansion — "
                              "use an explicit class")
+                    # Range-splice guard (round 9): the expansion must
+                    # never be ADJACENT to a range dash, else the
+                    # translated text forms a character range the spec
+                    # author never wrote ([a\s-x] would become
+                    # [a \t\n\x0B\f\r-x], whose \r-x range matches most
+                    # printable ASCII; pre-translation Python rejected
+                    # it outright).  A '-' just before ']' stays a
+                    # literal in every dialect and is allowed.
+                    if (pattern[i + 2: i + 3] == "-"
+                            and pattern[i + 3: i + 4] not in ("]", "")):
+                        fail(rf"\{e} followed by '-' inside a character "
+                             "class would splice into a range after "
+                             "expansion — move the '-' to the class edge")
+                    if (pattern[i - 1: i] == "-" and i >= 2
+                            and pattern[i - 2] not in "[^\\"):
+                        fail(rf"'-' followed by \{e} inside a character "
+                             "class would splice into a range after "
+                             "expansion — move the '-' to the class edge")
                     out.append(rep)
                 else:
                     out.append(_CLASS_ESCAPE_OUTSIDE[e])

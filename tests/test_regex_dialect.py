@@ -45,6 +45,14 @@ REJECTED = [
     # negated class escapes INSIDE a class have no textual expansion
     (r"[\S]+", "no portable expansion"),
     (r"[a\D]", "no portable expansion"),
+    # round 9: a class escape adjacent to a range dash would SPLICE
+    # into a range after expansion ([a\s-x] -> [a \t\n\x0B\f\r-x],
+    # whose \r-x range the author never wrote; pre-r8 Python rejected
+    # these outright, so acceptance would silently widen the gate)
+    (r"[a\s-x]", "escape followed by range dash"),
+    (r"[\d-x]", "escape followed by range dash"),
+    (r"[a-\d]", "range dash followed by escape"),
+    (r"[x\w-y]", "escape followed by range dash"),
 ]
 
 
@@ -60,6 +68,12 @@ TRANSLATED = [
     (r"[\d\w.]+", "[0-9A-Za-z0-9_.]+"),
     (r"[^\s]x", r"[^ \t\n\x0B\f\r]x"),
     (r"^https?://", "^https?://"),  # identity for escape-free patterns
+    # round 9: a dash at the CLASS EDGE stays a literal in every
+    # dialect — expansion cannot splice it into a range, so these are
+    # accepted (pinning the exact boundary of the splice guard)
+    (r"[a\s-]", r"[a \t\n\x0B\f\r-]"),
+    (r"[-\d]", "[-0-9]"),
+    (r"[\d\s]", r"[0-9 \t\n\x0B\f\r]"),
 ]
 
 
