@@ -745,7 +745,7 @@ def _q_corpus_curation(spark, sf_dir):
     normalized = tx.normalize_ws(F.col("text"))
     filtered = (
         docs.filter(F.col("lang").isin("en", "de"))
-        .withColumn("n_words", F.size(tx.words(F.col("text"))))
+        .withColumn("n_words", tx.n_words(F.col("text")))
         .filter(F.col("n_words") >= 40)
         .withColumn("__fp", F.md5(normalized))
     )
@@ -787,7 +787,7 @@ def _q_corpus_curation_full(spark, sf_dir):
     )
     filtered = (
         train.filter(F.col("lang").isin("en", "de"))
-        .withColumn("n_words", F.size(tx.words(F.col("text"))))
+        .withColumn("n_words", tx.n_words(F.col("text")))
         .filter(F.col("n_words") >= 40)
         .withColumn("__rep", tx.repetition_features_udf()(F.col("text")))
         # Arrow hot path; bit-identical to tx.repetition_flag (parity test)
@@ -2935,7 +2935,7 @@ def _q_training_prep_full(spark, sf_dir):
     narrow = cleaned.select(
         "doc_id",
         F.md5(tx.normalize_ws(F.col("clean_text"))).alias("fp"),
-        F.size(words(F.coalesce(F.col("clean_text"), F.lit(""))))
+        tx.n_words(F.coalesce(F.col("clean_text"), F.lit("")))
         .cast("long").alias("n_words"))
     w = Window.partitionBy("fp").orderBy("doc_id")
     survivors = (narrow

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from katydid_haskell_spark.operators.textops import words
+from katydid_haskell_spark.operators.textops import n_words, words
 
 
 def chunk_documents(df: DataFrame, id_col: str, text_col: str,
@@ -100,8 +100,8 @@ def pack_token_blocks(df: DataFrame, id_col: str,
     h = F.md5(F.concat_ws(_SEP, F.lit(seed),
                           F.col(id_col).cast("string")))
     nw = (F.col(n_words_col).cast("long") if n_words_col
-          else F.size(words(F.coalesce(F.col(text_col), F.lit("")))
-                      ).cast("long"))
+          else n_words(F.coalesce(F.col(text_col), F.lit("")))
+          .cast("long"))
     d = df.select(
         F.col(id_col),
         nw.alias("n_words"),

@@ -480,6 +480,16 @@ def test_training_prep_plan_no_text_in_any_exchange(spark):
     for sec in re.split(r"\n\(\d+\) ", txt):
         if sec.startswith("Exchange"):
             exchanges += 1
+            if ("RoundRobinPartitioning" in sec
+                    and "REPARTITION_BY_NUM" in sec):
+                # the udf_parallelize INGEST seam (r9): one explicit
+                # round-robin repartition of the raw scan, the
+                # documented one-time payload move for split-bound
+                # single-file inputs (sources/partitioning.py) — a
+                # no-op at crawl scale.  The load-bearing property is
+                # that the composition's OWN stages never move text:
+                # every keyed (hash/range) exchange stays narrow.
+                continue
             m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", sec)
             assert m and "text" not in m.group(1), sec[:200]
     assert exchanges >= 3  # dedup window, split semi, pack window

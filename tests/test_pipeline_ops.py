@@ -136,6 +136,34 @@ def test_ngram_jaccard(spark, docs):
     assert (0, 2) in got
 
 
+def test_words_positive_class_parity(spark):
+    """r9 pin: words() (positive-class regexp_extract_all) must equal
+    the oracle-mirrored negated-class formulation
+    filter(split(lower(x), _WORD_SPLIT), != '') on adversarial inputs —
+    the two are the same array by the maximal-runs argument, and
+    n_words() must equal size(words()) wherever only the count is
+    consumed."""
+    from katydid_haskell_spark.operators.textops import _WORD_SPLIT
+
+    cases = [
+        "", " ", "...", "a", "a b", "  a  b  ", "don't stop",
+        "a-b_c.d", "1 2 3", "MiXeD CaSe", "tab\tnewline\nvt\x0B",
+        "unicode café über straße", "'' '", "x'y'z",
+        "trailing space ", " leading", "a!b@c#d$e%f", "\n\n\n",
+        "0'0 ''a'' b", "é combining",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)],
+                               "i long, t string")
+    ref = F.filter(F.split(F.lower(F.col("t")), _WORD_SPLIT),
+                   lambda w: w != "")
+    out = df.select(
+        (tx.words(F.col("t")) == ref).alias("arr_eq"),
+        (tx.n_words(F.col("t")) == F.size(ref)).alias("cnt_eq"))
+    rows = out.collect()
+    assert all(r.arr_eq for r in rows)
+    assert all(r.cnt_eq for r in rows)
+
+
 def test_textops(spark, docs):
     row = docs.filter("doc_id = 0").select(
         tx.token_count_ws(F.col("text")).alias("ws"),
