@@ -72,6 +72,17 @@ def _par_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return udf_parallelize(_t(spark, sf_dir, "documents"))
 
 
+def _par_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings table through the same udf_parallelize ingest seam as
+    _par_docs: one row group -> one scan split -> every Arrow
+    cell-assign / code / cosine stage single-threaded without it.  All
+    downstream math is per-row or derives from ORDER BY vec_id samples,
+    so results are partitioning-invariant."""
+    from katydid_haskell_spark.sources.partitioning import udf_parallelize
+
+    return udf_parallelize(_t(spark, sf_dir, "embeddings"))
+
+
 def _relapse_col(spec: str, schema) -> F.Column:
     return compile_to_column(compile_grammar(parse_grammar(spec)), schema)
 
@@ -441,7 +452,7 @@ def _q_exact_dup_groups(spark, sf_dir):
 
 
 def _q_ann_topk_brute(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _par_emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -454,7 +465,7 @@ def _q_retrieval_pairs(spark, sf_dir):
     (self excluded) + 3 seeded-md5 negatives per query — an all-integer
     projection (labels decide membership/order, no float column), fully
     re-derived by the oracle (brute top-k CTE + md5 negative rank)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _par_emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     return sim.contrastive_pairs(emb, queries, k_pos=3, k_neg=3,
@@ -1640,7 +1651,7 @@ def _q_pq_codes(spark, sf_dir):
         train_pq,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _par_emb(spark, sf_dir)
     sample = np.array(
         [r.embedding for r in
          emb.orderBy("vec_id").limit(2048).collect()],
@@ -1670,7 +1681,7 @@ def _q_embedding_quantize(spark, sf_dir):
         quantize_embeddings,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _par_emb(spark, sf_dir)
     q = quantize_embeddings(emb, "embedding", "vec_id", scale=127)
     return q.select(
         "vec_id",
@@ -2072,7 +2083,7 @@ def _q_semantic_decontam(spark, sf_dir):
     threshold rides the same within-cell margin pin as semantic_dedup
     (cross pairs are a subset; test_semantic_dedup_threshold_margin
     pins both 0.3 and 0.4)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _par_emb(spark, sf_dir)
     return sim.semantic_decontam(emb, dim=64,
                                  eval_pred=F.col("vec_id") % 31 == 0,
                                  min_cos=0.3, n_cells=None,
@@ -2110,7 +2121,12 @@ def _q_stream_semantic_route(spark, sf_dir):
     if not os.path.exists(link):
         os.symlink(os.path.join(sf_dir, "embeddings.parquet"), link)
     sch = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
-    stream = spark.readStream.schema(sch).parquet(d)
+    # stateless ingest repartition (the stream_warc seam): a
+    # single-file micro-batch is one partition, which would serialize
+    # the Arrow cell-assign pass on one core; no state added, so the
+    # shared batch oracle stays valid unchanged
+    stream = (spark.readStream.schema(sch).parquet(d)
+              .repartition(spark.sparkContext.defaultParallelism))
     out = stream_semantic_route(stream, cents, dim=64, n_shards=16,
                                 shard_seed="shuffle-v1")
     name = "stream_semroute_" + uuid.uuid4().hex[:12]
@@ -2252,7 +2268,7 @@ def _q_semantic_dedup(spark, sf_dir):
     unrounded >= comparison's margin is pinned ≥3e-4 at every shipped
     SF (test_semantic_dedup_threshold_margin) — 11 orders above
     summation-order noise."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _par_emb(spark, sf_dir)
     return sim.semantic_dedup(emb, dim=64, min_cos=0.4, n_cells=None,
                               target_cell_size=32)
 
@@ -2474,7 +2490,7 @@ def _q_simhash_pairs(spark, sf_dir):
 
 
 def _q_lsh_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _par_emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -2486,7 +2502,7 @@ def _q_lsh_topk(spark, sf_dir):
 
 
 def _q_ann_topk_ivf(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _par_emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -2500,7 +2516,7 @@ def _q_ann_topk_ivf(spark, sf_dir):
 
 
 def _q_embedding_neardup(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _par_emb(spark, sf_dir)
     # auto-sized buckets × 3 OR-ed bands: n_bits=None counts the corpus
     # and sizes buckets to ~constant occupancy, so in-bucket join cost
     # per vector stays flat as the table grows (pinned n_bits=8 measured
