@@ -1651,7 +1651,7 @@ def _q_pq_codes(spark, sf_dir):
         train_pq,
     )
 
-    emb = _par_emb(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     sample = np.array(
         [r.embedding for r in
          emb.orderBy("vec_id").limit(2048).collect()],
@@ -2083,7 +2083,7 @@ def _q_semantic_decontam(spark, sf_dir):
     threshold rides the same within-cell margin pin as semantic_dedup
     (cross pairs are a subset; test_semantic_dedup_threshold_margin
     pins both 0.3 and 0.4)."""
-    emb = _par_emb(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     return sim.semantic_decontam(emb, dim=64,
                                  eval_pred=F.col("vec_id") % 31 == 0,
                                  min_cos=0.3, n_cells=None,
@@ -2224,7 +2224,7 @@ def _q_ccnet_lm_buckets(spark, sf_dir):
     cuts and the bucket CASE end-to-end in SQL."""
     from katydid_haskell_spark.operators import lm
 
-    docs = _par_docs(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
     return lm.lm_buckets(docs, "text", "doc_id")
 
 
@@ -2490,7 +2490,7 @@ def _q_simhash_pairs(spark, sf_dir):
 
 
 def _q_lsh_topk(spark, sf_dir):
-    emb = _par_emb(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -2502,7 +2502,7 @@ def _q_lsh_topk(spark, sf_dir):
 
 
 def _q_ann_topk_ivf(spark, sf_dir):
-    emb = _par_emb(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
