@@ -3089,20 +3089,26 @@ _SHARED_SPAN_SENTENCE = (
 
 
 def _q_q4_order_priority(spark, sf_dir):
-    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with a
-    non-equi extra condition (late shipment >90 days after order)."""
+    """TPC-H Q4 shape: EXISTS decorrelated via the max-aggregate
+    equivalence (r9): a late lineitem EXISTS for an order iff the
+    order's MAX(l_shipdate) is late — so the 6M-row semi-join
+    sort-merge collapses into one partially-aggregated narrow shuffle
+    of (orderkey, max date) plus a broadcast join against the filtered
+    window.  Results identical by the max-exists argument (max > cut
+    ⟺ some row > cut; NULL shipdates satisfy neither side)."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     win = o.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
     )
-    late = win.join(
-        li,
-        (win["o_orderkey"] == li["l_orderkey"])
-        & (li["l_shipdate"] > win["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
-        "left_semi",
-    )
+    li_max = li.groupBy(F.col("l_orderkey")).agg(
+        F.max("l_shipdate").alias("__max_ship"))
+    late = (li_max.join(F.broadcast(win.select(
+                "o_orderkey", "o_orderdate", "o_orderpriority")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("__max_ship")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")))
     return late.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_late"))
 
