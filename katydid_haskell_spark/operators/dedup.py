@@ -716,9 +716,14 @@ def _cc_min_label(edges: DataFrame, max_iter: int) -> DataFrame:
     """Min-label propagation (see :func:`connected_components`)."""
     # persist the symmetrized edge list: every propagation round joins it,
     # and without this each round would RE-RUN the upstream pair pipeline
-    # (minhash + verification) — measured 4.7s -> ~1s for the bench query
+    # (minhash + verification) — measured 4.7s -> ~1s for the bench query.
+    # No .distinct(): duplicate edges are harmless here (the node set is
+    # distinct'd below and neighbor labels are MIN-aggregated), and the
+    # upstream pair generators emit distinct canonical pairs anyway — the
+    # dedup only added a full shuffle before the first round (r9 measure:
+    # ~0.7s of the init cost at sf1).
     sym = edges.union(edges.select(F.col("b").alias("a"),
-                                   F.col("a").alias("b"))).distinct().persist()
+                                   F.col("a").alias("b"))).persist()
     # per-round labels are localCheckpoint'd, not just persisted: each
     # round's plan references the previous round's labels TWICE (the
     # neighbor-min join and the changed-count join), so without lineage
@@ -737,23 +742,23 @@ def _cc_min_label(edges: DataFrame, max_iter: int) -> DataFrame:
                 sym.join(labels, sym.b == labels.id)
                 .groupBy("a").agg(F.min("label").alias("nmin"))
             )
+            # the changed flag rides the checkpointed frame so the
+            # convergence check below is a plain scan of the checkpoint —
+            # not a per-round join of the new labels back to the old ones
+            # (r9: saved one join job per round)
+            nlabel = F.least(F.col("label"),
+                             F.coalesce(F.col("nmin"), F.col("label")))
             new_labels = (
                 labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
                 .select(
                     "id",
-                    F.least(F.col("label"),
-                            F.coalesce(F.col("nmin"), F.col("label")))
-                    .alias("label"),
+                    nlabel.alias("label"),
+                    (nlabel != F.col("label")).alias("chg"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels = new_labels
+            changed = new_labels.where("chg").count()
+            labels = new_labels.select("id", "label")
             if changed == 0:
                 break
     finally:

@@ -596,6 +596,21 @@ def test_connected_components(spark):
                    20: 20, 21: 20, 22: 20}           # triangle
 
 
+def test_cc_min_label_duplicate_and_reversed_edges(spark):
+    """r9 internals pin: _cc_min_label no longer distinct's the
+    symmetrized edge list (duplicates are harmless under the MIN
+    aggregation) and detects convergence from the checkpointed chg flag —
+    heavy duplicate/reversed/self-loop edges must still yield the exact
+    min-reachable labeling under the pinned 'label' engine."""
+    raw = [(1, 2), (2, 1), (1, 2), (2, 3), (3, 2), (3, 3),
+           (10, 11), (11, 10), (10, 11), (10, 11)]
+    pairs = spark.createDataFrame(raw * 3, "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id
+           for r in dd.connected_components(pairs, algorithm="label")
+           .collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
 def test_resize_media(spark):
     media = mm.synthetic_media_df(spark, 20)
     out = mm.resize_media(media, 64, 64)
