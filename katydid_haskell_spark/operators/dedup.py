@@ -720,8 +720,10 @@ def _cc_min_label(edges: DataFrame, max_iter: int) -> DataFrame:
     # No .distinct(): duplicate edges are harmless here (the node set is
     # distinct'd below and neighbor labels are MIN-aggregated), and the
     # upstream pair generators emit distinct canonical pairs anyway — the
-    # dedup only added a full shuffle before the first round (r9 measure:
-    # ~0.7s of the init cost at sf1).
+    # dedup only added a full shuffle of the edge list before the first
+    # round.  Locally that shuffle is overhead-bound (~0.2s of a ~1.1s
+    # init at sf1, isolated 6-rep median); the removal is for the scale
+    # shape, where it grows with the full edge count.
     sym = edges.union(edges.select(F.col("b").alias("a"),
                                    F.col("a").alias("b"))).persist()
     # per-round labels are localCheckpoint'd, not just persisted: each
